@@ -1,0 +1,121 @@
+"""Conjugate-gradient solver (ref HPCCG.cpp:312-402 / HPCCG_sycl :83-301).
+
+The reference's SYCL path crosses the host<->device boundary every kernel
+(q->wait() + host-side scalar math, HPCCG.cpp:186-265). Here the *entire* CG
+loop is one jitted ``lax.while_loop``: scalars (rtrans, alpha, beta, normr)
+never leave the device, the loop condition evaluates on-device, and XLA fuses
+the waxpby/ddot chains around the SpMV. One compiled program per
+(problem-shape, max_iter) — no per-iteration dispatch at all.
+
+Iteration structure replicated exactly (bit-compatible trajectory in f64):
+
+    p = x0; Ap = A@p; r = b - Ap; rtrans = r.r; normr = sqrt(rtrans)
+    for k = 1 .. max_iter-1 while normr > tolerance:
+        if k == 1: p = r                         (HPCCG.cpp:360-363)
+        else:      beta = rtrans_new/rtrans_old; p = r + beta*p   (:366-369)
+        normr = sqrt(rtrans)                     (:371, printed residual)
+        Ap = A@p                                 (:379)
+        alpha = rtrans / (p . Ap)                (:381-382)
+        x += alpha*p; r -= alpha*Ap              (:383-384)
+
+The k==1 branch is expressed branch-free as beta=0 with an (idempotent,
+bit-identical) recompute of rtrans = r.r.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hpccg_tpu.ops.vector import ddot as _ddot
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "niters", "normr", "rtrans", "trace"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class CGResult:
+    """Solver output. ``trace[k]`` is the residual norm printed at iteration k
+    (trace[0] = initial residual); entries past ``niters`` are NaN."""
+
+    x: jax.Array
+    niters: jax.Array  # int32, number of iterations executed (== ref niters)
+    normr: jax.Array  # final residual norm (== ref normr at loop exit)
+    rtrans: jax.Array
+    trace: jax.Array  # (max_iter,) residual-norm trajectory
+
+
+def cg_solve(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    dot: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+) -> CGResult:
+    """Run CG. Jit-safe; call under jax.jit (or shard_map) with static
+    max_iter/tolerance. ``dot`` defaults to the local dot product; pass a
+    psum-reducing dot for distributed solves."""
+    if dot is None:
+        dot = _ddot
+    dtype = b.dtype
+    tol = jnp.asarray(tolerance, dtype)
+
+    p = x0
+    Ap = matvec(p)
+    r = b - Ap
+    rtrans = dot(r, r)
+    normr0 = jnp.sqrt(rtrans)
+
+    trace0 = jnp.full((max(max_iter, 1),), jnp.nan, dtype).at[0].set(normr0)
+
+    def cond(carry):
+        k, x, r, p, rtrans, normr, trace = carry
+        return jnp.logical_and(k < max_iter, normr > tol)
+
+    def body(carry):
+        k, x, r, p, rtrans_old, _, trace = carry
+        rtrans = dot(r, r)  # at k==1 this bit-identically recomputes r.r
+        beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rtrans_old)
+        p = r + beta * p
+        normr = jnp.sqrt(rtrans)
+        trace = trace.at[k].set(normr)
+        Ap = matvec(p)
+        alpha = rtrans / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        return (k + 1, x, r, p, rtrans, normr, trace)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    carry = (k0, x0, r, p, rtrans, normr0, trace0)
+    k, x, r, p, rtrans, normr, trace = jax.lax.while_loop(cond, body, carry)
+    return CGResult(x=x, niters=k - 1, normr=normr, rtrans=rtrans, trace=trace)
+
+
+def make_cg(
+    A,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    backend: str = "auto",
+) -> Callable[[jax.Array, jax.Array], CGResult]:
+    """Build a jitted single-device solver fn(b, x0) for operator A."""
+    from hpccg_tpu.ops.spmv import spmv
+
+    def solve(b, x0):
+        return cg_solve(
+            lambda v: spmv(A, v, backend=backend),
+            b,
+            x0,
+            max_iter=max_iter,
+            tolerance=tolerance,
+        )
+
+    return jax.jit(solve)

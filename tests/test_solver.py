@@ -1,0 +1,95 @@
+"""CG solver tests: convergence, reference-semantics parity, golden trajectory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpccg_tpu import ProblemConfig, Stencil, cg_solve, generate_problem
+from hpccg_tpu.models.stencil import generate_ell
+from hpccg_tpu.ops.vector import compute_residual
+from hpccg_tpu.solver import make_cg
+
+from oracle import GOLDEN_10_NITERS, GOLDEN_10_TRACE, oracle_cg, oracle_dense
+
+
+def test_converges_to_ones():
+    cfg = ProblemConfig(8, 8, 8)
+    prob = generate_problem(cfg)
+    solve = make_cg(prob.A, max_iter=60, tolerance=0.0)
+    res = solve(prob.b, prob.x0)
+    err = compute_residual(res.x, prob.xexact)
+    assert float(err) < 1e-12
+    assert int(res.niters) == 59  # ref loop runs k = 1..max_iter-1
+
+
+def test_tolerance_early_exit():
+    cfg = ProblemConfig(8, 8, 8)
+    prob = generate_problem(cfg)
+    solve = make_cg(prob.A, max_iter=500, tolerance=1e-10)
+    res = solve(prob.b, prob.x0)
+    assert int(res.niters) < 499
+    assert float(res.normr) <= 1e-10 * 10  # normr lags one iteration (ref :371)
+    # trace beyond the executed range is NaN
+    tr = np.asarray(res.trace)
+    assert np.isnan(tr[int(res.niters) + 1 :]).all()
+
+
+@pytest.mark.parametrize("stencil", [Stencil.S27, Stencil.S7])
+def test_trajectory_matches_numpy_oracle(stencil):
+    """JAX trajectory == independent NumPy CG on the dense oracle matrix."""
+    cfg = ProblemConfig(6, 5, 4, stencil=stencil)
+    prob = generate_problem(cfg)
+    Ad, b, _ = oracle_dense(6, 5, 4, seven_pt=(stencil == Stencil.S7))
+    max_iter = 40
+    res = make_cg(prob.A, max_iter=max_iter)(prob.b, prob.x0)
+    _, niters, normr, otrace = oracle_cg(Ad, b, np.zeros_like(b), max_iter)
+    trace = np.asarray(res.trace)[: len(otrace)]
+    assert int(res.niters) == niters
+    # identical recurrence in f64; only summation order differs
+    mask = otrace > 1e-14 * otrace[0]
+    np.testing.assert_allclose(trace[mask], otrace[mask], rtol=1e-9)
+    # below the rounding floor the tail is rounding-noise-driven: the decay
+    # *rate* (spectrum-driven) must agree, pointwise values need not
+    np.testing.assert_allclose(
+        np.log10(trace[~mask]), np.log10(otrace[~mask]), rtol=0.2
+    )
+
+
+def test_golden_out_txt_parity():
+    """Residual-trajectory parity with the reference binary's checked-in run
+    (out.txt: 10^3 problem, 149 iterations, final residual 1.68304e-92)."""
+    cfg = ProblemConfig(10, 10, 10)
+    prob = generate_problem(cfg)
+    res = make_cg(prob.A, max_iter=150, tolerance=0.0)(prob.b, prob.x0)
+    assert int(res.niters) == GOLDEN_10_NITERS
+    trace = np.asarray(res.trace)
+    # initial residual and the first printed iterate match to ~6 sig figs
+    np.testing.assert_allclose(trace[0], GOLDEN_10_TRACE[0], rtol=1e-5)
+    np.testing.assert_allclose(trace[15], GOLDEN_10_TRACE[15], rtol=1e-4)
+    # deep-convergence tail: decay *rate* is spectrum-driven; rounding noise
+    # compounds, so compare orders of magnitude
+    for k, ref in GOLDEN_10_TRACE.items():
+        if k <= 15:
+            continue
+        assert abs(np.log10(trace[k]) - np.log10(ref)) < 0.05 * abs(np.log10(ref)) + 1.0
+
+
+def test_ell_backend_matches_stencil_backend():
+    cfg = ProblemConfig(6, 6, 6)
+    sprob = generate_problem(cfg)
+    eprob = generate_ell(cfg)
+    rs = make_cg(sprob.A, max_iter=30)(sprob.b, sprob.x0)
+    re = make_cg(eprob.A, max_iter=30)(eprob.b, eprob.x0)
+    np.testing.assert_allclose(np.asarray(rs.x), np.asarray(re.x), rtol=1e-12)
+    ts, te = np.asarray(rs.trace), np.asarray(re.trace)
+    good = ts > 1e-11 * ts[0]
+    np.testing.assert_allclose(ts[good], te[good], rtol=1e-7)
+
+
+def test_f32_mode_converges():
+    """Fast-dtype mode: f32 converges to f32-level accuracy."""
+    cfg = ProblemConfig(8, 8, 8, dtype=jnp.float32)
+    prob = generate_problem(cfg)
+    res = make_cg(prob.A, max_iter=60)(prob.b, prob.x0)
+    assert float(compute_residual(res.x, prob.xexact)) < 1e-4
