@@ -1,0 +1,125 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Protocol (ref main.cpp:187-188 + BASELINE.json config 3): 27-pt stencil,
+nx=ny=nz=100, fixed work (max_iter=150, tolerance=0), f32, single chip.
+The timed region is the full jitted CG solve (SpMV + halo + ddots + axpbys),
+i.e. end-to-end CG throughput, not a kernel microbenchmark.
+
+Metric: SpMV nonzeros processed per second through full CG iterations
+(nnz_model * niters / t, nnz_model = 27*nrow, the reference's own FLOP-model
+convention, main.cpp:226).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the baseline
+is the reference *format's* per-chip speed-of-light on THIS chip: an explicit
+CSR SpMV must move >= 12 B per nonzero (8 B value + 4 B column index), so
+SOL_ref = HBM_BW / 12 nnz/s. vs_baseline = ours / SOL_ref. Values > 1 mean we
+exceed what the reference's data structure could ever reach on this hardware
+(possible because the stencil operator never materializes the matrix).
+"""
+
+import argparse
+import json
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+HBM_GBPS = {
+    # device_kind substring -> HBM bandwidth in GB/s
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v5": 819.0,
+    "v4": 1228.0,
+    "v3": 900.0,
+    "v2": 700.0,
+    "v6 lite": 1640.0,
+    "v6e": 1640.0,
+}
+
+
+def hbm_bandwidth_gbps(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, bw in HBM_GBPS.items():
+        if key in kind:
+            return bw
+    return 819.0  # conservative default (v5e)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=100)
+    ap.add_argument("--ny", type=int, default=100)
+    ap.add_argument("--nz", type=int, default=100)
+    ap.add_argument("--stencil", type=int, default=27, choices=[7, 27])
+    ap.add_argument("--max-iter", type=int, default=150)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args()
+
+    from hpccg_tpu import ProblemConfig, generate_problem
+    from hpccg_tpu.solver import make_cg
+
+    dtype = jnp.dtype(args.dtype)
+    cfg = ProblemConfig(args.nx, args.ny, args.nz, stencil=args.stencil, dtype=dtype)
+    prob = generate_problem(cfg)
+    solve = make_cg(prob.A, max_iter=args.max_iter, tolerance=0.0, backend=args.backend)
+
+    def fence(r):
+        # scalar host readback: block_until_ready alone can return before the
+        # device queue drains on remote-dispatch backends (verified on axon)
+        float(r.normr)
+        return r
+
+    # warm up: compile + 2 fenced runs
+    res = fence(solve(prob.b, prob.x0))
+    fence(solve(prob.b, prob.x0))
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        res = fence(solve(prob.b, prob.x0))
+        times.append(time.perf_counter() - t0)
+    t = statistics.median(times)
+
+    niters = int(res.niters)
+    nnz_model = prob.total_nnz_model
+    nnz_per_s = nnz_model * niters / t
+    value_gnnz = nnz_per_s / 1e9
+
+    dev = jax.devices()[0]
+    sol_ref_nnz_per_s = hbm_bandwidth_gbps(dev) * 1e9 / 12.0
+    vs_baseline = nnz_per_s / sol_ref_nnz_per_s
+
+    iters_per_s = niters / t
+    flops = (
+        niters * (4.0 + 6.0) * prob.total_nrow + 2.0 * niters * nnz_model
+    )  # ref FLOP model, main.cpp:224-227
+
+    print(
+        json.dumps(
+            {
+                "metric": "CG SpMV throughput (stencil*n nnz model), single chip",
+                "value": round(value_gnnz, 3),
+                "unit": "Gnnz/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "extras": {
+                    "device": getattr(dev, "device_kind", str(dev)),
+                    "problem": f"{args.nx}x{args.ny}x{args.nz} {args.stencil}-pt {args.dtype}",
+                    "niters": niters,
+                    "solve_s": round(t, 6),
+                    "cg_iters_per_s": round(iters_per_s, 1),
+                    "mflops_model": round(flops / t / 1e6, 1),
+                    "final_normr": float(res.normr),
+                    "vs_baseline_def": "ours / (HBM_BW/12B-per-nnz), the reference CSR format's per-chip speed-of-light",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Distributed CG over a device mesh (ref HPCCG.cpp under -DUSING_MPI).
+
+The whole solve runs inside one jitted shard_map: vectors are sharded z-plane
+blocks (P('z')), the SpMV exchanges halo planes with ppermute, dot products
+psum across the mesh, and the while_loop's scalar state (rtrans, normr, k) is
+replicated on every device — the loop condition never touches the host.
+
+This mirrors the reference cost shape exactly (SURVEY.md §3.2): per iteration
+two allreduces (psum), one halo exchange (2x ppermute), one SpMV, three
+axpbys — but with zero per-iteration host dispatch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hpccg_tpu.config import ProblemConfig
+from hpccg_tpu.models.stencil import Problem, generate_ell
+from hpccg_tpu.operators import EllMatrix, StencilOperator
+from hpccg_tpu.ops.vector import ddot
+from hpccg_tpu.parallel.halo import stencil_matvec_halo
+from hpccg_tpu.parallel.mesh import Z_AXIS
+from hpccg_tpu.solver import CGResult, cg_solve
+
+
+def _result_specs(shard_spec: P) -> CGResult:
+    """out_specs pytree: x sharded, scalar state + trace replicated."""
+    return CGResult(x=shard_spec, niters=P(), normr=P(), rtrans=P(), trace=P())
+
+
+def local_operator(cfg_local: ProblemConfig) -> StencilOperator:
+    return StencilOperator(
+        nx=cfg_local.nx,
+        ny=cfg_local.ny,
+        nz=cfg_local.nz,
+        stencil=cfg_local.stencil,
+        dtype_name=jnp.dtype(cfg_local.dtype).name,
+    )
+
+
+def generate_problem_sharded(
+    cfg_local: ProblemConfig, mesh: Mesh, *, axis: str = Z_AXIS
+) -> Problem:
+    """Generate the global z-stacked problem, sharded over the mesh.
+
+    b is computed *in place on each shard* as A @ ones with halo'd matvec —
+    ones arrive from neighbors, zeros at global boundaries — reproducing the
+    reference's per-rank generation (generate_matrix.cpp:284-286) with no
+    host loop and no cross-host data movement beyond the halo planes.
+    """
+    size = mesh.shape[axis]
+    op_local = local_operator(cfg_local)
+    n_local = cfg_local.local_nrow
+    n_total = n_local * size
+    dtype = cfg_local.dtype
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    def build():
+        ones = jnp.ones((n_local,), dtype)
+        b = stencil_matvec_halo(op_local, ones, axis)
+        x0 = jnp.zeros((n_local,), dtype)
+        return b, x0, ones
+
+    b, x0, xexact = build()
+    op_global = StencilOperator(
+        nx=cfg_local.nx,
+        ny=cfg_local.ny,
+        nz=cfg_local.nz * size,
+        stencil=cfg_local.stencil,
+        dtype_name=jnp.dtype(dtype).name,
+    )
+    return Problem(
+        A=op_global,
+        b=b,
+        x0=x0,
+        xexact=xexact,
+        total_nrow=n_total,
+        total_nnz_model=cfg_local.stencil.value * n_total,
+        total_nnz_exact=op_global.nnz,
+    )
+
+
+def make_distributed_cg(
+    cfg_local: ProblemConfig,
+    mesh: Mesh,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: str = Z_AXIS,
+):
+    """Jitted distributed solve(b, x0) -> CGResult for the stencil operator.
+
+    b/x0 are global flat (n_total,) arrays sharded P(axis); the result x comes
+    back sharded the same way, trace/niters/normr replicated.
+    """
+    op_local = local_operator(cfg_local)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=_result_specs(P(axis)),
+    )
+    def solve(b, x0):
+        return cg_solve(
+            lambda v: stencil_matvec_halo(op_local, v, axis),
+            b,
+            x0,
+            max_iter=max_iter,
+            tolerance=tolerance,
+            dot=lambda u, v: ddot(u, v, axis_name=axis),
+        )
+
+    return solve
+
+
+def make_distributed_ell_cg(
+    mesh: Mesh,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: str = Z_AXIS,
+):
+    """General explicit-matrix path: solve(A_global, b, x0) with A in padded
+    ELL, rows sharded P(axis), columns global.
+
+    The SpMV all-gathers x across the mesh then gathers by global column —
+    the equivalent of the reference's general gather-list comm plan
+    (make_local_matrix.cpp) for matrices without z-stacked structure.
+    """
+    row_spec = P(axis, None)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec, P(axis), P(axis)),
+        out_specs=_result_specs(P(axis)),
+    )
+    def _solve(vals, cols, valid, b, x0):
+        A_local = EllMatrix(vals=vals, cols=cols, valid=valid, start_row=0)
+
+        def matvec(v):
+            xg = jax.lax.all_gather(v, axis, tiled=True)
+            return A_local.matvec(xg)
+
+        return cg_solve(
+            matvec,
+            b,
+            x0,
+            max_iter=max_iter,
+            tolerance=tolerance,
+            dot=lambda u, v: ddot(u, v, axis_name=axis),
+        )
+
+    def solve(A: EllMatrix, b, x0):
+        if A.start_row != 0:
+            raise ValueError("pass the assembled global EllMatrix (start_row=0)")
+        return _solve(A.vals, A.cols, A.valid, b, x0)
+
+    return solve
+
+
+def shard_problem(prob: Problem, mesh: Mesh, *, axis: str = Z_AXIS) -> Problem:
+    """Place an existing (host/global) problem onto the mesh with P(axis)
+    shardings — vectors row-sharded; an EllMatrix row-sharded with global
+    columns."""
+    vec_sh = NamedSharding(mesh, P(axis))
+    A = prob.A
+    if isinstance(A, EllMatrix):
+        mat_sh = NamedSharding(mesh, P(axis, None))
+        A = EllMatrix(
+            vals=jax.device_put(A.vals, mat_sh),
+            cols=jax.device_put(A.cols, mat_sh),
+            valid=jax.device_put(A.valid, mat_sh),
+            start_row=A.start_row,
+            total_nrow=A.total_nrow,
+        )
+    return Problem(
+        A=A,
+        b=jax.device_put(prob.b, vec_sh),
+        x0=jax.device_put(prob.x0, vec_sh),
+        xexact=jax.device_put(prob.xexact, vec_sh),
+        total_nrow=prob.total_nrow,
+        total_nnz_model=prob.total_nnz_model,
+        total_nnz_exact=prob.total_nnz_exact,
+    )
