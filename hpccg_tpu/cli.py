@@ -1,0 +1,291 @@
+"""CLI driver (ref main.cpp:99-324).
+
+Usage:
+    python -m hpccg_tpu nx ny nz [options]     # generated stencil problem
+    python -m hpccg_tpu datafile [options]     # HPC-row file (deprecated path)
+
+Reproduces the reference driver end-to-end: per-iteration residual lines,
+the FLOP model (main.cpp:224-227), and the YAML report with the reference's
+key schema (Time/FLOPS/MFLOPS summaries) — plus a Mesh block in place of the
+SYCL device printout, and distributed-overhead sections mirroring the MPI
+build's DDOT Timing Variations / SPARSEMV OVERHEADS blocks.
+
+One deliberate difference: the reference times kernels with in-loop TICK/TOCK
+macros (HPCCG.cpp:71-72), which would require breaking the fused jitted loop.
+Here the whole-solve time is measured directly and per-kernel times come from
+phase-separated micro-benchmarks of the same jitted kernels (SURVEY.md §5),
+scaled by per-iteration call counts (2 ddot, 3 waxpby, 1 spmv — HPCCG.cpp
+:367-384).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="hpccg_tpu",
+        description="TPU-native HPCCG: 3-D stencil conjugate gradient benchmark",
+    )
+    ap.add_argument("dims", nargs="+", help="nx ny nz, or an HPC-row data file")
+    ap.add_argument("--stencil", type=int, default=27, choices=[27, 7])
+    ap.add_argument("--max-iter", type=int, default=150, help="ref main_old.cpp:166 default; main.cpp uses 500")
+    ap.add_argument("--tolerance", type=float, default=0.0)
+    ap.add_argument("--dtype", default="float64", choices=["float64", "float32", "bfloat16"])
+    ap.add_argument("--mesh", type=int, default=1, metavar="N", help="devices on the 1-D z mesh")
+    ap.add_argument("--backend", default="auto", choices=["auto", "stencil", "ell", "pallas"])
+    ap.add_argument("--report-file", action="store_true", help="also write the timestamped .yaml")
+    ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")
+    ap.add_argument("--quiet", action="store_true", help="suppress residual lines")
+    ap.add_argument("--dump-matlab", metavar="PREFIX", help="dump COO triplets (ref dump_matlab_matrix.cpp)")
+    ap.add_argument("--skip-kernel-bench", action="store_true", help="skip per-kernel micro-benchmarks")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+        if jax.default_backend() == "tpu":
+            print(
+                "# note: f64 on TPU is emulated with f32-pair arithmetic "
+                "(values < ~1e-38 flush to zero); use CPU for deep-convergence parity",
+                file=sys.stderr,
+            )
+    import jax.numpy as jnp
+
+    from hpccg_tpu import ProblemConfig, generate_problem
+    from hpccg_tpu.ops.spmv import spmv
+    from hpccg_tpu.ops.vector import waxpby as waxpby_op
+    from hpccg_tpu.solver import make_cg
+    from hpccg_tpu.utils.report import Report
+    from hpccg_tpu.utils.timing import fence, time_fn
+
+    dtype = jnp.dtype(args.dtype)
+
+    file_mode = len(args.dims) == 1 and not args.dims[0].isdigit()
+    mesh = None
+    if file_mode:
+        from hpccg_tpu.io import read_hpc_row
+
+        prob, _ = read_hpc_row(args.dims[0], dtype=dtype)
+        nx = ny = nz = 0
+        if args.mesh > 1:
+            print("# file mode runs single-device (general-matrix mesh path: API only)", file=sys.stderr)
+        solve = None
+    else:
+        if len(args.dims) != 3:
+            print("error: expected 'nx ny nz' or one data file", file=sys.stderr)
+            return 2
+        nx, ny, nz = (int(d) for d in args.dims)
+        cfg = ProblemConfig(nx, ny, nz, stencil=args.stencil, dtype=dtype)
+        if args.mesh > 1:
+            from hpccg_tpu.parallel import (
+                generate_problem_sharded,
+                make_distributed_cg,
+                make_mesh,
+            )
+
+            mesh = make_mesh(args.mesh)
+            prob = generate_problem_sharded(cfg, mesh)
+            solve = make_distributed_cg(
+                cfg, mesh, max_iter=args.max_iter, tolerance=args.tolerance
+            )
+        else:
+            prob = generate_problem(cfg)
+            solve = None
+
+    if solve is None:
+        solve = make_cg(
+            prob.A,
+            max_iter=args.max_iter,
+            tolerance=args.tolerance,
+            backend=args.backend,
+        )
+
+    if args.dump_matlab:
+        from hpccg_tpu.io import dump_matlab
+
+        path = dump_matlab(args.dump_matlab, prob.A)
+        print(f"# wrote {path}", file=sys.stderr)
+
+    # --- solve (compile excluded from the timed run, like the reference's
+    # post-setup chrono window, main.cpp:189-197) ---
+    fence(solve(prob.b, prob.x0))
+    t0 = time.perf_counter()
+    res = solve(prob.b, prob.x0)
+    fence(res)
+    t_total = time.perf_counter() - t0
+
+    niters = int(res.niters)
+    normr = float(res.normr)
+    trace = np.asarray(res.trace)
+
+    if not args.quiet:
+        # ref HPCCG.cpp:342-344,356,372-373
+        print_freq = min(max(args.max_iter // 10, 1), 50)
+        print(f"Initial Residual = {trace[0]:.6g}")
+        for k in range(1, niters + 1):
+            if k % print_freq == 0 or k + 1 == args.max_iter:
+                print(f"Iteration = {k}   Residual = {trace[k]:.6g}")
+    print(f"Elapsed time: {t_total:.6g} s", file=sys.stderr)
+
+    # --- FLOP model (main.cpp:217-227) ---
+    fniters = float(niters)
+    fnrow = float(prob.total_nrow)
+    fnnz = float(prob.total_nnz_model)
+    fnops_ddot = fniters * 4 * fnrow
+    fnops_waxpby = fniters * 6 * fnrow
+    fnops_sparsemv = fniters * 2 * fnnz
+    fnops = fnops_ddot + fnops_waxpby + fnops_sparsemv
+
+    # --- per-kernel micro-benchmarks for the Time Summary ---
+    # Per-kernel times via amortized in-jit loops (dispatch latency would
+    # otherwise dominate ms-scale kernels). waxpby chains naturally
+    # (w <- x + 0.5w); ddot is measured differentially from a fused
+    # waxpby+ddot loop; spmv chains with a 1/54 rescale to avoid overflow.
+    t_ddot = t_waxpby = t_spmv = float("nan")
+    if not args.skip_kernel_bench:
+        from hpccg_tpu.utils.timing import time_loop_body
+
+        x_in = prob.b
+
+        def wax_body(w):
+            return waxpby_op(1.0, x_in, 0.5, w)
+
+        def combo_body(c):
+            w, s = c
+            w = waxpby_op(1.0, x_in, 0.5, w)
+            return w, s + jnp.vdot(w, w)
+
+        t_wax1 = time_loop_body(wax_body, prob.x0)
+        t_combo = time_loop_body(combo_body, (prob.x0, jnp.zeros((), dtype)))
+        t_ddot1 = max(t_combo - t_wax1, 0.0)
+
+        if args.mesh > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from hpccg_tpu.parallel.cg import local_operator
+            from hpccg_tpu.parallel.halo import stencil_matvec_halo
+
+            op_local = local_operator(cfg)
+
+            from hpccg_tpu.utils.timing import time_loop_slope
+
+            def spmv_once(v):
+                return stencil_matvec_halo(op_local, v, "z") * (1.0 / 54.0)
+
+            def make_spmv_loop(k):
+                return jax.jit(
+                    jax.shard_map(
+                        lambda v: jax.lax.fori_loop(0, k, lambda i, c: spmv_once(c), v),
+                        mesh=mesh,
+                        in_specs=P("z"),
+                        out_specs=P("z"),
+                    )
+                )
+
+            t_spmv1 = time_loop_slope(make_spmv_loop, prob.x0)
+        else:
+            t_spmv1 = time_loop_body(
+                lambda v: spmv(prob.A, v, backend=args.backend) * (1.0 / 54.0),
+                prob.x0,
+            )
+        t_ddot = t_ddot1 * 2 * fniters
+        t_waxpby = t_wax1 * 3 * fniters
+        t_spmv = t_spmv1 * fniters
+
+    # --- report (main.cpp:230-304 schema) ---
+    doc = Report("hpccg-tpu", "1.0")
+    par = doc.add("Parallelism")
+    ndev = args.mesh
+    par.add("Number of mesh devices", ndev)
+    par.add("Mesh axes", "z" if ndev > 1 else "(single device)")
+    par.add("Device kind", getattr(jax.devices()[0], "device_kind", "unknown"))
+    par.add("Platform", jax.default_backend())
+    par.add("MPI not enabled (ICI/DCN collectives via XLA)", "")
+
+    dims = doc.add("Dimensions")
+    dims.add("nx", nx)
+    dims.add("ny", ny)
+    dims.add("nz", nz)
+    if ndev > 1:
+        dims.add("global nz", nz * ndev)
+    dims.add("stencil", args.stencil)
+    dims.add("dtype", args.dtype)
+
+    doc.add("Number of iterations", niters)
+    doc.add("Final residual", normr)
+    doc.add("#********** Performance Summary (times in sec) ***********", "")
+
+    ts = doc.add("Time Summary")
+    ts.add("Total   ", t_total)
+    ts.add("DDOT    ", t_ddot)
+    ts.add("WAXPBY  ", t_waxpby)
+    ts.add("SPARSEMV", t_spmv)
+    ts.add("(DDOT/WAXPBY/SPARSEMV are phase-separated micro-benchmarks; the solve loop runs fused)", "")
+
+    fl = doc.add("FLOPS Summary")
+    fl.add("Total   ", fnops)
+    fl.add("DDOT    ", fnops_ddot)
+    fl.add("WAXPBY  ", fnops_waxpby)
+    fl.add("SPARSEMV", fnops_sparsemv)
+
+    def mflops(ops: float, t: float) -> float:
+        # t == 0 means "below timer resolution"; C++ prints inf (out.txt:33-37)
+        if t != t:  # skipped bench -> NaN
+            return float("nan")
+        return ops / t / 1e6 if t > 0 else float("inf")
+
+    mf = doc.add("MFLOPS Summary")
+    mf.add("Total   ", mflops(fnops, t_total))
+    mf.add("DDOT    ", mflops(fnops_ddot, t_ddot))
+    mf.add("WAXPBY  ", mflops(fnops_waxpby, t_waxpby))
+    mf.add("SPARSEMV", mflops(fnops_sparsemv, t_spmv))
+
+    if ndev > 1 and not args.skip_kernel_bench:
+        # distributed overheads (analog of main.cpp:284-299)
+        from jax.sharding import PartitionSpec as P
+
+        # allreduce latency, slope-timed in-jit (the carry feeds each psum)
+        from hpccg_tpu.utils.timing import time_loop_slope
+
+        def make_psum_loop(k):
+            return jax.jit(
+                jax.shard_map(
+                    lambda v: jax.lax.fori_loop(
+                        0,
+                        k,
+                        lambda i, s: jax.lax.psum(s, "z") * (1.0 / ndev),
+                        jnp.vdot(v, v),
+                    ),
+                    mesh=mesh,
+                    in_specs=P("z"),
+                    out_specs=P(),
+                )
+            )
+
+        t_psum = time_loop_slope(make_psum_loop, prob.b) * 2 * fniters
+        dv = doc.add("DDOT Timing Variations")
+        dv.add("DDOT allreduce (psum) time", t_psum)
+        ov = doc.add("SPARSEMV OVERHEADS")
+        ov.add("SPARSEMV MFLOPS W OVERHEAD", fnops_sparsemv / t_spmv / 1e6)
+        ov.add("SPARSEMV PARALLEL OVERHEAD note", "halo exchange is fused into the SpMV (ppermute)")
+
+    print(doc.to_json() if args.json else doc.generate_yaml(), end="")
+    if args.report_file:
+        path = doc.write(fmt="json" if args.json else "yaml")
+        print(f"# wrote {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,208 @@
+"""Matrix / problem IO.
+
+- read_hpc_row / write_hpc_row: the reference's "HPC row" text format
+  (read_HPC_row.cpp:217-373; deprecated per README.md:114-118 but kept for
+  parity). Token stream: ``total_nrow total_nnz``, then nnz-per-row counts,
+  then (val, ind) pairs row-major, then (x, b, xexact) triples.
+- dump_matlab: 1-indexed COO triplets for Matlab spconvert
+  (dump_matlab_matrix.cpp:59-82).
+- save_problem / load_problem: npz checkpoint of a Problem (+ optional CG
+  state) — the persistence capability the reference lacks (SURVEY.md §5).
+
+Host-side text parsing is vectorized NumPy (single fromstring pass), and an
+optional C++ tokenizer (hpccg_tpu.native) accelerates the large-file path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpccg_tpu.models.stencil import Problem
+from hpccg_tpu.operators import EllMatrix, StencilOperator
+
+
+def _tokenize(path: str) -> np.ndarray:
+    """All whitespace-separated numeric tokens as float64."""
+    try:
+        from hpccg_tpu import native
+
+        toks = native.tokenize_file(path)
+        if toks is not None:
+            return toks
+    except ImportError:
+        pass
+    with open(path, "rb") as f:
+        return np.fromstring(f.read(), dtype=np.float64, sep=" ")  # noqa: NPY201
+
+
+def read_hpc_row(path: str, *, dtype=jnp.float64) -> Tuple[Problem, jax.Array]:
+    """Load an HPC-row file into a padded-ELL Problem.
+
+    Returns (problem, x_file): the file carries an initial guess x alongside
+    b/xexact (read_HPC_row.cpp:331-347); problem.x0 is that initial guess.
+    """
+    toks = _tokenize(path)
+    if toks.size < 2:
+        raise ValueError(f"{path}: not an HPC-row file (fewer than 2 tokens)")
+    nrow = int(toks[0])
+    nnz = int(toks[1])
+    counts = toks[2 : 2 + nrow].astype(np.int64)
+    if counts.size < nrow or counts.sum() != nnz:
+        raise ValueError(
+            f"{path}: header claims nrow={nrow} nnz={nnz}, "
+            f"counts sum to {counts.sum() if counts.size == nrow else 'short file'}"
+        )
+    pos = 2 + nrow
+    pairs = toks[pos : pos + 2 * nnz]
+    if pairs.size < 2 * nnz:
+        raise ValueError(f"{path}: truncated (val, ind) section")
+    vals_flat = pairs[0::2]
+    cols_flat = pairs[1::2].astype(np.int64)
+    pos += 2 * nnz
+    tail = toks[pos : pos + 3 * nrow]
+    if tail.size < 3 * nrow:
+        raise ValueError(f"{path}: truncated x/b/xexact section")
+    x = tail[0::3]
+    b = tail[1::3]
+    xexact = tail[2::3]
+
+    width = int(counts.max()) if nrow else 0
+    vals = np.zeros((nrow, width))
+    cols = np.zeros((nrow, width), dtype=np.int32)
+    valid = np.zeros((nrow, width), dtype=bool)
+    # scatter jagged rows into the padded layout
+    row_ids = np.repeat(np.arange(nrow), counts)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot_ids = np.arange(nnz) - np.repeat(offsets, counts)
+    vals[row_ids, slot_ids] = vals_flat
+    cols[row_ids, slot_ids] = cols_flat
+    valid[row_ids, slot_ids] = True
+
+    A = EllMatrix(
+        vals=jnp.asarray(vals, dtype),
+        cols=jnp.asarray(cols),
+        valid=jnp.asarray(valid),
+        start_row=0,
+        total_nrow=nrow,
+    )
+    prob = Problem(
+        A=A,
+        b=jnp.asarray(b, dtype),
+        x0=jnp.asarray(x, dtype),
+        xexact=jnp.asarray(xexact, dtype),
+        total_nrow=nrow,
+        total_nnz_model=nnz,
+        total_nnz_exact=nnz,
+    )
+    return prob, prob.x0
+
+
+def write_hpc_row(path: str, prob: Problem, x: Optional[np.ndarray] = None) -> None:
+    """Serialize a Problem to the HPC-row text format (inverse of the reader)."""
+    A = prob.A
+    if isinstance(A, StencilOperator):
+        raise TypeError("write_hpc_row needs an explicit matrix; use generate_ell")
+    rows, cols, vals = A.to_coo()
+    counts = np.asarray(A.nnz_per_row())
+    nrow = A.local_nrow
+    x = np.zeros(nrow) if x is None else np.asarray(x)
+    b = np.asarray(prob.b)
+    xexact = np.asarray(prob.xexact)
+    with open(path, "w") as f:
+        f.write(f"{nrow} {counts.sum()}\n")
+        f.write(" ".join(str(c) for c in counts) + "\n")
+        k = 0
+        for r in range(nrow):
+            parts = []
+            for _ in range(counts[r]):
+                parts.append(f"{vals[k]:.17g} {cols[k]}")
+                k += 1
+            f.write(" ".join(parts) + "\n")
+        for i in range(nrow):
+            f.write(f"{x[i]:.17g} {b[i]:.17g} {xexact[i]:.17g}\n")
+
+
+def dump_matlab(prefix: str, A, rank: int = 0) -> Optional[str]:
+    """Write 1-indexed (row, col, val) triplets to <prefix><rank>.dat for
+    Matlab spconvert (ref dump_matlab_matrix.cpp:59-82; ranks > 3 are no-ops).
+    """
+    if rank > 3:
+        return None
+    if isinstance(A, StencilOperator):
+        from hpccg_tpu.config import ProblemConfig
+        from hpccg_tpu.models.stencil import generate_ell
+
+        A = generate_ell(
+            ProblemConfig(A.nx, A.ny, A.nz, stencil=A.stencil, dtype=A.dtype)
+        ).A
+    rows, cols, vals = A.to_coo()
+    path = f"{prefix}{rank}.dat"
+    with open(path, "w") as f:
+        for r, c, v in zip(rows, cols, vals):
+            f.write(f" {r + 1} {c + 1} {v:22.16e}\n")
+    return path
+
+
+def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None:
+    """Checkpoint a Problem (and optional solver state) as npz."""
+    arrs = {
+        "b": np.asarray(prob.b),
+        "x0": np.asarray(prob.x0),
+        "xexact": np.asarray(prob.xexact),
+        "meta": np.asarray(
+            [prob.total_nrow, prob.total_nnz_model, prob.total_nnz_exact]
+        ),
+    }
+    A = prob.A
+    if isinstance(A, StencilOperator):
+        arrs["stencil_meta"] = np.asarray([A.nx, A.ny, A.nz, A.stencil.value])
+        arrs["stencil_dtype"] = np.asarray(A.dtype_name)
+    else:
+        arrs["vals"] = np.asarray(A.vals)
+        arrs["cols"] = np.asarray(A.cols)
+        arrs["valid"] = np.asarray(A.valid)
+        arrs["ell_meta"] = np.asarray([A.start_row, A.total_nrow or -1])
+    if state:
+        for k, v in state.items():
+            arrs[f"state_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **arrs)
+
+
+def load_problem(path: str) -> Tuple[Problem, dict]:
+    """Inverse of save_problem. Returns (problem, state_dict)."""
+    from hpccg_tpu.config import Stencil
+
+    z = np.load(path, allow_pickle=False)
+    meta = z["meta"]
+    if "stencil_meta" in z:
+        nx, ny, nz, sv = (int(v) for v in z["stencil_meta"])
+        A = StencilOperator(
+            nx=nx, ny=ny, nz=nz, stencil=Stencil(sv), dtype_name=str(z["stencil_dtype"])
+        )
+    else:
+        start_row, total = (int(v) for v in z["ell_meta"])
+        A = EllMatrix(
+            vals=jnp.asarray(z["vals"]),
+            cols=jnp.asarray(z["cols"]),
+            valid=jnp.asarray(z["valid"]),
+            start_row=start_row,
+            total_nrow=None if total < 0 else total,
+        )
+    prob = Problem(
+        A=A,
+        b=jnp.asarray(z["b"]),
+        x0=jnp.asarray(z["x0"]),
+        xexact=jnp.asarray(z["xexact"]),
+        total_nrow=int(meta[0]),
+        total_nnz_model=int(meta[1]),
+        total_nnz_exact=int(meta[2]),
+    )
+    state = {
+        k[len("state_") :]: z[k] for k in z.files if k.startswith("state_")
+    }
+    return prob, state

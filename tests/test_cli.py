@@ -1,0 +1,68 @@
+"""CLI driver tests (ref main.cpp argv modes)."""
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from hpccg_tpu.cli import main
+
+
+def run_cli(args):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(args)
+    return rc, buf.getvalue()
+
+
+def test_generated_mode_golden():
+    rc, out = run_cli(["10", "10", "10", "--max-iter", "150", "--skip-kernel-bench"])
+    assert rc == 0
+    assert "Initial Residual = 258.24" in out
+    assert "Iteration = 15   Residual = 2.15402e-06" in out
+    assert "Number of iterations: 149" in out
+    assert "Time Summary: " in out
+    assert "FLOPS Summary: " in out
+    # FLOP model, main.cpp:224-227 with nrow=1000, nnz=27000, niters=149
+    assert "  Total   : 9.536e+06" in out
+    assert "  SPARSEMV: 8.046e+06" in out
+
+
+def test_mesh_mode():
+    rc, out = run_cli(
+        ["6", "6", "2", "--mesh", "4", "--max-iter", "30", "--dtype", "float64",
+         "--skip-kernel-bench", "--quiet"]
+    )
+    assert rc == 0
+    assert "Number of mesh devices: 4" in out
+    assert "global nz: 8" in out
+
+
+def test_file_mode(tmp_path):
+    from hpccg_tpu import ProblemConfig
+    from hpccg_tpu.io import write_hpc_row
+    from hpccg_tpu.models.stencil import generate_ell
+
+    path = str(tmp_path / "m.dat")
+    write_hpc_row(path, generate_ell(ProblemConfig(4, 4, 4)))
+    rc, out = run_cli([path, "--max-iter", "30", "--skip-kernel-bench", "--quiet"])
+    assert rc == 0
+    assert "Number of iterations: 29" in out
+
+
+def test_bad_args():
+    rc, _ = run_cli(["4", "4"])
+    assert rc == 2
+
+
+def test_json_output():
+    rc, out = run_cli(["4", "4", "4", "--max-iter", "10", "--json",
+                       "--skip-kernel-bench", "--quiet"])
+    assert rc == 0
+    import json
+
+    obj = json.loads(out)
+    assert obj["Dimensions"]["nx"] == 4
+    assert obj["Number of iterations"] == 9

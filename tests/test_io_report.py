@@ -1,0 +1,104 @@
+"""IO (HPC-row round-trip, matlab dump, checkpoint) and report tests."""
+
+import numpy as np
+import pytest
+
+from hpccg_tpu import ProblemConfig, generate_problem
+from hpccg_tpu.io import (
+    dump_matlab,
+    load_problem,
+    read_hpc_row,
+    save_problem,
+    write_hpc_row,
+)
+from hpccg_tpu.models.stencil import generate_ell
+from hpccg_tpu.ops.vector import compute_residual
+from hpccg_tpu.solver import make_cg
+from hpccg_tpu.utils.report import Report
+
+
+def test_hpc_row_roundtrip(tmp_path):
+    cfg = ProblemConfig(4, 3, 5)
+    prob = generate_ell(cfg)
+    path = str(tmp_path / "mat.dat")
+    write_hpc_row(path, prob)
+    loaded, x0 = read_hpc_row(path)
+    r0, c0, v0 = prob.A.to_coo()
+    r1, c1, v1 = loaded.A.to_coo()
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_allclose(np.asarray(loaded.b), np.asarray(prob.b))
+    np.testing.assert_allclose(np.asarray(loaded.xexact), np.asarray(prob.xexact))
+
+
+def test_hpc_row_solve_end_to_end(tmp_path):
+    """File-loaded matrix solves like the generated problem (mode 2 of the
+    reference CLI, main.cpp:141-154)."""
+    cfg = ProblemConfig(5, 5, 5)
+    path = str(tmp_path / "mat.dat")
+    write_hpc_row(path, generate_ell(cfg))
+    prob, x0 = read_hpc_row(path)
+    res = make_cg(prob.A, max_iter=40)(prob.b, x0)
+    assert float(compute_residual(res.x, prob.xexact)) < 1e-11
+
+
+def test_hpc_row_truncated_file_errors(tmp_path):
+    path = tmp_path / "bad.dat"
+    path.write_text("100 2700\n1 2 3\n")
+    with pytest.raises(ValueError):
+        read_hpc_row(str(path))
+
+
+def test_dump_matlab(tmp_path):
+    cfg = ProblemConfig(3, 3, 3)
+    prob = generate_ell(cfg)
+    path = dump_matlab(str(tmp_path / "mat"), prob.A, rank=0)
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == prob.total_nnz_exact
+    r, c, v = lines[0].split()
+    assert int(r) == 1 and int(c) == 1  # 1-indexed (dump_matlab_matrix.cpp:70)
+    assert dump_matlab(str(tmp_path / "mat"), prob.A, rank=4) is None
+
+
+def test_checkpoint_roundtrip_stencil(tmp_path):
+    cfg = ProblemConfig(4, 4, 4)
+    prob = generate_problem(cfg)
+    p = str(tmp_path / "ckpt.npz")
+    save_problem(p, prob, state={"k": np.int32(7)})
+    loaded, state = load_problem(p)
+    assert loaded.A.nx == 4 and loaded.A.stencil == prob.A.stencil
+    np.testing.assert_allclose(np.asarray(loaded.b), np.asarray(prob.b))
+    assert state["k"] == 7
+
+
+def test_checkpoint_roundtrip_ell(tmp_path):
+    cfg = ProblemConfig(3, 4, 2)
+    prob = generate_ell(cfg)
+    p = str(tmp_path / "ckpt.npz")
+    save_problem(p, prob)
+    loaded, _ = load_problem(p)
+    np.testing.assert_array_equal(np.asarray(loaded.A.cols), np.asarray(prob.A.cols))
+
+
+def test_report_schema_and_formatting():
+    doc = Report("hpccg-tpu", "1.0")
+    doc.add("Dimensions")
+    doc.get("Dimensions").add("nx", 10)
+    doc.add("Final residual", 1.68304e-92)
+    ts = doc.add("Time Summary")
+    ts.add("Total   ", 0.123456789)
+    y = doc.generate_yaml()
+    assert "Mini-Application Name: hpccg-tpu" in y
+    assert "Dimensions: " in y
+    assert "  nx: 10" in y  # 2-space indent (YAML_Element.cpp:86-93)
+    assert "Final residual: 1.68304e-92" in y  # 6 sig figs like C++ ostream
+    assert "  Total   : 0.123457" in y
+    obj_json = doc.to_json()
+    assert '"nx": 10' in obj_json
+
+
+def test_report_get_creates_on_miss():
+    doc = Report()
+    doc.get("Missing").add("child", 1)
+    assert "Missing" in doc.generate_yaml()
