@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--max-iter", type=int, default=150)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--backend", default="pallas", help="pallas (native kernel, default) | stencil | ell")
     args = ap.parse_args()
 
     from hpccg_tpu import ProblemConfig, generate_problem

@@ -98,13 +98,56 @@ def make_distributed_cg(
     max_iter: int,
     tolerance: float = 0.0,
     axis: str = Z_AXIS,
+    backend: str = "auto",
 ):
     """Jitted distributed solve(b, x0) -> CGResult for the stencil operator.
 
     b/x0 are global flat (n_total,) arrays sharded P(axis); the result x comes
-    back sharded the same way, trace/niters/normr replicated.
+    back sharded the same way, trace/niters/normr replicated. backend="pallas"
+    runs each shard's CG state in the padded-plane layout with the one-pass
+    Pallas SpMV (halo planes ppermuted into the kernel's halo input).
     """
     op_local = local_operator(cfg_local)
+    pdot = lambda u, v: ddot(u, v, axis_name=axis)  # noqa: E731
+
+    if backend == "pallas":
+        from hpccg_tpu.ops.pallas.stencil_kernel import (
+            pad_plane,
+            plane_masks,
+            unpad_plane,
+        )
+        from hpccg_tpu.parallel.halo import stencil_matvec_halo_pallas
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            # pallas_call outputs carry no varying-mesh-axes metadata, which
+            # trips shard_map's replication checker; correctness is covered by
+            # the parity tests against the checked XLA path
+            check_vma=False,
+        )
+        def solve_pallas(b, x0):
+            masks = jnp.asarray(plane_masks(op_local, b.dtype))
+            res = cg_solve(
+                lambda v: stencil_matvec_halo_pallas(op_local, v, masks, axis),
+                pad_plane(op_local, b),
+                pad_plane(op_local, x0),
+                max_iter=max_iter,
+                tolerance=tolerance,
+                dot=pdot,
+            )
+            return CGResult(
+                x=unpad_plane(op_local, res.x),
+                niters=res.niters,
+                normr=res.normr,
+                rtrans=res.rtrans,
+                trace=res.trace,
+            )
+
+        return solve_pallas
 
     @jax.jit
     @partial(
@@ -120,7 +163,7 @@ def make_distributed_cg(
             x0,
             max_iter=max_iter,
             tolerance=tolerance,
-            dot=lambda u, v: ddot(u, v, axis_name=axis),
+            dot=pdot,
         )
 
     return solve

@@ -69,3 +69,28 @@ def stencil_matvec_halo(
     s = _neighbor_sum_halo(u, below, above, op.stencil)
     y = (DIAG_VALUE - OFFDIAG_VALUE) * u + OFFDIAG_VALUE * s
     return y.reshape(-1)
+
+
+def stencil_matvec_halo_pallas(
+    op: StencilOperator, u_pad: jax.Array, masks: jax.Array, axis_name: str = "z"
+) -> jax.Array:
+    """Distributed A @ x in the padded-plane layout with the Pallas kernel.
+
+    ppermutes the boundary planes (rows of the (nzp, M) shard; row nz-1 up,
+    row 0 down) and feeds them to the kernel's external-halo input.
+    """
+    from hpccg_tpu.ops.pallas.stencil_kernel import spmv_padded
+
+    n = jax.lax.axis_size(axis_name)
+    nz = op.nz
+    if n == 1:
+        halo = None
+    else:
+        below = jax.lax.ppermute(
+            u_pad[nz - 1], axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        above = jax.lax.ppermute(
+            u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+        halo = jnp.stack([below, above])
+    return spmv_padded(op, u_pad, masks, halo)

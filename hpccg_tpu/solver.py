@@ -106,8 +106,42 @@ def make_cg(
     tolerance: float = 0.0,
     backend: str = "auto",
 ) -> Callable[[jax.Array, jax.Array], CGResult]:
-    """Build a jitted single-device solver fn(b, x0) for operator A."""
+    """Build a jitted single-device solver fn(b, x0) for operator A.
+
+    backend="pallas" (stencil operators only) runs the whole CG loop in the
+    TPU-native padded-plane layout with the one-pass Pallas SpMV kernel;
+    padding stays exactly zero through axpy/dot so the iteration scalars are
+    identical to the flat path.
+    """
+    from hpccg_tpu.operators import StencilOperator
     from hpccg_tpu.ops.spmv import spmv
+
+    if backend == "pallas" and isinstance(A, StencilOperator):
+        from hpccg_tpu.ops.pallas.stencil_kernel import (
+            pad_plane,
+            plane_masks,
+            spmv_padded,
+            unpad_plane,
+        )
+
+        def solve_pallas(b, x0):
+            masks = jnp.asarray(plane_masks(A, b.dtype))
+            res = cg_solve(
+                lambda v: spmv_padded(A, v, masks),
+                pad_plane(A, b),
+                pad_plane(A, x0),
+                max_iter=max_iter,
+                tolerance=tolerance,
+            )
+            return CGResult(
+                x=unpad_plane(A, res.x),
+                niters=res.niters,
+                normr=res.normr,
+                rtrans=res.rtrans,
+                trace=res.trace,
+            )
+
+        return jax.jit(solve_pallas)
 
     def solve(b, x0):
         return cg_solve(
