@@ -1,0 +1,155 @@
+// Native host-side runtime for hpccg_tpu (the counterpart of the reference's
+// C++ host tier: read_HPC_row.cpp's parser and generate_matrix.cpp's
+// assembly loop). Compiled to libhpccg_host.so and loaded via ctypes
+// (hpccg_tpu/native.py). The TPU compute path stays JAX/Pallas; this library
+// covers the host-bound work: file tokenization, ELL assembly, serialization.
+//
+// Written from the format/problem *specification* in SURVEY.md — not a copy
+// of the reference sources.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cerrno>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Fast numeric tokenizer: parse all whitespace-separated numbers in a file.
+// Returns the token count, or -1 on IO error. If out != nullptr it must have
+// room for cap tokens; parsing stops at cap.
+// ---------------------------------------------------------------------------
+int64_t hpccg_tokenize_file(const char* path, double* out, int64_t cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < 0) {
+    std::fclose(f);
+    return -1;
+  }
+  char* buf = static_cast<char*>(std::malloc(size + 1));
+  if (!buf) {
+    std::fclose(f);
+    return -1;
+  }
+  size_t rd = std::fread(buf, 1, size, f);
+  std::fclose(f);
+  buf[rd] = '\0';
+
+  int64_t n = 0;
+  char* p = buf;
+  char* end = buf + rd;
+  while (p < end) {
+    char* next = nullptr;
+    errno = 0;
+    double v = std::strtod(p, &next);
+    if (next == p) {
+      ++p;  // skip non-numeric byte
+      continue;
+    }
+    if (out) {
+      if (n >= cap) break;
+      out[n] = v;
+    }
+    ++n;
+    p = next;
+  }
+  std::free(buf);
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// ELL stencil assembly: the reference's generate_matrix triple loop
+// (27-pt or 7-pt), emitting padded ELL directly. Row r of the local block
+// owns global row start_row + r; columns are global; invalid slots get
+// val=0, col=0, valid=0. width must be 27 (or 7 for seven_pt).
+// Also writes b = A@ones into b_out. Returns total valid nnz.
+// ---------------------------------------------------------------------------
+int64_t hpccg_generate_ell(int32_t nx, int32_t ny, int32_t nz, int32_t rank,
+                           int32_t size, int32_t seven_pt, double* vals,
+                           int32_t* cols, uint8_t* valid, double* b_out) {
+  const int64_t local_nrow = (int64_t)nx * ny * nz;
+  const int64_t total_nrow = local_nrow * size;
+  const int64_t start_row = local_nrow * rank;
+  const int64_t plane = (int64_t)nx * ny;
+  const int width = seven_pt ? 7 : 27;
+
+  int64_t nnz = 0;
+  for (int32_t iz = 0; iz < nz; ++iz) {
+    for (int32_t iy = 0; iy < ny; ++iy) {
+      for (int32_t ix = 0; ix < nx; ++ix) {
+        const int64_t lrow = (int64_t)iz * plane + (int64_t)iy * nx + ix;
+        const int64_t grow = start_row + lrow;
+        double* vrow = vals + lrow * width;
+        int32_t* crow = cols + lrow * width;
+        uint8_t* mrow = valid + lrow * width;
+        int slot = 0;
+        int nnzrow = 0;
+        for (int sz = -1; sz <= 1; ++sz) {
+          for (int sy = -1; sy <= 1; ++sy) {
+            for (int sx = -1; sx <= 1; ++sx) {
+              if (seven_pt && sz * sz + sy * sy + sx * sx > 1) continue;
+              const int64_t col = grow + (int64_t)sz * plane + (int64_t)sy * nx + sx;
+              const bool ok = ix + sx >= 0 && ix + sx < nx && iy + sy >= 0 &&
+                              iy + sy < ny && col >= 0 && col < total_nrow;
+              if (ok) {
+                vrow[slot] = (col == grow) ? 27.0 : -1.0;
+                crow[slot] = (int32_t)col;
+                mrow[slot] = 1;
+                ++nnzrow;
+              } else {
+                vrow[slot] = 0.0;
+                crow[slot] = 0;
+                mrow[slot] = 0;
+              }
+              ++slot;
+            }
+          }
+        }
+        b_out[lrow] = 27.0 - (double)(nnzrow - 1);
+        nnz += nnzrow;
+      }
+    }
+  }
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// HPC-row writer (inverse of read_HPC_row's format): header, per-row counts,
+// (val, ind) pairs, then x/b/xexact triples. Returns 0 on success.
+// ---------------------------------------------------------------------------
+int32_t hpccg_write_hpc_row(const char* path, int64_t nrow, int32_t width,
+                            const double* vals, const int32_t* cols,
+                            const uint8_t* valid, const double* x,
+                            const double* b, const double* xexact) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  int64_t nnz = 0;
+  for (int64_t i = 0; i < nrow * width; ++i) nnz += valid[i];
+  std::fprintf(f, "%lld %lld\n", (long long)nrow, (long long)nnz);
+  for (int64_t r = 0; r < nrow; ++r) {
+    int cnt = 0;
+    for (int32_t w = 0; w < width; ++w) cnt += valid[r * width + w];
+    std::fprintf(f, "%d%c", cnt, r + 1 == nrow ? '\n' : ' ');
+  }
+  for (int64_t r = 0; r < nrow; ++r) {
+    bool first = true;
+    for (int32_t w = 0; w < width; ++w) {
+      const int64_t k = r * width + w;
+      if (!valid[k]) continue;
+      std::fprintf(f, "%s%.17g %d", first ? "" : " ", vals[k], cols[k]);
+      first = false;
+    }
+    std::fputc('\n', f);
+  }
+  for (int64_t r = 0; r < nrow; ++r) {
+    std::fprintf(f, "%.17g %.17g %.17g\n", x[r], b[r], xexact[r]);
+  }
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -107,12 +107,22 @@ def write_hpc_row(path: str, prob: Problem, x: Optional[np.ndarray] = None) -> N
     A = prob.A
     if isinstance(A, StencilOperator):
         raise TypeError("write_hpc_row needs an explicit matrix; use generate_ell")
-    rows, cols, vals = A.to_coo()
-    counts = np.asarray(A.nnz_per_row())
     nrow = A.local_nrow
     x = np.zeros(nrow) if x is None else np.asarray(x)
     b = np.asarray(prob.b)
     xexact = np.asarray(prob.xexact)
+    try:
+        from hpccg_tpu import native
+
+        if native.write_hpc_row_native(
+            path, np.asarray(A.vals), np.asarray(A.cols), np.asarray(A.valid),
+            x, b, xexact,
+        ):
+            return
+    except ImportError:
+        pass
+    rows, cols, vals = A.to_coo()
+    counts = np.asarray(A.nnz_per_row())
     with open(path, "w") as f:
         f.write(f"{nrow} {counts.sum()}\n")
         f.write(" ".join(str(c) for c in counts) + "\n")

@@ -1,0 +1,161 @@
+"""ctypes bindings for the native host library (csrc/hpccg_host.cpp).
+
+Builds libhpccg_host.so on demand with g++ (cached next to the source) and
+exposes the host-bound fast paths: file tokenization, ELL stencil assembly,
+and HPC-row serialization. Every entry point has a pure-Python/NumPy fallback
+in the callers, so the framework works even without a compiler; the native
+path is the production data-loading tier (the role of the reference's C++
+host code: read_HPC_row.cpp, generate_matrix.cpp).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_SO = os.path.join(_SRC, "build", "libhpccg_host.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    src = os.path.join(_SRC, "hpccg_host.cpp")
+    if not os.path.exists(src):
+        _build_failed = True
+        return None
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src):
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", _SO]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        _build_failed = True
+        return None
+
+    lib.hpccg_tokenize_file.restype = ctypes.c_int64
+    lib.hpccg_tokenize_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+    ]
+    lib.hpccg_generate_ell.restype = ctypes.c_int64
+    lib.hpccg_generate_ell.argtypes = [
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.hpccg_write_hpc_row.restype = ctypes.c_int32
+    lib.hpccg_write_hpc_row.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    return lib
+
+
+def _get() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        with _lock:
+            if _lib is None and not _build_failed:
+                _lib = _build()
+    return _lib
+
+
+def available() -> bool:
+    return _get() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def tokenize_file(path: str) -> Optional[np.ndarray]:
+    """All numeric tokens of a text file as float64, or None if unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    n = lib.hpccg_tokenize_file(path.encode(), None, 0)
+    if n < 0:
+        raise IOError(f"cannot read {path}")
+    out = np.empty(n, np.float64)
+    got = lib.hpccg_tokenize_file(path.encode(), _ptr(out, ctypes.c_double), n)
+    return out[:got]
+
+
+def generate_ell_host(nx, ny, nz, rank=0, size=1, seven_pt=False):
+    """Native ELL stencil assembly. Returns (vals, cols, valid, b, nnz) numpy
+    arrays in the padded-ELL layout, or None if the library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    n = nx * ny * nz
+    width = 7 if seven_pt else 27
+    vals = np.zeros((n, width), np.float64)
+    cols = np.zeros((n, width), np.int32)
+    valid = np.zeros((n, width), np.uint8)
+    b = np.zeros(n, np.float64)
+    nnz = lib.hpccg_generate_ell(
+        nx,
+        ny,
+        nz,
+        rank,
+        size,
+        int(seven_pt),
+        _ptr(vals, ctypes.c_double),
+        _ptr(cols, ctypes.c_int32),
+        _ptr(valid, ctypes.c_uint8),
+        _ptr(b, ctypes.c_double),
+    )
+    return vals, cols, valid.astype(bool), b, int(nnz)
+
+
+def write_hpc_row_native(path, vals, cols, valid, x, b, xexact) -> bool:
+    """Native HPC-row writer. Returns False if the library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return False
+    vals = np.ascontiguousarray(vals, np.float64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    x = np.ascontiguousarray(x, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    xexact = np.ascontiguousarray(xexact, np.float64)
+    rc = lib.hpccg_write_hpc_row(
+        path.encode(),
+        vals.shape[0],
+        vals.shape[1],
+        _ptr(vals, ctypes.c_double),
+        _ptr(cols, ctypes.c_int32),
+        _ptr(valid, ctypes.c_uint8),
+        _ptr(x, ctypes.c_double),
+        _ptr(b, ctypes.c_double),
+        _ptr(xexact, ctypes.c_double),
+    )
+    return rc == 0
