@@ -97,7 +97,11 @@ def main(argv=None) -> int:
             mesh = make_mesh(args.mesh)
             prob = generate_problem_sharded(cfg, mesh)
             solve = make_distributed_cg(
-                cfg, mesh, max_iter=args.max_iter, tolerance=args.tolerance
+                cfg,
+                mesh,
+                max_iter=args.max_iter,
+                tolerance=args.tolerance,
+                backend="pallas" if args.backend == "pallas" else "auto",
             )
         else:
             prob = generate_problem(cfg)

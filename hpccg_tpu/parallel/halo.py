@@ -55,18 +55,48 @@ def _neighbor_sum_halo(u: jax.Array, below: jax.Array, above: jax.Array, stencil
     return xy_cross + ue[0:nz] + ue[2 : nz + 2]
 
 
+def _neighbor_sum_halo_overlap(u, below, above, stencil: Stencil):
+    """Same sum as _neighbor_sum_halo, but grouped so that everything except
+    the two boundary planes is independent of the exchanged halos — XLA's
+    latency-hiding scheduler can then run the ppermute concurrently with the
+    interior compute (the halo/compute overlap of SURVEY.md §7.7, the analog
+    of overlapping exchange_externals with interior SpMV)."""
+    nz = u.shape[0]
+    if stencil == Stencil.S27:
+        xy = _axis_sum3(_axis_sum3(u, 2), 1)  # halo-independent
+        xy_b = _axis_sum3(_axis_sum3(below[None], 2), 1)
+        xy_a = _axis_sum3(_axis_sum3(above[None], 2), 1)
+        lo = xy_b[0] + xy[0] + (xy[1] if nz > 1 else xy_a[0])
+        if nz == 1:
+            return lo[None]
+        hi = xy[nz - 2] + xy[nz - 1] + xy_a[0]
+        interior = xy[0 : nz - 2] + xy[1 : nz - 1] + xy[2:nz]
+        return jnp.concatenate([lo[None], interior, hi[None]], axis=0)
+    cross = _axis_sum3(u, 2) + _axis_sum3(u, 1) - u  # halo-independent
+    z_lo = jnp.concatenate([below[None], u[:-1]], axis=0)
+    z_hi = jnp.concatenate([u[1:], above[None]], axis=0)
+    return cross + z_lo + z_hi
+
+
 def stencil_matvec_halo(
-    op: StencilOperator, x_local: jax.Array, axis_name: str = "z"
+    op: StencilOperator,
+    x_local: jax.Array,
+    axis_name: str = "z",
+    overlap: bool = True,
 ) -> jax.Array:
     """Distributed A @ x for one z-shard (op holds the *local* dims).
 
     y = (DIAG-OFFDIAG)*x + OFFDIAG * S(x) with S the halo'd neighbor sum —
     the fused equivalent of exchange_externals + HPC_sparsemv per iteration
-    (HPCCG.cpp:377-379).
+    (HPCCG.cpp:377-379). With overlap=True (default) the interior compute
+    carries no data dependency on the ppermute.
     """
     u = op.grid(x_local)
     below, above = exchange_halo(u, axis_name)
-    s = _neighbor_sum_halo(u, below, above, op.stencil)
+    if overlap:
+        s = _neighbor_sum_halo_overlap(u, below, above, op.stencil)
+    else:
+        s = _neighbor_sum_halo(u, below, above, op.stencil)
     y = (DIAG_VALUE - OFFDIAG_VALUE) * u + OFFDIAG_VALUE * s
     return y.reshape(-1)
 

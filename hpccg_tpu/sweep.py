@@ -1,0 +1,137 @@
+"""Weak/strong scaling sweeps (ref weakScalingRunScript, strongScalingRunScript).
+
+    python -m hpccg_tpu.sweep weak   --per-chip 100 --meshes 1,2,4,8
+    python -m hpccg_tpu.sweep strong --global-nz 1024 --nx 64 --ny 64 --meshes 1,2,4,8
+
+Weak scaling fixes the per-shard block (ref: 64^3 per rank at np=1..64); strong
+scaling fixes the global domain and divides nz across the mesh (ref: global
+64x64x1024, nz=1024/np). Each point emits one JSON line; a final line reports
+scaling efficiency (nnz/s per device relative to the 1-device point — the
+BASELINE.json metric).
+
+On a host with one real chip the sweep can run on virtual CPU devices
+(--platform cpu, exercising the real shard_map/ppermute/psum paths); published
+numbers must come from real multi-chip meshes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="hpccg_tpu.sweep")
+    ap.add_argument("mode", choices=["weak", "strong"])
+    ap.add_argument("--meshes", default="1,2,4,8")
+    ap.add_argument("--per-chip", type=int, default=100, help="weak: nx=ny=nz per shard")
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--ny", type=int, default=64)
+    ap.add_argument("--global-nz", type=int, default=1024, help="strong: global nz")
+    ap.add_argument("--stencil", type=int, default=27, choices=[27, 7])
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--backend", default="auto", choices=["auto", "pallas"])
+    ap.add_argument("--iters", type=int, default=64, help="slope-timing base iterations")
+    ap.add_argument("--platform", default=None, help="cpu to force virtual devices")
+    args = ap.parse_args(argv)
+
+    import os
+
+    if args.platform == "cpu":
+        want = max(int(m) for m in args.meshes.split(","))
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={want}"
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from hpccg_tpu import ProblemConfig
+    from hpccg_tpu.parallel import (
+        generate_problem_sharded,
+        make_distributed_cg,
+        make_mesh,
+    )
+    from hpccg_tpu.utils.timing import time_fn
+
+    meshes = [int(m) for m in args.meshes.split(",")]
+    dtype = jnp.dtype(args.dtype)
+    results = []
+    for nd in meshes:
+        if nd > len(jax.devices()):
+            print(
+                json.dumps({"mesh": nd, "skipped": f"only {len(jax.devices())} devices"}),
+                flush=True,
+            )
+            continue
+        if args.mode == "weak":
+            cfg = ProblemConfig(
+                args.per_chip, args.per_chip, args.per_chip,
+                stencil=args.stencil, dtype=dtype,
+            )
+        else:
+            if args.global_nz % nd:
+                print(json.dumps({"mesh": nd, "skipped": "nz not divisible"}), flush=True)
+                continue
+            cfg = ProblemConfig(
+                args.nx, args.ny, args.global_nz // nd,
+                stencil=args.stencil, dtype=dtype,
+            )
+        mesh = make_mesh(nd)
+        prob = generate_problem_sharded(cfg, mesh)
+        k1, k2 = args.iters + 1, 8 * args.iters + 1
+        backend = args.backend
+        s1 = make_distributed_cg(cfg, mesh, max_iter=k1, backend=backend)
+        s2 = make_distributed_cg(cfg, mesh, max_iter=k2, backend=backend)
+        t1 = time_fn(s1, prob.b, prob.x0, reps=3)
+        t2 = time_fn(s2, prob.b, prob.x0, reps=3)
+        below_res = (t2 - t1) <= 0
+        per_iter = max(t2 - t1, 1e-12) / (k2 - k1)
+        nnz_s = prob.total_nnz_model / per_iter
+        point = {
+            "mode": args.mode,
+            "mesh": nd,
+            "local_dims": [cfg.nx, cfg.ny, cfg.nz],
+            "global_nrow": prob.total_nrow,
+            # None = below timer resolution (cf. the reference golden run's
+            # inf MFLOPS at small sizes)
+            "cg_iter_us": None if below_res else round(per_iter * 1e6, 2),
+            "gnnz_per_s": None if below_res else round(nnz_s / 1e9, 2),
+        }
+        results.append(point)
+        print(json.dumps(point), flush=True)
+
+    results = [r for r in results if r["gnnz_per_s"]]
+    if results:
+        base = results[0]
+        if args.mode == "weak":
+            eff = [
+                r["gnnz_per_s"] / (base["gnnz_per_s"] * r["mesh"] / base["mesh"])
+                for r in results
+            ]
+        else:
+            eff = [
+                (r["gnnz_per_s"] / base["gnnz_per_s"]) / (r["mesh"] / base["mesh"])
+                for r in results
+            ]
+        print(
+            json.dumps(
+                {
+                    "summary": args.mode,
+                    "meshes": [r["mesh"] for r in results],
+                    "efficiency_vs_first": [round(e, 3) for e in eff],
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
