@@ -38,7 +38,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--tolerance", type=float, default=0.0)
     ap.add_argument("--dtype", default="float64", choices=["float64", "float32", "bfloat16"])
     ap.add_argument("--mesh", type=int, default=1, metavar="N", help="devices on the 1-D z mesh")
-    ap.add_argument("--backend", default="auto", choices=["auto", "stencil", "ell", "pallas"])
+    ap.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "stencil", "ell", "pallas", "pallas_fused"],
+    )
     ap.add_argument("--report-file", action="store_true", help="also write the timestamped .yaml")
     ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")
     ap.add_argument("--quiet", action="store_true", help="suppress residual lines")

@@ -110,13 +110,57 @@ def make_distributed_cg(
     op_local = local_operator(cfg_local)
     pdot = lambda u, v: ddot(u, v, axis_name=axis)  # noqa: E731
 
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_fused"):
         from hpccg_tpu.ops.pallas.stencil_kernel import (
             pad_plane,
             plane_masks,
             unpad_plane,
         )
         from hpccg_tpu.parallel.halo import stencil_matvec_halo_pallas
+
+        if backend == "pallas_fused":
+            from hpccg_tpu.solver import cg_solve_fused
+
+            nz = op_local.nz
+            ndev = mesh.shape[axis]
+            fwd = [(i, i + 1) for i in range(ndev - 1)]
+            bwd = [(i + 1, i) for i in range(ndev - 1)]
+
+            def _planes(v):
+                below = jax.lax.ppermute(v[nz - 1], axis, fwd)
+                above = jax.lax.ppermute(v[0], axis, bwd)
+                return below, above
+
+            @jax.jit
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=_result_specs(P(axis)),
+                check_vma=False,
+            )
+            def solve_fused(b, x0):
+                masks = jnp.asarray(plane_masks(op_local, b.dtype))
+                res = cg_solve_fused(
+                    op_local,
+                    pad_plane(op_local, b),
+                    pad_plane(op_local, x0),
+                    masks,
+                    max_iter=max_iter,
+                    tolerance=tolerance,
+                    psum=lambda s: jax.lax.psum(s, axis),
+                    halo2_fn=lambda v: jnp.stack(_planes(v)),
+                    halo4_fn=lambda r, p: jnp.stack(_planes(r) + _planes(p)),
+                )
+                return CGResult(
+                    x=unpad_plane(op_local, res.x),
+                    niters=res.niters,
+                    normr=res.normr,
+                    rtrans=res.rtrans,
+                    trace=res.trace,
+                )
+
+            return solve_fused
 
         @jax.jit
         @partial(
@@ -138,6 +182,9 @@ def make_distributed_cg(
                 max_iter=max_iter,
                 tolerance=tolerance,
                 dot=pdot,
+                matvec_donor=lambda v, dead: stencil_matvec_halo_pallas(
+                    op_local, v, masks, axis, dead
+                ),
             )
             return CGResult(
                 x=unpad_plane(op_local, res.x),

@@ -102,12 +102,17 @@ def stencil_matvec_halo(
 
 
 def stencil_matvec_halo_pallas(
-    op: StencilOperator, u_pad: jax.Array, masks: jax.Array, axis_name: str = "z"
+    op: StencilOperator,
+    u_pad: jax.Array,
+    masks: jax.Array,
+    axis_name: str = "z",
+    donor=None,
 ) -> jax.Array:
     """Distributed A @ x in the padded-plane layout with the Pallas kernel.
 
     ppermutes the boundary planes (rows of the (nzp, M) shard; row nz-1 up,
-    row 0 down) and feeds them to the kernel's external-halo input.
+    row 0 down) and feeds them to the kernel's external-halo input. ``donor``
+    is a dead buffer the output steals (see spmv_padded).
     """
     from hpccg_tpu.ops.pallas.stencil_kernel import spmv_padded
 
@@ -123,4 +128,4 @@ def stencil_matvec_halo_pallas(
             u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
         )
         halo = jnp.stack([below, above])
-    return spmv_padded(op, u_pad, masks, halo)
+    return spmv_padded(op, u_pad, masks, halo, donor)

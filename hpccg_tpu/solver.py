@@ -59,10 +59,16 @@ def cg_solve(
     max_iter: int,
     tolerance: float = 0.0,
     dot: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    matvec_donor: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> CGResult:
     """Run CG. Jit-safe; call under jax.jit (or shard_map) with static
     max_iter/tolerance. ``dot`` defaults to the local dot product; pass a
-    psum-reducing dot for distributed solves."""
+    psum-reducing dot for distributed solves.
+
+    ``matvec_donor(p, dead_buf)``: optional variant that steals ``dead_buf``
+    (the previous Ap, unused past the r update) for its output — Pallas
+    kernels with aliased outputs stream ~2x faster on v5e.
+    """
     if dot is None:
         dot = _ddot
     dtype = b.dtype
@@ -77,26 +83,85 @@ def cg_solve(
     trace0 = jnp.full((max(max_iter, 1),), jnp.nan, dtype).at[0].set(normr0)
 
     def cond(carry):
-        k, x, r, p, rtrans, normr, trace = carry
+        k, x, r, p, Ap, rtrans, normr, trace = carry
         return jnp.logical_and(k < max_iter, normr > tol)
 
     def body(carry):
-        k, x, r, p, rtrans_old, _, trace = carry
+        k, x, r, p, Ap_dead, rtrans_old, _, trace = carry
         rtrans = dot(r, r)  # at k==1 this bit-identically recomputes r.r
         beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rtrans_old)
         p = r + beta * p
         normr = jnp.sqrt(rtrans)
         trace = trace.at[k].set(normr)
-        Ap = matvec(p)
+        if matvec_donor is not None:
+            Ap = matvec_donor(p, Ap_dead)
+        else:
+            Ap = matvec(p)
         alpha = rtrans / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        return (k + 1, x, r, p, rtrans, normr, trace)
+        return (k + 1, x, r, p, Ap, rtrans, normr, trace)
 
     k0 = jnp.asarray(1, jnp.int32)
-    carry = (k0, x0, r, p, rtrans, normr0, trace0)
-    k, x, r, p, rtrans, normr, trace = jax.lax.while_loop(cond, body, carry)
+    carry = (k0, x0, r, p, Ap, rtrans, normr0, trace0)
+    k, x, r, p, Ap, rtrans, normr, trace = jax.lax.while_loop(cond, body, carry)
     return CGResult(x=x, niters=k - 1, normr=normr, rtrans=rtrans, trace=trace)
+
+
+def cg_solve_fused(
+    op,
+    b_pad: jax.Array,
+    x0_pad: jax.Array,
+    masks: jax.Array,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    psum: Optional[Callable[[jax.Array], jax.Array]] = None,
+    halo2_fn=None,
+    halo4_fn=None,
+) -> CGResult:
+    """CG with the two fused Pallas passes per iteration (ops/pallas/fused_cg):
+    identical recurrence to cg_solve, but p-update+SpMV+dot fuse into one
+    kernel and x/r updates + the next ddot into another — no standalone
+    ddot/waxpby passes remain.
+
+    Operates in the padded-plane layout. psum reduces dot partials across the
+    mesh (distributed); halo2_fn(v)/halo4_fn(r, p) supply ppermuted boundary
+    planes (None = true domain boundary).
+    """
+    from hpccg_tpu.ops.pallas.fused_cg import fused_update_p_apply, fused_update_x_r
+    from hpccg_tpu.ops.pallas.stencil_kernel import spmv_padded
+
+    dtype = b_pad.dtype
+    tol = jnp.asarray(tolerance, dtype)
+    gsum = psum if psum is not None else (lambda s: s)
+
+    p = x0_pad
+    Ap = spmv_padded(op, p, masks, halo2_fn(p) if halo2_fn else None)
+    r = b_pad - Ap
+    rtrans = gsum(jnp.vdot(r, r))
+    normr0 = jnp.sqrt(rtrans)
+    trace0 = jnp.full((max(max_iter, 1),), jnp.nan, dtype).at[0].set(normr0)
+
+    def cond(c):
+        k, x, r, p, ap, rt_prev, rt_cur, normr, trace = c
+        return jnp.logical_and(k < max_iter, normr > tol)
+
+    def body(c):
+        k, x, r, p, ap_dead, rt_prev, rt_cur, _, trace = c
+        beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rt_cur / rt_prev)
+        normr = jnp.sqrt(rt_cur)
+        trace = trace.at[k].set(normr)
+        halo = halo4_fn(r, p) if halo4_fn else None
+        p2, ap, pap = fused_update_p_apply(op, r, p, beta, masks, halo, ap_dead)
+        alpha = rt_cur / gsum(pap)
+        x, r, rr = fused_update_x_r(x, r, p2, ap, alpha)
+        return (k + 1, x, r, p2, ap, rt_cur, gsum(rr), normr, trace)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    carry = (k0, x0_pad, r, p, Ap, rtrans, rtrans, normr0, trace0)
+    k, x, r, p, ap, rt_prev, rt_cur, normr, trace = jax.lax.while_loop(cond, body, carry)
+    return CGResult(x=x, niters=k - 1, normr=normr, rtrans=rt_cur, trace=trace)
 
 
 def make_cg(
@@ -116,6 +181,33 @@ def make_cg(
     from hpccg_tpu.operators import StencilOperator
     from hpccg_tpu.ops.spmv import spmv
 
+    if backend == "pallas_fused" and isinstance(A, StencilOperator):
+        from hpccg_tpu.ops.pallas.stencil_kernel import (
+            pad_plane,
+            plane_masks,
+            unpad_plane,
+        )
+
+        def solve_fused(b, x0):
+            masks = jnp.asarray(plane_masks(A, b.dtype))
+            res = cg_solve_fused(
+                A,
+                pad_plane(A, b),
+                pad_plane(A, x0),
+                masks,
+                max_iter=max_iter,
+                tolerance=tolerance,
+            )
+            return CGResult(
+                x=unpad_plane(A, res.x),
+                niters=res.niters,
+                normr=res.normr,
+                rtrans=res.rtrans,
+                trace=res.trace,
+            )
+
+        return jax.jit(solve_fused)
+
     if backend == "pallas" and isinstance(A, StencilOperator):
         from hpccg_tpu.ops.pallas.stencil_kernel import (
             pad_plane,
@@ -132,6 +224,7 @@ def make_cg(
                 pad_plane(A, x0),
                 max_iter=max_iter,
                 tolerance=tolerance,
+                matvec_donor=lambda v, dead: spmv_padded(A, v, masks, None, dead),
             )
             return CGResult(
                 x=unpad_plane(A, res.x),

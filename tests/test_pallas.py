@@ -99,3 +99,39 @@ def test_distributed_pallas_cg(ndev):
     tp, ts = np.asarray(rp.trace), np.asarray(rs.trace)
     good = ts > 1e-11 * ts[0]
     np.testing.assert_allclose(tp[good], ts[good], rtol=1e-7)
+
+
+def test_fused_cg_matches_reference_path():
+    cfg = ProblemConfig(12, 10, 9, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    rf = make_cg(prob.A, max_iter=30, backend="pallas_fused")(prob.b, prob.x0)
+    rs = make_cg(prob.A, max_iter=30, backend="stencil")(prob.b, prob.x0)
+    assert float(compute_residual(rf.x, prob.xexact)) < 1e-10
+    assert int(rf.niters) == int(rs.niters)
+    tf, ts = np.asarray(rf.trace), np.asarray(rs.trace)
+    good = ts > 1e-11 * ts[0]
+    np.testing.assert_allclose(tf[good], ts[good], rtol=1e-7)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_distributed_fused_cg(ndev):
+    cfg = ProblemConfig(6, 5, 4, dtype=jnp.float64)
+    mesh = make_mesh(ndev)
+    prob = generate_problem_sharded(cfg, mesh)
+    rf = make_distributed_cg(cfg, mesh, max_iter=30, backend="pallas_fused")(
+        prob.b, prob.x0
+    )
+    rs = make_distributed_cg(cfg, mesh, max_iter=30)(prob.b, prob.x0)
+    assert float(compute_residual(rf.x, prob.xexact)) < 1e-10
+    tf, ts = np.asarray(rf.trace), np.asarray(rs.trace)
+    good = ts > 1e-11 * ts[0]
+    np.testing.assert_allclose(tf[good], ts[good], rtol=1e-7)
+
+
+def test_fused_cg_early_exit_tolerance():
+    cfg = ProblemConfig(8, 8, 8, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    res = make_cg(prob.A, max_iter=500, tolerance=1e-10, backend="pallas_fused")(
+        prob.b, prob.x0
+    )
+    assert int(res.niters) < 499
