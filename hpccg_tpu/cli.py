@@ -41,7 +41,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--backend",
         default="auto",
-        choices=["auto", "stencil", "ell", "pallas", "pallas_fused"],
+        choices=["auto", "stencil", "ell", "pallas", "pallas_v1", "pallas_fused"],
     )
     ap.add_argument("--report-file", action="store_true", help="also write the timestamped .yaml")
     ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")
@@ -105,7 +105,9 @@ def main(argv=None) -> int:
                 mesh,
                 max_iter=args.max_iter,
                 tolerance=args.tolerance,
-                backend="pallas" if args.backend == "pallas" else "auto",
+                backend=args.backend
+                if args.backend.startswith("pallas")
+                else "auto",
             )
         else:
             prob = generate_problem(cfg)

@@ -1,21 +1,25 @@
 """Pallas TPU kernels — the native-kernel tier (counterpart of the
 reference's SYCL/OMP kernels, HPC_sparsemv.cpp:94-109 etc.).
 
-- stencil_kernel: one-pass 27/7-pt stencil SpMV (slab pipeline over z-blocks)
+- stencil_v2: one-pass 27/7-pt stencil SpMV, v2 layout (z grid dim, y on
+  sublanes, x on lanes) — the default; ~2x v1 at VMEM-resident sizes
+- stencil_kernel: v1 layout (xy-planes flattened onto lanes) — kept for
+  comparison as backend "pallas_v1"
 - fused_cg: fused CG-step kernels (axpy+SpMV+dot in single passes)
 """
 
 from hpccg_tpu.ops.pallas.stencil_kernel import spmv_stencil_pallas
+from hpccg_tpu.ops.pallas.stencil_v2 import spmv_stencil_pallas_v2
 
 
 def spmv_pallas(A, x):
     from hpccg_tpu.operators import StencilOperator
 
     if isinstance(A, StencilOperator):
-        return spmv_stencil_pallas(A, x)
+        return spmv_stencil_pallas_v2(A, x)
     raise NotImplementedError(
         "pallas backend currently covers the stencil operator; ELL uses XLA gather"
     )
 
 
-__all__ = ["spmv_pallas", "spmv_stencil_pallas"]
+__all__ = ["spmv_pallas", "spmv_stencil_pallas", "spmv_stencil_pallas_v2"]

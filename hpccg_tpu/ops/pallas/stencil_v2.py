@@ -1,0 +1,204 @@
+"""One-pass stencil SpMV Pallas kernel, v2 layout (ref HPC_sparsemv.cpp:94-109).
+
+v1 (stencil_kernel.py) flattens each xy-plane onto the lane axis, so the
+y-neighbor shift is a circular lane rotation by nx — measured roll-bound at
+~150 GB/s effective on v5e for HBM-resident problems. v2 keeps the grid 3-D:
+
+    vector layout (nzp, ny_pad, nx_pad):  z on the leading (grid) dim,
+    y on sublanes (ny_pad % 8 == 0), x on lanes (nx_pad % 128 == 0)
+
+so every neighbor access is cheap on the VPU:
+  - x: lane roll by +-1 (masked at ix boundaries),
+  - y: sublane slice of a zero-padded block (padding rows are zero, and a
+       1-row jnp.pad supplies the y=0 halo),
+  - z: the 27-pt xy-sum is computed once per plane of a (tz+2)-deep slab and
+       combined by plane slices; halo planes come from single-plane neighbor
+       blocks (clamped + predicated at the domain edges, exactly v1's trick).
+
+Boundary masks are iota-computed in-kernel (v1 re-read a mask block from HBM
+every grid step). HBM traffic is (tz+2)/tz reads + 1 write per element — the
+2-pass stencil ideal — times the lane/sublane padding factor
+(1.0 for nx in {128, 256, ...}).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpccg_tpu.config import DIAG_VALUE, OFFDIAG_VALUE, Stencil
+from hpccg_tpu.operators import StencilOperator
+
+LANE = 128
+SUBLANE = 8
+VMEM_LIMIT = 100 << 20
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def padded_dims(op: StencilOperator, dtype=None, tz: int | None = None):
+    """(nzp, ny_pad, nx_pad) for the v2 layout."""
+    dtype = jnp.dtype(dtype or op.dtype)
+    nx_pad = _round_up(op.nx, LANE)
+    ny_pad = _round_up(op.ny, SUBLANE)
+    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, dtype.itemsize)
+    nzp = _round_up(op.nz, tz)
+    return nzp, ny_pad, nx_pad
+
+
+def _pick_tz(nz: int, plane: int, itemsize: int, budget: int = 48 << 20) -> int:
+    """Slab depth: ~(4*tz + 16) live plane-buffers (double-buffered mid/out
+    blocks + xy-sum temporaries) within the VMEM budget."""
+    cap = max((budget // (plane * itemsize) - 16) // 4, 1)
+    return max(min(cap, nz), 1)
+
+
+def pad_plane3(op: StencilOperator, x: jax.Array, tz: int | None = None) -> jax.Array:
+    """(n,) flat row-major vector -> (nzp, ny_pad, nx_pad) padded layout."""
+    nzp, ny_pad, nx_pad = padded_dims(op, x.dtype, tz)
+    u = x.reshape(op.nz, op.ny, op.nx)
+    return jnp.pad(
+        u, ((0, nzp - op.nz), (0, ny_pad - op.ny), (0, nx_pad - op.nx))
+    )
+
+
+def unpad_plane3(op: StencilOperator, u: jax.Array) -> jax.Array:
+    return u[: op.nz, : op.ny, : op.nx].reshape(-1)
+
+
+def _shift_y(a: jax.Array, d: int) -> jax.Array:
+    """s[..., y, :] = a[..., y-d, :], zero-filled (sublane slice of a pad)."""
+    ny = a.shape[-2]
+    p = jnp.pad(a, ((0, 0),) * (a.ndim - 2) + ((1, 1), (0, 0)))
+    return jax.lax.slice_in_dim(p, 1 - d, 1 - d + ny, axis=a.ndim - 2)
+
+
+def _sum3_x(u: jax.Array, nx: int) -> jax.Array:
+    """u[.., x-1] + u[.., x] + u[.., x+1] with zero beyond [0, nx)."""
+    nx_pad = u.shape[-1]
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
+    dtype = u.dtype
+    left = pltpu.roll(u, 1, axis=u.ndim - 1) * (ix > 0).astype(dtype)
+    right = pltpu.roll(u, nx_pad - 1, axis=u.ndim - 1) * (ix < nx - 1).astype(dtype)
+    return left + u + right
+
+
+def _sum3_y(u: jax.Array, ny: int) -> jax.Array:
+    """Same along y. Sublane padding rows are zero, but the row *at* ny-1
+    needs its +1 neighbor (row ny, a pad row) to be zero — guaranteed by the
+    layout invariant — and row 0's -1 neighbor comes from the jnp.pad."""
+    del ny
+    return _shift_y(u, 1) + u + _shift_y(u, -1)
+
+
+def _kernel(halo_ref, donor_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stencil):
+    del donor_ref  # dead buffer aliased to out (see spmv_padded_v2)
+    i = pl.program_id(0)
+    nzb = pl.num_programs(0)
+    dtype = mid_ref.dtype
+    ny_pad, nx_pad = mid_ref.shape[-2], mid_ref.shape[-1]
+
+    # z-halo planes: clamped single-plane neighbor blocks, predicated off at
+    # the domain edges; external (distributed) halo overrides rows 0 / nz+...
+    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(dtype)
+    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(dtype)
+    u = jnp.concatenate([lo_ref[:] * sel_lo, mid_ref[:], hi_ref[:] * sel_hi], axis=0)
+
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (tz + 2, 1, 1), 0) + i * tz - 1
+    # global z of each concatenated plane is zrow; external halo planes sit at
+    # z == -1 (below) and z == nz (above). z == nz is either the top block's
+    # (clamped, zeroed) hi plane or a zero z-padding plane — both overridden.
+    u = jnp.where(zrow == -1, halo_ref[0:1], u)
+    u = jnp.where(zrow == nz, halo_ref[1:2], u)
+
+    if stencil == Stencil.S27:
+        xy = _sum3_y(_sum3_x(u, nx), ny)
+        s = xy[0:tz] + xy[1 : tz + 1] + xy[2 : tz + 2]
+    else:
+        c = u[1 : tz + 1]
+        s = _sum3_x(c, nx) + _sum3_y(c, ny) - c + u[0:tz] + u[2 : tz + 2]
+
+    y = (DIAG_VALUE - OFFDIAG_VALUE) * u[1 : tz + 1] + OFFDIAG_VALUE * s
+
+    # zero all padding (lanes past nx, sublanes past ny, z-planes past nz)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad, 1), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) + i * tz
+    valid = (ix < nx).astype(dtype) * (iy < ny).astype(dtype) * (iz < nz).astype(dtype)
+    out_ref[:] = y * valid
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def spmv_padded_v2(
+    op: StencilOperator,
+    u: jax.Array,
+    halo=None,
+    donor=None,
+    interpret: bool = False,
+    tz: int | None = None,
+) -> jax.Array:
+    """y = A @ x in the (nzp, ny_pad, nx_pad) layout (the CG fast path).
+
+    ``halo``: optional (2, ny_pad, nx_pad) external boundary planes
+    [below, above] for distributed z-shards (what exchange_externals.cpp:84
+    would have put at the tail of x). None -> zeros (true domain boundary).
+
+    ``donor``: optional dead (nzp, ny_pad, nx_pad) buffer the output steals
+    (input_output_aliases) — avoids a fresh HBM allocation per call.
+    """
+    nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
+    dtype = u.dtype
+    assert u.shape == (nzp, ny_pad, nx_pad), (u.shape, (nzp, ny_pad, nx_pad))
+    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, dtype.itemsize)
+    nzb = nzp // tz
+    if halo is None:
+        halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
+    if donor is None:
+        donor = jnp.zeros((nzp, ny_pad, nx_pad), dtype)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    return pl.pallas_call(
+        partial(_kernel, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),
+        grid=(nzb,),
+        in_specs=[
+            pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            # dead donor: ANY space -> no block DMA, only the alias matters
+            pl.BlockSpec(memory_space=pl.ANY),
+            # single-plane z-neighbor blocks, clamped in range at the edges
+            pl.BlockSpec(
+                (1, ny_pad, nx_pad),
+                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ny_pad, nx_pad),
+                lambda i: (jnp.minimum(i * tz + tz, nzb * tz - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype),
+        input_output_aliases={1: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * op.stencil.value * op.local_nrow,
+            bytes_accessed=2 * nzp * ny_pad * nx_pad * dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(halo, donor, u, u, u)
+
+
+def spmv_stencil_pallas_v2(
+    op: StencilOperator, x: jax.Array, interpret: bool = False, tz: int | None = None
+) -> jax.Array:
+    """y = A @ x for a flat (n,) vector (pads/unpads around the kernel)."""
+    u = pad_plane3(op, x, tz)
+    return unpad_plane3(op, spmv_padded_v2(op, u, None, None, interpret, tz))

@@ -110,7 +110,48 @@ def make_distributed_cg(
     op_local = local_operator(cfg_local)
     pdot = lambda u, v: ddot(u, v, axis_name=axis)  # noqa: E731
 
-    if backend in ("pallas", "pallas_fused"):
+    if backend == "pallas":
+        from hpccg_tpu.ops.pallas.stencil_v2 import (
+            pad_plane3,
+            spmv_padded_v2,
+            unpad_plane3,
+        )
+        from hpccg_tpu.parallel.halo import stencil_matvec_halo_pallas_v2
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            # pallas_call outputs carry no varying-mesh-axes metadata, which
+            # trips shard_map's replication checker; correctness is covered by
+            # the parity tests against the checked XLA path
+            check_vma=False,
+        )
+        def solve_pallas_v2(b, x0):
+            res = cg_solve(
+                lambda v: stencil_matvec_halo_pallas_v2(op_local, v, axis),
+                pad_plane3(op_local, b),
+                pad_plane3(op_local, x0),
+                max_iter=max_iter,
+                tolerance=tolerance,
+                dot=pdot,
+                matvec_donor=lambda v, dead: stencil_matvec_halo_pallas_v2(
+                    op_local, v, axis, dead
+                ),
+            )
+            return CGResult(
+                x=unpad_plane3(op_local, res.x),
+                niters=res.niters,
+                normr=res.normr,
+                rtrans=res.rtrans,
+                trace=res.trace,
+            )
+
+        return solve_pallas_v2
+
+    if backend in ("pallas_v1", "pallas_fused"):
         from hpccg_tpu.ops.pallas.stencil_kernel import (
             pad_plane,
             plane_masks,

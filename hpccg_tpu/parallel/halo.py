@@ -129,3 +129,31 @@ def stencil_matvec_halo_pallas(
         )
         halo = jnp.stack([below, above])
     return spmv_padded(op, u_pad, masks, halo, donor)
+
+
+def stencil_matvec_halo_pallas_v2(
+    op: StencilOperator,
+    u_pad: jax.Array,
+    axis_name: str = "z",
+    donor=None,
+) -> jax.Array:
+    """Distributed A @ x in the v2 (nzp, ny_pad, nx_pad) layout.
+
+    Same ppermute pattern: our last real z-plane (u_pad[nz-1], a 2-D
+    (ny_pad, nx_pad) plane) goes up, our first plane goes down, and the
+    received planes feed the kernel's external-halo input."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import spmv_padded_v2
+
+    n = jax.lax.axis_size(axis_name)
+    nz = op.nz
+    if n == 1:
+        halo = None
+    else:
+        below = jax.lax.ppermute(
+            u_pad[nz - 1], axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        above = jax.lax.ppermute(
+            u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+        halo = jnp.stack([below, above])
+    return spmv_padded_v2(op, u_pad, halo, donor)

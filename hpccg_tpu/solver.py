@@ -209,6 +209,34 @@ def make_cg(
         return jax.jit(solve_fused)
 
     if backend == "pallas" and isinstance(A, StencilOperator):
+        # v2 layout: z on the grid dim, y on sublanes, x on lanes — all
+        # neighbor shifts are lane-roll-by-1 or sublane slices (stencil_v2.py)
+        from hpccg_tpu.ops.pallas.stencil_v2 import (
+            pad_plane3,
+            spmv_padded_v2,
+            unpad_plane3,
+        )
+
+        def solve_pallas(b, x0):
+            res = cg_solve(
+                lambda v: spmv_padded_v2(A, v),
+                pad_plane3(A, b),
+                pad_plane3(A, x0),
+                max_iter=max_iter,
+                tolerance=tolerance,
+                matvec_donor=lambda v, dead: spmv_padded_v2(A, v, None, dead),
+            )
+            return CGResult(
+                x=unpad_plane3(A, res.x),
+                niters=res.niters,
+                normr=res.normr,
+                rtrans=res.rtrans,
+                trace=res.trace,
+            )
+
+        return jax.jit(solve_pallas)
+
+    if backend == "pallas_v1" and isinstance(A, StencilOperator):
         from hpccg_tpu.ops.pallas.stencil_kernel import (
             pad_plane,
             plane_masks,
@@ -216,7 +244,7 @@ def make_cg(
             unpad_plane,
         )
 
-        def solve_pallas(b, x0):
+        def solve_pallas_v1(b, x0):
             masks = jnp.asarray(plane_masks(A, b.dtype))
             res = cg_solve(
                 lambda v: spmv_padded(A, v, masks),
@@ -234,7 +262,7 @@ def make_cg(
                 trace=res.trace,
             )
 
-        return jax.jit(solve_pallas)
+        return jax.jit(solve_pallas_v1)
 
     def solve(b, x0):
         return cg_solve(

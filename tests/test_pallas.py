@@ -57,15 +57,73 @@ def test_pallas_padding_stays_zero():
     )
 
 
-def test_pallas_cg_backend_matches_stencil():
+@pytest.mark.parametrize("backend", ["pallas", "pallas_v1"])
+def test_pallas_cg_backend_matches_stencil(backend):
     cfg = ProblemConfig(12, 10, 9, dtype=jnp.float64)
     prob = generate_problem(cfg)
-    rp = make_cg(prob.A, max_iter=30, backend="pallas")(prob.b, prob.x0)
+    rp = make_cg(prob.A, max_iter=30, backend=backend)(prob.b, prob.x0)
     rs = make_cg(prob.A, max_iter=30, backend="stencil")(prob.b, prob.x0)
     assert float(compute_residual(rp.x, prob.xexact)) < 1e-10
     tp, ts = np.asarray(rp.trace), np.asarray(rs.trace)
     good = ts > 1e-11 * ts[0]
     np.testing.assert_allclose(tp[good], ts[good], rtol=1e-7)
+
+
+@pytest.mark.parametrize("dims,stencil", CASES)
+@pytest.mark.parametrize("tz", [None, 2])
+def test_pallas_v2_spmv_matches_xla(dims, stencil, tz):
+    from hpccg_tpu.ops.pallas.stencil_v2 import spmv_stencil_pallas_v2
+
+    nx, ny, nz = dims
+    cfg = ProblemConfig(nx, ny, nz, stencil=stencil, dtype=jnp.float32)
+    prob = generate_problem(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(cfg.local_nrow), jnp.float32)
+    got = np.asarray(spmv_stencil_pallas_v2(prob.A, x, tz=tz))
+    want = np.asarray(prob.A.matvec(x))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+def test_pallas_v2_padding_stays_zero():
+    from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3, spmv_padded_v2, unpad_plane3
+
+    cfg = ProblemConfig(5, 3, 9, dtype=jnp.float32)
+    prob = generate_problem(cfg)
+    op = prob.A
+    u = pad_plane3(op, prob.b, 2)
+    y = spmv_padded_v2(op, u, None, None, False, 2)
+    assert float(jnp.abs(y[:, :, op.nx :]).max()) == 0.0
+    assert float(jnp.abs(y[:, op.ny :, :]).max()) == 0.0
+    assert float(jnp.abs(y[op.nz :]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(unpad_plane3(op, y)), np.asarray(op.matvec(prob.b)), rtol=2e-6
+    )
+
+
+def test_pallas_v2_external_halo():
+    """v2 halo input reproduces an interior shard of a larger domain."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import (
+        pad_plane3,
+        padded_dims,
+        spmv_padded_v2,
+        unpad_plane3,
+    )
+
+    cfg = ProblemConfig(6, 5, 4, dtype=jnp.float32)
+    gprob = generate_problem(ProblemConfig(6, 5, 12, dtype=jnp.float32))
+    rng = np.random.default_rng(1)
+    xg = jnp.asarray(rng.standard_normal(6 * 5 * 12), jnp.float32)
+    want = np.asarray(gprob.A.matvec(xg)).reshape(12, -1)[4:8]
+
+    op = generate_problem(cfg).A
+    xs = xg.reshape(12, -1)[4:8].reshape(-1)
+    u = pad_plane3(op, xs, 2)
+    _, nyp, nxp = padded_dims(op, jnp.float32, 2)
+    halo = jnp.zeros((2, nyp, nxp), jnp.float32)
+    halo = halo.at[0, :5, :6].set(xg.reshape(12, 5, 6)[3])
+    halo = halo.at[1, :5, :6].set(xg.reshape(12, 5, 6)[8])
+    y = unpad_plane3(op, spmv_padded_v2(op, u, halo, None, False, 2)).reshape(4, -1)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=2e-6, atol=2e-5)
 
 
 def test_pallas_external_halo():
