@@ -57,7 +57,12 @@ def main():
     ap.add_argument("--max-iter", type=int, default=150)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--backend", default="pallas", help="pallas (native kernel, default) | stencil | ell")
+    ap.add_argument(
+        "--backend",
+        default="auto",
+        help="auto (megakernel if it fits VMEM, else pallas) | megakernel | "
+        "pallas | pallas_v1 | stencil | ell",
+    )
     args = ap.parse_args()
 
     from hpccg_tpu import ProblemConfig, generate_problem
@@ -66,6 +71,11 @@ def main():
     dtype = jnp.dtype(args.dtype)
     cfg = ProblemConfig(args.nx, args.ny, args.nz, stencil=args.stencil, dtype=dtype)
     prob = generate_problem(cfg)
+
+    if args.backend == "auto":
+        from hpccg_tpu.ops.pallas.megakernel import fits_vmem
+
+        args.backend = "megakernel" if fits_vmem(prob.A, dtype) else "pallas"
 
     def fence(r):
         # scalar host readback: block_until_ready alone can return before the
@@ -87,10 +97,12 @@ def main():
 
     # Slope timing: per-dispatch latency (tens of ms through the remote
     # tunnel, unrepresentative of sustained/pipelined serving throughput)
-    # cancels between the two run lengths.
-    k1, k2 = 64, max(args.max_iter - 1, 512)
+    # cancels between the two run lengths. The spread must be large enough
+    # that the marginal work rises well above the few-ms dispatch jitter.
+    k1, k2 = 64, max(args.max_iter - 1, 4096)
     t1, _ = timed(k1 + 1)
     t2, res_long = timed(k2 + 1)
+    assert int(res_long.niters) == k2, (int(res_long.niters), k2)
     per_iter = max(t2 - t1, 1e-12) / (k2 - k1)
 
     # the headline run itself (end-to-end, dispatch included)
@@ -118,6 +130,7 @@ def main():
                 "vs_baseline": round(vs_baseline, 3),
                 "extras": {
                     "device": getattr(dev, "device_kind", str(dev)),
+                    "backend": args.backend,
                     "problem": f"{args.nx}x{args.ny}x{args.nz} {args.stencil}-pt {args.dtype}",
                     "niters": niters,
                     "cg_iter_us": round(per_iter * 1e6, 2),
@@ -125,7 +138,7 @@ def main():
                     "solve_e2e_s": round(t, 6),
                     "mflops_model": round(flops_per_iter / per_iter / 1e6, 1),
                     "final_normr": float(res.normr),
-                    "timing": "slope between 65- and 513-iteration solves; per-dispatch tunnel latency excluded",
+                    "timing": f"slope between {k1+1}- and {k2+1}-iteration solves; per-dispatch tunnel latency excluded",
                     "vs_baseline_def": "ours / (HBM_BW/12B-per-nnz), the reference CSR format's per-chip speed-of-light",
                 },
             }

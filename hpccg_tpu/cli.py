@@ -41,7 +41,15 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--backend",
         default="auto",
-        choices=["auto", "stencil", "ell", "pallas", "pallas_v1", "pallas_fused"],
+        choices=[
+            "auto",
+            "stencil",
+            "ell",
+            "pallas",
+            "pallas_v1",
+            "pallas_fused",
+            "megakernel",
+        ],
     )
     ap.add_argument("--report-file", action="store_true", help="also write the timestamped .yaml")
     ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")

@@ -236,6 +236,15 @@ def make_cg(
 
         return jax.jit(solve_pallas)
 
+    if backend == "megakernel" and isinstance(A, StencilOperator):
+        from hpccg_tpu.ops.pallas.megakernel import cg_solve_mega
+
+        return jax.jit(
+            lambda b, x0: cg_solve_mega(
+                A, b, x0, max_iter=max_iter, tolerance=tolerance
+            )
+        )
+
     if backend == "pallas_v1" and isinstance(A, StencilOperator):
         from hpccg_tpu.ops.pallas.stencil_kernel import (
             pad_plane,

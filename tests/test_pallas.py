@@ -186,6 +186,41 @@ def test_distributed_fused_cg(ndev):
     np.testing.assert_allclose(tf[good], ts[good], rtol=1e-7)
 
 
+def test_megakernel_matches_stencil():
+    cfg = ProblemConfig(12, 10, 9, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    rm = make_cg(prob.A, max_iter=30, backend="megakernel")(prob.b, prob.x0)
+    rs = make_cg(prob.A, max_iter=30, backend="stencil")(prob.b, prob.x0)
+    assert int(rm.niters) == int(rs.niters)
+    assert float(compute_residual(rm.x, prob.xexact)) < 1e-10
+    tm, ts = np.asarray(rm.trace), np.asarray(rs.trace)
+    good = ts > 1e-11 * ts[0]
+    np.testing.assert_allclose(tm[good], ts[good], rtol=1e-7)
+
+
+@pytest.mark.parametrize("stencil", [Stencil.S27, Stencil.S7])
+def test_megakernel_golden_run(stencil):
+    """10^3 fixed-work run: trajectory must match the flat-path solver and,
+    for the 27-pt case, the reference golden run out.txt:1-21."""
+    cfg = ProblemConfig(10, 10, 10, stencil=stencil, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    rm = make_cg(prob.A, max_iter=150, backend="megakernel")(prob.b, prob.x0)
+    tm = np.asarray(rm.trace)
+    if stencil == Stencil.S27:
+        assert abs(tm[0] - 258.24) < 5e-3
+        np.testing.assert_allclose(tm[15], 2.15402e-06, rtol=1e-5)
+
+
+def test_megakernel_early_exit_tolerance():
+    cfg = ProblemConfig(8, 8, 8, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    res = make_cg(prob.A, max_iter=500, tolerance=1e-10, backend="megakernel")(
+        prob.b, prob.x0
+    )
+    assert int(res.niters) < 499
+    assert float(res.normr) <= 1e-10
+
+
 def test_fused_cg_early_exit_tolerance():
     cfg = ProblemConfig(8, 8, 8, dtype=jnp.float64)
     prob = generate_problem(cfg)
