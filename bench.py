@@ -73,9 +73,9 @@ def main():
     prob = generate_problem(cfg)
 
     if args.backend == "auto":
-        from hpccg_tpu.ops.pallas.megakernel import fits_vmem
+        from hpccg_tpu.solver import resolve_backend
 
-        args.backend = "megakernel" if fits_vmem(prob.A, dtype) else "pallas"
+        args.backend = resolve_backend(prob.A, "auto")
 
     def fence(r):
         # scalar host readback: block_until_ready alone can return before the

@@ -97,8 +97,7 @@ def _sum3_y(u: jax.Array, ny: int) -> jax.Array:
     return _shift_y(u, 1) + u + _shift_y(u, -1)
 
 
-def _kernel(halo_ref, donor_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stencil):
-    del donor_ref  # dead buffer aliased to out (see spmv_padded_v2)
+def _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stencil):
     i = pl.program_id(0)
     nzb = pl.num_programs(0)
     dtype = mid_ref.dtype
@@ -134,12 +133,11 @@ def _kernel(halo_ref, donor_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny
     out_ref[:] = y * valid
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def spmv_padded_v2(
     op: StencilOperator,
     u: jax.Array,
     halo=None,
-    donor=None,
     interpret: bool = False,
     tz: int | None = None,
 ) -> jax.Array:
@@ -149,8 +147,10 @@ def spmv_padded_v2(
     [below, above] for distributed z-shards (what exchange_externals.cpp:84
     would have put at the tail of x). None -> zeros (true domain boundary).
 
-    ``donor``: optional dead (nzp, ny_pad, nx_pad) buffer the output steals
-    (input_output_aliases) — avoids a fresh HBM allocation per call.
+    No donor/aliasing: measured on v5e, ANY extra aliased (or even dead
+    ANY-space) operand halves the pipeline's streaming rate — a plain
+    fresh-output call runs at the chip's ~330 GB/s ceiling, and XLA reuses
+    the dead Ap buffer at its own allocation level anyway.
     """
     nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
     dtype = u.dtype
@@ -159,8 +159,6 @@ def spmv_padded_v2(
     nzb = nzp // tz
     if halo is None:
         halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
-    if donor is None:
-        donor = jnp.zeros((nzp, ny_pad, nx_pad), dtype)
     interpret = interpret or jax.default_backend() != "tpu"
 
     return pl.pallas_call(
@@ -168,8 +166,6 @@ def spmv_padded_v2(
         grid=(nzb,),
         in_specs=[
             pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            # dead donor: ANY space -> no block DMA, only the alias matters
-            pl.BlockSpec(memory_space=pl.ANY),
             # single-plane z-neighbor blocks, clamped in range at the edges
             pl.BlockSpec(
                 (1, ny_pad, nx_pad),
@@ -185,15 +181,17 @@ def spmv_padded_v2(
         ],
         out_specs=pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype),
-        input_output_aliases={1: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * op.stencil.value * op.local_nrow,
             bytes_accessed=2 * nzp * ny_pad * nx_pad * dtype.itemsize,
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
-    )(halo, donor, u, u, u)
+    )(halo, u, u, u)
 
 
 def spmv_stencil_pallas_v2(
@@ -201,4 +199,4 @@ def spmv_stencil_pallas_v2(
 ) -> jax.Array:
     """y = A @ x for a flat (n,) vector (pads/unpads around the kernel)."""
     u = pad_plane3(op, x, tz)
-    return unpad_plane3(op, spmv_padded_v2(op, u, None, None, interpret, tz))
+    return unpad_plane3(op, spmv_padded_v2(op, u, None, interpret, tz))

@@ -137,9 +137,6 @@ def make_distributed_cg(
                 max_iter=max_iter,
                 tolerance=tolerance,
                 dot=pdot,
-                matvec_donor=lambda v, dead: stencil_matvec_halo_pallas_v2(
-                    op_local, v, axis, dead
-                ),
             )
             return CGResult(
                 x=unpad_plane3(op_local, res.x),

@@ -135,7 +135,6 @@ def stencil_matvec_halo_pallas_v2(
     op: StencilOperator,
     u_pad: jax.Array,
     axis_name: str = "z",
-    donor=None,
 ) -> jax.Array:
     """Distributed A @ x in the v2 (nzp, ny_pad, nx_pad) layout.
 
@@ -156,4 +155,4 @@ def stencil_matvec_halo_pallas_v2(
             u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
         )
         halo = jnp.stack([below, above])
-    return spmv_padded_v2(op, u_pad, halo, donor)
+    return spmv_padded_v2(op, u_pad, halo)

@@ -164,6 +164,33 @@ def cg_solve_fused(
     return CGResult(x=x, niters=k - 1, normr=normr, rtrans=rt_cur, trace=trace)
 
 
+def resolve_backend(A, backend: str = "auto") -> str:
+    """Map backend="auto" to the fastest measured backend for this problem.
+
+    Measured on v5e (f32, PERF.md): the whole-solve megakernel wins while the
+    5 solve vectors fit VMEM (~<=128^3); the XLA stencil path wins the
+    mid-range where XLA still keeps most state VMEM-resident (200^3: 790 vs
+    1003 us/iter); the streaming Pallas kernel wins once truly HBM-resident
+    (256^3: 1390 vs 2311 us/iter). On CPU (tests/parity) and for f64 (no
+    Mosaic f64) auto stays on the XLA stencil path.
+    """
+    from hpccg_tpu.operators import StencilOperator
+
+    if backend != "auto":
+        return backend
+    if not isinstance(A, StencilOperator):
+        return "auto"  # spmv() dispatches EllMatrix natively
+    if jax.default_backend() != "tpu" or jnp.dtype(A.dtype).itemsize != 4:
+        return "stencil"
+    from hpccg_tpu.ops.pallas.megakernel import fits_vmem
+
+    if fits_vmem(A, A.dtype):
+        return "megakernel"
+    if A.local_nrow * jnp.dtype(A.dtype).itemsize <= (40 << 20):
+        return "stencil"
+    return "pallas"
+
+
 def make_cg(
     A,
     *,
@@ -173,13 +200,17 @@ def make_cg(
 ) -> Callable[[jax.Array, jax.Array], CGResult]:
     """Build a jitted single-device solver fn(b, x0) for operator A.
 
-    backend="pallas" (stencil operators only) runs the whole CG loop in the
-    TPU-native padded-plane layout with the one-pass Pallas SpMV kernel;
-    padding stays exactly zero through axpy/dot so the iteration scalars are
-    identical to the flat path.
+    backend="auto" picks the fastest backend for the problem size (see
+    resolve_backend). backend="pallas" (stencil operators only) runs the
+    whole CG loop in the TPU-native padded-plane layout with the one-pass
+    Pallas SpMV kernel; padding stays exactly zero through axpy/dot so the
+    iteration scalars are identical to the flat path. backend="megakernel"
+    runs the ENTIRE solve inside one Pallas call (VMEM-resident state).
     """
     from hpccg_tpu.operators import StencilOperator
     from hpccg_tpu.ops.spmv import spmv
+
+    backend = resolve_backend(A, backend)
 
     if backend == "pallas_fused" and isinstance(A, StencilOperator):
         from hpccg_tpu.ops.pallas.stencil_kernel import (
@@ -224,7 +255,6 @@ def make_cg(
                 pad_plane3(A, x0),
                 max_iter=max_iter,
                 tolerance=tolerance,
-                matvec_donor=lambda v, dead: spmv_padded_v2(A, v, None, dead),
             )
             return CGResult(
                 x=unpad_plane3(A, res.x),

@@ -91,7 +91,7 @@ def test_pallas_v2_padding_stays_zero():
     prob = generate_problem(cfg)
     op = prob.A
     u = pad_plane3(op, prob.b, 2)
-    y = spmv_padded_v2(op, u, None, None, False, 2)
+    y = spmv_padded_v2(op, u, None, False, 2)
     assert float(jnp.abs(y[:, :, op.nx :]).max()) == 0.0
     assert float(jnp.abs(y[:, op.ny :, :]).max()) == 0.0
     assert float(jnp.abs(y[op.nz :]).max()) == 0.0
@@ -122,7 +122,7 @@ def test_pallas_v2_external_halo():
     halo = jnp.zeros((2, nyp, nxp), jnp.float32)
     halo = halo.at[0, :5, :6].set(xg.reshape(12, 5, 6)[3])
     halo = halo.at[1, :5, :6].set(xg.reshape(12, 5, 6)[8])
-    y = unpad_plane3(op, spmv_padded_v2(op, u, halo, None, False, 2)).reshape(4, -1)
+    y = unpad_plane3(op, spmv_padded_v2(op, u, halo, False, 2)).reshape(4, -1)
     np.testing.assert_allclose(np.asarray(y), want, rtol=2e-6, atol=2e-5)
 
 
