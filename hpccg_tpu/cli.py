@@ -56,6 +56,18 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--quiet", action="store_true", help="suppress residual lines")
     ap.add_argument("--dump-matlab", metavar="PREFIX", help="dump COO triplets (ref dump_matlab_matrix.cpp)")
     ap.add_argument("--skip-kernel-bench", action="store_true", help="skip per-kernel micro-benchmarks")
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="report max|x - xexact| after the solve (ref compute_residual, "
+        "main.cpp:310-316 — commented out in the reference)",
+    )
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax.profiler device trace of the solve into DIR "
+        "(the TPU-native analog of the TICK/TOCK kernel timers)",
+    )
     return ap
 
 
@@ -138,6 +150,12 @@ def main(argv=None) -> int:
     # --- solve (compile excluded from the timed run, like the reference's
     # post-setup chrono window, main.cpp:189-197) ---
     fence(solve(prob.b, prob.x0))
+    if args.profile:
+        import jax.profiler
+
+        with jax.profiler.trace(args.profile):
+            fence(solve(prob.b, prob.x0))
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
     t0 = time.perf_counter()
     res = solve(prob.b, prob.x0)
     fence(res)
@@ -146,6 +164,13 @@ def main(argv=None) -> int:
     niters = int(res.niters)
     normr = float(res.normr)
     trace = np.asarray(res.trace)
+
+    check_residual = None
+    if args.check:
+        from hpccg_tpu.ops.vector import compute_residual
+
+        check_residual = float(compute_residual(res.x, prob.xexact))
+        print(f"Difference between computed and exact = {check_residual:.6g}")
 
     if not args.quiet:
         # ref HPCCG.cpp:342-344,356,372-373
@@ -242,6 +267,8 @@ def main(argv=None) -> int:
 
     doc.add("Number of iterations", niters)
     doc.add("Final residual", normr)
+    if check_residual is not None:
+        doc.add("Difference between computed and exact", check_residual)
     doc.add("#********** Performance Summary (times in sec) ***********", "")
 
     ts = doc.add("Time Summary")

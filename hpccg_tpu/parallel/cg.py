@@ -110,6 +110,15 @@ def make_distributed_cg(
     op_local = local_operator(cfg_local)
     pdot = lambda u, v: ddot(u, v, axis_name=axis)  # noqa: E731
 
+    if (
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(cfg_local.dtype).itemsize == 4
+    ):
+        # per-shard native kernel + ppermuted halo planes; XLA keeps each
+        # shard's CG state VMEM-resident around it (cf. resolve_backend)
+        backend = "pallas"
+
     if backend == "pallas":
         from hpccg_tpu.ops.pallas.stencil_v2 import (
             pad_plane3,

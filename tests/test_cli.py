@@ -52,6 +52,29 @@ def test_file_mode(tmp_path):
     assert "Number of iterations: 29" in out
 
 
+def test_check_flag():
+    rc, out = run_cli(
+        ["8", "8", "8", "--max-iter", "60", "--check", "--quiet",
+         "--skip-kernel-bench"]
+    )
+    assert rc == 0
+    line = [l for l in out.splitlines() if "computed and exact" in l][0]
+    assert float(line.split("=")[-1]) < 1e-8  # converged to xexact = ones
+    assert "Difference between computed and exact:" in out  # report key
+
+
+def test_profile_flag(tmp_path):
+    prof = str(tmp_path / "trace")
+    rc, _ = run_cli(
+        ["4", "4", "4", "--max-iter", "10", "--profile", prof, "--quiet",
+         "--skip-kernel-bench"]
+    )
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(prof) and os.listdir(prof)  # trace files written
+
+
 def test_bad_args():
     rc, _ = run_cli(["4", "4"])
     assert rc == 2
