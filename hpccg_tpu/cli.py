@@ -51,6 +51,13 @@ def build_argparser() -> argparse.ArgumentParser:
             "megakernel",
         ],
     )
+    ap.add_argument(
+        "--method",
+        default="cg",
+        choices=["cg", "cg1"],
+        help="cg: the reference recurrence (2 reductions/iter); cg1: "
+        "Chronopoulos-Gear single-reduction CG (1 fused psum/iter)",
+    )
     ap.add_argument("--report-file", action="store_true", help="also write the timestamped .yaml")
     ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")
     ap.add_argument("--quiet", action="store_true", help="suppress residual lines")
@@ -128,6 +135,7 @@ def main(argv=None) -> int:
                 backend=args.backend
                 if args.backend.startswith("pallas")
                 else "auto",
+                method=args.method,
             )
         else:
             prob = generate_problem(cfg)
@@ -139,6 +147,7 @@ def main(argv=None) -> int:
             max_iter=args.max_iter,
             tolerance=args.tolerance,
             backend=args.backend,
+            method=args.method,
         )
 
     if args.dump_matlab:

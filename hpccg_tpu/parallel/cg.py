@@ -99,6 +99,7 @@ def make_distributed_cg(
     tolerance: float = 0.0,
     axis: str = Z_AXIS,
     backend: str = "auto",
+    method: str = "cg",
 ):
     """Jitted distributed solve(b, x0) -> CGResult for the stencil operator.
 
@@ -118,6 +119,69 @@ def make_distributed_cg(
         # per-shard native kernel + ppermuted halo planes; XLA keeps each
         # shard's CG state VMEM-resident around it (cf. resolve_backend)
         backend = "pallas"
+
+    if method == "cg1":
+        # single-reduction CG: the iteration's two allreduces collapse into
+        # one psum of a stacked 2-vector (Chronopoulos-Gear; PAPERS.md)
+        from hpccg_tpu.solver import cg_solve_single_reduction
+
+        def pdot2(p1, p2):
+            tot = jax.lax.psum(
+                jnp.stack([jnp.vdot(*p1), jnp.vdot(*p2)]), axis
+            )
+            return tot[0], tot[1]
+
+        if backend == "pallas":
+            from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3, unpad_plane3
+            from hpccg_tpu.parallel.halo import stencil_matvec_halo_pallas_v2
+
+            @jax.jit
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=_result_specs(P(axis)),
+                check_vma=False,
+            )
+            def solve_cg1_pallas(b, x0):
+                res = cg_solve_single_reduction(
+                    lambda v: stencil_matvec_halo_pallas_v2(op_local, v, axis),
+                    pad_plane3(op_local, b),
+                    pad_plane3(op_local, x0),
+                    max_iter=max_iter,
+                    tolerance=tolerance,
+                    dot2=pdot2,
+                )
+                return CGResult(
+                    x=unpad_plane3(op_local, res.x),
+                    niters=res.niters,
+                    normr=res.normr,
+                    rtrans=res.rtrans,
+                    trace=res.trace,
+                )
+
+            return solve_cg1_pallas
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+        )
+        def solve_cg1(b, x0):
+            return cg_solve_single_reduction(
+                lambda v: stencil_matvec_halo(op_local, v, axis),
+                b,
+                x0,
+                max_iter=max_iter,
+                tolerance=tolerance,
+                dot2=pdot2,
+            )
+
+        return solve_cg1
+    if method != "cg":
+        raise ValueError(f"unknown CG method {method!r}")
 
     if backend == "pallas":
         from hpccg_tpu.ops.pallas.stencil_v2 import (

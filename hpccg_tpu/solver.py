@@ -108,6 +108,69 @@ def cg_solve(
     return CGResult(x=x, niters=k - 1, normr=normr, rtrans=rtrans, trace=trace)
 
 
+def cg_solve_single_reduction(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    dot2: Optional[Callable] = None,
+) -> CGResult:
+    """Chronopoulos–Gear single-reduction CG: ONE fused 2-scalar reduction
+    per iteration instead of two (communication-reduced CG; cf. the retrieved
+    papers PAPERS.md — arXiv 2501.03743, 2105.06176).
+
+    Maintains s = A p by the recurrence s' = u + beta*s (u = A r), so alpha
+    and beta both derive from one (r.r, r.u) pair: the two MPI_Allreduces of
+    the reference iteration (ddot.cpp:79 at HPCCG.cpp:367,381) become one
+    psum of a stacked 2-vector. Costs one extra axpy + one extra carried
+    vector — the right trade when allreduce latency dominates (small shards
+    on a large mesh). Mathematically equivalent to cg_solve in exact
+    arithmetic; the residual trajectory agrees to rounding.
+
+    ``dot2((a1,b1),(a2,b2))`` returns (a1.b1, a2.b2) reduced in one round;
+    defaults to the local fused pair.
+    """
+    if dot2 is None:
+        def dot2(p1, p2):
+            return jnp.vdot(*p1), jnp.vdot(*p2)
+
+    dtype = b.dtype
+    tol = jnp.asarray(tolerance, dtype)
+
+    r = b - matvec(x0)
+    u = matvec(r)
+    gamma, delta = dot2((r, r), (r, u))
+    normr0 = jnp.sqrt(gamma)
+    trace0 = jnp.full((max(max_iter, 1),), jnp.nan, dtype).at[0].set(normr0)
+    alpha0 = gamma / delta
+
+    def cond(c):
+        k, x, r, p, s, gamma, alpha, trace = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma) > tol)
+
+    def body(c):
+        k, x, r, p, s, gamma, alpha, trace = c
+        trace = trace.at[k].set(jnp.sqrt(gamma))
+        x = x + alpha * p
+        r = r - alpha * s
+        u = matvec(r)
+        gamma_new, delta = dot2((r, r), (r, u))
+        beta = gamma_new / gamma
+        alpha = gamma_new / (delta - beta * gamma_new / alpha)
+        p = r + beta * p
+        s = u + beta * s
+        return (k + 1, x, r, p, s, gamma_new, alpha, trace)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    carry = (k0, x0, r, r, u, gamma, alpha0, trace0)
+    k, x, r, p, s, gamma, alpha, trace = jax.lax.while_loop(cond, body, carry)
+    return CGResult(
+        x=x, niters=k - 1, normr=jnp.sqrt(gamma), rtrans=gamma, trace=trace
+    )
+
+
 def cg_solve_fused(
     op,
     b_pad: jax.Array,
@@ -197,6 +260,7 @@ def make_cg(
     max_iter: int,
     tolerance: float = 0.0,
     backend: str = "auto",
+    method: str = "cg",
 ) -> Callable[[jax.Array, jax.Array], CGResult]:
     """Build a jitted single-device solver fn(b, x0) for operator A.
 
@@ -211,6 +275,45 @@ def make_cg(
     from hpccg_tpu.ops.spmv import spmv
 
     backend = resolve_backend(A, backend)
+
+    if method == "cg1":
+        # single-reduction CG rides the pallas-v2 layout or the XLA path
+        if backend in ("pallas", "megakernel") and isinstance(A, StencilOperator):
+            from hpccg_tpu.ops.pallas.stencil_v2 import (
+                pad_plane3,
+                spmv_padded_v2,
+                unpad_plane3,
+            )
+
+            def solve_cg1_pallas(b, x0):
+                res = cg_solve_single_reduction(
+                    lambda v: spmv_padded_v2(A, v),
+                    pad_plane3(A, b),
+                    pad_plane3(A, x0),
+                    max_iter=max_iter,
+                    tolerance=tolerance,
+                )
+                return CGResult(
+                    x=unpad_plane3(A, res.x),
+                    niters=res.niters,
+                    normr=res.normr,
+                    rtrans=res.rtrans,
+                    trace=res.trace,
+                )
+
+            return jax.jit(solve_cg1_pallas)
+
+        return jax.jit(
+            lambda b, x0: cg_solve_single_reduction(
+                lambda v: spmv(A, v, backend=backend if backend in ("auto", "stencil", "ell") else "auto"),
+                b,
+                x0,
+                max_iter=max_iter,
+                tolerance=tolerance,
+            )
+        )
+    if method != "cg":
+        raise ValueError(f"unknown CG method {method!r}")
 
     if backend == "pallas_fused" and isinstance(A, StencilOperator):
         from hpccg_tpu.ops.pallas.stencil_kernel import (

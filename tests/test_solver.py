@@ -93,3 +93,27 @@ def test_f32_mode_converges():
     prob = generate_problem(cfg)
     res = make_cg(prob.A, max_iter=60)(prob.b, prob.x0)
     assert float(compute_residual(res.x, prob.xexact)) < 1e-4
+
+
+def test_single_reduction_cg_matches_standard():
+    """Chronopoulos-Gear CG: same trajectory as the reference recurrence to
+    rounding (mathematically equivalent; one fused reduction per iteration)."""
+    cfg = ProblemConfig(12, 10, 9)
+    prob = generate_problem(cfg)
+    r1 = make_cg(prob.A, max_iter=40, method="cg1")(prob.b, prob.x0)
+    r0 = make_cg(prob.A, max_iter=40)(prob.b, prob.x0)
+    assert int(r1.niters) == int(r0.niters)
+    t1, t0 = np.asarray(r1.trace), np.asarray(r0.trace)
+    good = t0 > 1e-10 * t0[0]
+    np.testing.assert_allclose(t1[good], t0[good], rtol=1e-6)
+    assert float(compute_residual(r1.x, prob.xexact)) < 1e-10
+
+
+def test_single_reduction_cg_early_exit():
+    cfg = ProblemConfig(8, 8, 8)
+    prob = generate_problem(cfg)
+    res = make_cg(prob.A, max_iter=500, tolerance=1e-10, method="cg1")(
+        prob.b, prob.x0
+    )
+    assert int(res.niters) < 499
+    assert float(res.normr) <= 1e-10
