@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hpccg_tpu.models.stencil import Problem
-from hpccg_tpu.operators import EllMatrix, StencilOperator
+from hpccg_tpu.operators import DiaMatrix, EllMatrix, StencilOperator
 
 
 def _tokenize(path: str) -> np.ndarray:
@@ -40,11 +40,18 @@ def _tokenize(path: str) -> np.ndarray:
         return np.fromstring(f.read(), dtype=np.float64, sep=" ")  # noqa: NPY201
 
 
-def read_hpc_row(path: str, *, dtype=jnp.float64) -> Tuple[Problem, jax.Array]:
-    """Load an HPC-row file into a padded-ELL Problem.
+def read_hpc_row(
+    path: str, *, dtype=jnp.float64, to_dia: bool = True
+) -> Tuple[Problem, jax.Array]:
+    """Load an HPC-row file into an explicit-matrix Problem.
 
     Returns (problem, x_file): the file carries an initial guess x alongside
     b/xexact (read_HPC_row.cpp:331-347); problem.x0 is that initial guess.
+
+    With ``to_dia`` (default) a banded matrix (<= 128 distinct diagonals —
+    every stencil-generated file qualifies) is converted to DIA storage,
+    whose matvec is gather-free (TPU-native); unstructured matrices stay in
+    padded ELL.
     """
     toks = _tokenize(path)
     if toks.size < 2:
@@ -90,6 +97,10 @@ def read_hpc_row(path: str, *, dtype=jnp.float64) -> Tuple[Problem, jax.Array]:
         start_row=0,
         total_nrow=nrow,
     )
+    if to_dia:
+        dia = A.to_dia()
+        if dia is not None:
+            A = dia
     prob = Problem(
         A=A,
         b=jnp.asarray(b, dtype),
@@ -111,16 +122,17 @@ def write_hpc_row(path: str, prob: Problem, x: Optional[np.ndarray] = None) -> N
     x = np.zeros(nrow) if x is None else np.asarray(x)
     b = np.asarray(prob.b)
     xexact = np.asarray(prob.xexact)
-    try:
-        from hpccg_tpu import native
+    if isinstance(A, EllMatrix):
+        try:
+            from hpccg_tpu import native
 
-        if native.write_hpc_row_native(
-            path, np.asarray(A.vals), np.asarray(A.cols), np.asarray(A.valid),
-            x, b, xexact,
-        ):
-            return
-    except ImportError:
-        pass
+            if native.write_hpc_row_native(
+                path, np.asarray(A.vals), np.asarray(A.cols),
+                np.asarray(A.valid), x, b, xexact,
+            ):
+                return
+        except ImportError:
+            pass
     rows, cols, vals = A.to_coo()
     counts = np.asarray(A.nnz_per_row())
     with open(path, "w") as f:
@@ -172,6 +184,10 @@ def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None
     if isinstance(A, StencilOperator):
         arrs["stencil_meta"] = np.asarray([A.nx, A.ny, A.nz, A.stencil.value])
         arrs["stencil_dtype"] = np.asarray(A.dtype_name)
+    elif isinstance(A, DiaMatrix):
+        arrs["dia_data"] = np.asarray(A.data)
+        arrs["dia_offsets"] = np.asarray(A.offsets, np.int64)
+        arrs["dia_meta"] = np.asarray([A.total_nrow or -1])
     else:
         arrs["vals"] = np.asarray(A.vals)
         arrs["cols"] = np.asarray(A.cols)
@@ -193,6 +209,13 @@ def load_problem(path: str) -> Tuple[Problem, dict]:
         nx, ny, nz, sv = (int(v) for v in z["stencil_meta"])
         A = StencilOperator(
             nx=nx, ny=ny, nz=nz, stencil=Stencil(sv), dtype_name=str(z["stencil_dtype"])
+        )
+    elif "dia_data" in z:
+        total = int(z["dia_meta"][0])
+        A = DiaMatrix(
+            data=jnp.asarray(z["dia_data"]),
+            offsets=tuple(int(o) for o in z["dia_offsets"]),
+            total_nrow=None if total < 0 else total,
         )
     else:
         start_row, total = (int(v) for v in z["ell_meta"])

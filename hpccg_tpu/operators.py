@@ -268,3 +268,142 @@ class EllMatrix:
         cols = np.asarray(self.cols)[valid]
         vals = np.asarray(self.vals)[valid]
         return rows + self.start_row, cols, vals
+
+    def to_dia(self, max_diags: int = 128) -> Optional["DiaMatrix"]:
+        """Convert to diagonal storage if the matrix has few distinct
+        diagonals (stencil-generated matrices have <= 27). Returns None when
+        more than ``max_diags`` distinct offsets exist (truly unstructured).
+
+        Requires the full square matrix in one partition (start_row == 0)."""
+        import numpy as np
+
+        if self.start_row != 0:
+            return None
+        n = self.local_nrow
+        rows, cols, vals = self.to_coo()
+        offs = cols.astype(np.int64) - rows.astype(np.int64)
+        uniq = np.unique(offs)
+        if uniq.size > max_diags:
+            return None
+        lookup = {int(o): i for i, o in enumerate(uniq)}
+        data = np.zeros((uniq.size, n), dtype=np.asarray(vals).dtype)
+        didx = np.vectorize(lookup.__getitem__, otypes=[np.int64])(offs)
+        # duplicate (row, col) entries accumulate, matching to_dense()
+        np.add.at(data, (didx, rows), vals)
+        return DiaMatrix(
+            data=jnp.asarray(data, self.dtype),
+            offsets=tuple(int(o) for o in uniq),
+            total_nrow=self.total_nrow or n,
+        )
+
+
+# ---------------------------------------------------------------------------
+# DiaMatrix — TPU-native general explicit path (no gather)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["offsets", "total_nrow"],
+)
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal (DIA) storage: y = sum_d data[d, :] * x[row + offsets[d]].
+
+    The TPU-first explicit format: TPUs have no fast hardware gather (the ELL
+    matvec's jnp.take is orders of magnitude off the roofline), but the
+    matrices in this domain are banded — a stencil matrix has <= 27 distinct
+    (col - row) offsets. With static offsets every diagonal's contribution is
+    a shifted elementwise multiply, so the whole SpMV is one fused vectorized
+    pass: ~8 B/nnz of traffic (value only) vs the reference CSR's >= 12 B/nnz
+    (value + index + gather), and zero data-dependent addressing.
+
+    ``offsets`` are static pytree metadata — each distinct sparsity pattern
+    compiles once, exactly like the reference rebuilding its comm-plan per
+    matrix (make_local_matrix.cpp).
+    """
+
+    data: jax.Array  # (ndiag, nrow): data[d, r] = A[r, r + offsets[d]]
+    offsets: tuple  # static ints, strictly increasing
+    total_nrow: Optional[int] = None
+
+    @property
+    def local_nrow(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def ndiag(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int((self.data != 0).sum())
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y = A @ x: one masked roll-multiply-add per diagonal, no gather.
+
+        Rolls + iota masks (instead of .at[].add slice updates, which
+        materialize a fresh y per diagonal) let XLA fuse the whole band into
+        a single pass: traffic = ndiag+2 vector reads."""
+        n = self.local_nrow
+        rows = jax.lax.iota(jnp.int32, n)
+        y = jnp.zeros((n,), jnp.result_type(self.dtype, x.dtype))
+        for d, off in enumerate(self.offsets):
+            contrib = self.data[d] * jnp.roll(x, -off)
+            if off > 0:
+                contrib = jnp.where(rows < n - off, contrib, 0)
+            elif off < 0:
+                contrib = jnp.where(rows >= -off, contrib, 0)
+            y = y + contrib
+        return y
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.matvec(x)
+
+    def to_coo(self):
+        """(rows, cols, vals) numpy triplets of stored nonzeros, row-major
+        with entries within a row ordered by column (= offset order)."""
+        import numpy as np
+
+        n = self.local_nrow
+        data = np.asarray(self.data)
+        rs, cs, vs = [], [], []
+        for d, off in enumerate(self.offsets):
+            rows = np.arange(max(0, -off), min(n, n - off))
+            v = data[d, rows]
+            keep = v != 0
+            rs.append(rows[keep])
+            cs.append(rows[keep] + off)
+            vs.append(v[keep])
+        rows = np.concatenate(rs)
+        cols = np.concatenate(cs)
+        vals = np.concatenate(vs)
+        order = np.lexsort((cols, rows))
+        return rows[order], cols[order], vals[order]
+
+    def nnz_per_row(self) -> jax.Array:
+        counts = jnp.zeros((self.local_nrow,), jnp.int32)
+        n = self.local_nrow
+        for d, off in enumerate(self.offsets):
+            lo, hi = max(0, -off), min(n, n - off)
+            counts = counts.at[lo:hi].add(
+                (self.data[d, lo:hi] != 0).astype(jnp.int32)
+            )
+        return counts
+
+    def to_dense(self) -> jax.Array:
+        """Dense materialization — tests/debug only."""
+        import numpy as np
+
+        n = self.local_nrow
+        dense = np.zeros((n, n), self.dtype)
+        data = np.asarray(self.data)
+        for d, off in enumerate(self.offsets):
+            rows = np.arange(max(0, -off), min(n, n - off))
+            dense[rows, rows + off] = data[d, rows]
+        return jnp.asarray(dense)

@@ -12,15 +12,13 @@ from __future__ import annotations
 
 import jax
 
-from hpccg_tpu.operators import EllMatrix, StencilOperator
+from hpccg_tpu.operators import DiaMatrix, EllMatrix, StencilOperator
 
 
 def spmv(A, x: jax.Array, *, backend: str = "auto") -> jax.Array:
-    """y = A @ x for either operator representation."""
-    if backend in ("auto", "stencil", "ell"):
-        if isinstance(A, StencilOperator):
-            return A.matvec(x)
-        if isinstance(A, EllMatrix):
+    """y = A @ x for any operator representation."""
+    if backend in ("auto", "stencil", "ell", "dia"):
+        if isinstance(A, (StencilOperator, EllMatrix, DiaMatrix)):
             return A.matvec(x)
         raise TypeError(f"unknown operator type {type(A)}")
     if backend == "pallas":
