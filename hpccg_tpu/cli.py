@@ -49,6 +49,7 @@ def build_argparser() -> argparse.ArgumentParser:
             "pallas_v1",
             "pallas_fused",
             "megakernel",
+            "streamkernel",
         ],
     )
     ap.add_argument(

@@ -1,0 +1,316 @@
+"""Streaming whole-solve CG kernel: r and p pinned in VMEM, x streamed.
+
+Extends the VMEM-resident megakernel (megakernel.py) to problems where the
+full 5-vector solve state does not fit VMEM but TWO vectors do
+(~128^3 < n <= ~200^3 at f32 on a 128 MiB-VMEM chip):
+
+- r and p live in VMEM scratch for the whole solve (with one zero guard
+  plane at each z end, so every stencil slab read is in-bounds);
+- Ap is NEVER materialized: the stencil is recomputed slab-by-slab from the
+  pinned p, once for the p.Ap reduction and once for the r update — VPU work
+  is far cheaper than the two HBM passes (write+read of a 40 MB Ap);
+- x stays in HBM and is streamed through a double-buffered DMA slab loop,
+  updated in place (x += alpha*p) — the ONLY per-iteration HBM traffic:
+  2 passes of x per iteration vs the ~7 effective passes of the XLA path.
+
+Iteration structure matches solver.cg_solve (same recurrence, same
+branch-free k==1 beta, rtrans recomputed at the loop top from the pinned r).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpccg_tpu.config import DIAG_VALUE, OFFDIAG_VALUE, Stencil
+from hpccg_tpu.operators import StencilOperator
+from hpccg_tpu.ops.pallas.stencil_v2 import (
+    VMEM_LIMIT,
+    _sum3_x,
+    _sum3_y,
+    pad_plane3,
+    padded_dims,
+    unpad_plane3,
+)
+
+
+def _stream_tz(op: StencilOperator, dtype) -> int:
+    """Slab depth for the streaming loops (z planes per DMA/compute step)."""
+    _, ny_pad, nx_pad = padded_dims(op, dtype, tz=1)
+    plane = ny_pad * nx_pad * jnp.dtype(dtype).itemsize
+    tz = max(int((4 << 20) // plane), 1)  # ~4 MB slabs
+    return min(tz, op.nz)
+
+
+def stream_dims(op: StencilOperator, dtype=None):
+    """(nzs, ny_pad, nx_pad): z padded to the streaming slab depth."""
+    dtype = jnp.dtype(dtype or op.dtype)
+    tz = _stream_tz(op, dtype)
+    _, ny_pad, nx_pad = padded_dims(op, dtype, tz=1)
+    nzs = ((op.nz + tz - 1) // tz) * tz
+    return nzs, ny_pad, nx_pad
+
+
+STREAM_VMEM_LIMIT = 119 << 20  # just under the v5e's 128 MiB hardware VMEM
+
+
+def fits_stream_vmem(
+    op: StencilOperator, dtype=None, budget: int = STREAM_VMEM_LIMIT
+) -> bool:
+    """True when the 2 pinned vectors + DMA slots/stencil-slab temporaries
+    (~30 MB) fit the kernel VMEM budget."""
+    nzs, ny_pad, nx_pad = stream_dims(op, dtype)
+    vec = (nzs + 2) * ny_pad * nx_pad * jnp.dtype(dtype or op.dtype).itemsize
+    return 2 * vec + (30 << 20) <= budget
+
+
+def _stencil_slab(u: jax.Array, nx: int, ny: int, stencil: Stencil) -> jax.Array:
+    """A-apply on a (tz+2)-plane halo'd slab -> (tz, ...) output planes.
+    The caller guarantees out-of-domain halo planes are zero."""
+    tz = u.shape[0] - 2
+    if stencil == Stencil.S27:
+        xy = _sum3_y(_sum3_x(u, nx), ny)
+        s = xy[0:tz] + xy[1 : tz + 1] + xy[2 : tz + 2]
+    else:
+        c = u[1 : tz + 1]
+        s = _sum3_x(c, nx) + _sum3_y(c, ny) - c + u[0:tz] + u[2 : tz + 2]
+    return (DIAG_VALUE - OFFDIAG_VALUE) * u[1 : tz + 1] + OFFDIAG_VALUE * s
+
+
+def _kernel(
+    b_hbm,
+    x0_hbm,
+    x_hbm,
+    trace_ref,
+    stats_ref,
+    r_ref,  # (nzs+2, ny_pad, nx_pad) VMEM: guard plane at each z end
+    p_ref,
+    xbuf,  # (2, tz, ny_pad, nx_pad) VMEM DMA slots
+    sems,  # DMA semaphores (4,): [0:2] loads, [2:4] stores
+    *,
+    op: StencilOperator,
+    tz: int,
+    max_iter: int,
+    tolerance: float,
+):
+    dtype = r_ref.dtype
+    nx, ny, nz = op.nx, op.ny, op.nz
+    nzs = r_ref.shape[0] - 2
+    nzb = nzs // tz
+    ny_pad, nx_pad = r_ref.shape[1], r_ref.shape[2]
+    tol = jnp.asarray(tolerance, dtype)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad, 1), 1)
+    valid_xy = ((ix < nx) & (iy < ny)).astype(dtype)
+
+    def zvalid(k):  # (tz, 1, 1) mask of real planes within slab k
+        iz = jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) + k * tz
+        return (iz < nz).astype(dtype)
+
+    def slab_apply(k):
+        """A @ p restricted to slab k, masked to the real domain."""
+        u = p_ref[pl.ds(k * tz, tz + 2)]
+        return _stencil_slab(u, nx, ny, op.stencil) * (valid_xy * zvalid(k))
+
+    def load(slot, k, src):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(k * tz, tz)], xbuf.at[slot], sems.at[slot]
+        )
+
+    def store(slot, k):
+        return pltpu.make_async_copy(
+            xbuf.at[slot], x_hbm.at[pl.ds(k * tz, tz)], sems.at[2 + slot]
+        )
+
+    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
+
+    # --- init: p = x0 (streamed into VMEM); r = b - A p (b streamed) ---
+    r_ref[0] = jnp.zeros((ny_pad, nx_pad), dtype)  # guard planes stay zero
+    r_ref[nzs + 1] = jnp.zeros((ny_pad, nx_pad), dtype)
+    p_ref[0] = jnp.zeros((ny_pad, nx_pad), dtype)
+    p_ref[nzs + 1] = jnp.zeros((ny_pad, nx_pad), dtype)
+
+    def init_p(k, _):
+        slot = k % 2
+        dma = load(slot, k, x0_hbm)
+        dma.start()
+        dma.wait()
+        p_ref[pl.ds(k * tz + 1, tz)] = xbuf[slot] * (valid_xy * zvalid(k))
+        return 0
+
+    jax.lax.fori_loop(0, nzb, init_p, 0)
+
+    def init_r(k, _):
+        slot = k % 2
+        dma = load(slot, k, b_hbm)
+        dma.start()
+        dma.wait()
+        r_ref[pl.ds(k * tz + 1, tz)] = (
+            xbuf[slot] * (valid_xy * zvalid(k)) - slab_apply(k)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nzb, init_r, 0)
+
+    rtrans0 = jnp.sum(r_ref[:] * r_ref[:])
+    trace_ref[0, :] = jnp.full((128,), jnp.sqrt(rtrans0), dtype)
+
+    # x starts as x0; copy it through (x_hbm may alias x0_hbm, but copy
+    # anyway so the non-aliased interpret path is correct too)
+    def init_x(k, _):
+        slot = k % 2
+        dma = load(slot, k, x0_hbm)
+        dma.start()
+        dma.wait()
+        st = store(slot, k)
+        st.start()
+        st.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nzb, init_x, 0)
+
+    # carry: (k, rt_last) with rt_last = the rtrans computed at the top of
+    # the last executed body (== the normr the reference's loop condition
+    # tests, HPCCG.cpp:358,371 — NOT the post-update residual)
+    def cond(c):
+        k, rt_last = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(rt_last) > tol)
+
+    def body(c):
+        k, rt_prev = c
+        rtrans = jnp.sum(r_ref[:] * r_ref[:])
+        beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rt_prev)
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), jnp.sqrt(rtrans), dtype)
+
+        # p = r + beta p (pinned, pure VMEM)
+        p_ref[pl.ds(1, nzs)] = r_ref[pl.ds(1, nzs)] + beta * p_ref[pl.ds(1, nzs)]
+
+        # pAp: stencil recomputed slab-wise from pinned p
+        def pap_slab(k2, acc):
+            ap = slab_apply(k2)
+            return acc + jnp.sum(p_ref[pl.ds(k2 * tz + 1, tz)] * ap)
+
+        pap = jax.lax.fori_loop(0, nzb, pap_slab, jnp.asarray(0.0, dtype))
+        alpha = rtrans / pap
+
+        # x += alpha p (streamed, double-buffered); r -= alpha A p (pinned,
+        # stencil recomputed). The load for slab k+1 is started before the
+        # compute of slab k; the store of slab k-2 must drain before its
+        # slot is reloaded.
+        ld0 = load(0, 0, x_hbm)
+        ld0.start()
+
+        def upd_slab(k2, _):
+            slot = k2 % 2
+            ap = slab_apply(k2)
+            r_ref[pl.ds(k2 * tz + 1, tz)] = (
+                r_ref[pl.ds(k2 * tz + 1, tz)] - alpha * ap
+            )
+            load(slot, k2, x_hbm).wait()
+            xbuf[slot] = xbuf[slot] + alpha * p_ref[pl.ds(k2 * tz + 1, tz)]
+            store(slot, k2).start()
+
+            @pl.when(k2 + 1 < nzb)
+            def _():
+                # the next load reuses slot (k2+1)%2: its store (slab k2-1)
+                # must have drained
+                @pl.when(k2 >= 1)
+                def _():
+                    store((k2 + 1) % 2, k2 - 1).wait()
+
+                load((k2 + 1) % 2, k2 + 1, x_hbm).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, nzb, upd_slab, 0)
+        # drain the tail stores
+        @pl.when(nzb >= 2)
+        def _():
+            store((nzb - 2) % 2, nzb - 2).wait()
+
+        store((nzb - 1) % 2, nzb - 1).wait()
+
+        return (k + 1, rtrans)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    k, rt_last = jax.lax.while_loop(cond, body, (k0, rtrans0))
+    stats_ref[0, 0] = jnp.sqrt(rt_last)
+    stats_ref[0, 1] = rt_last
+    stats_ref[0, 2] = (k - 1).astype(dtype)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def cg_stream_padded(
+    op: StencilOperator,
+    b_pad: jax.Array,
+    x0_pad: jax.Array,
+    max_iter: int,
+    tolerance: float = 0.0,
+    interpret: bool = False,
+):
+    """Whole CG solve, one Pallas call, r/p pinned + x streamed.
+
+    b_pad/x0_pad in the (nzs, ny_pad, nx_pad) stream layout (stream_dims).
+    Returns (x_pad, trace, stats)."""
+    nzs, ny_pad, nx_pad = stream_dims(op, b_pad.dtype)
+    dtype = b_pad.dtype
+    tz = _stream_tz(op, dtype)
+    assert b_pad.shape == (nzs, ny_pad, nx_pad), (b_pad.shape, (nzs, ny_pad, nx_pad))
+    interpret = interpret or jax.default_backend() != "tpu"
+    vec = jax.ShapeDtypeStruct((nzs, ny_pad, nx_pad), dtype)
+    return pl.pallas_call(
+        partial(_kernel, op=op, tz=tz, max_iter=max_iter, tolerance=tolerance),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # b stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x0 stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),  # x streamed in place
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            vec,
+            jax.ShapeDtypeStruct((max(max_iter, 1), 128), dtype),
+            jax.ShapeDtypeStruct((1, 4), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nzs + 2, ny_pad, nx_pad), dtype),  # r (+ guards)
+            pltpu.VMEM((nzs + 2, ny_pad, nx_pad), dtype),  # p (+ guards)
+            pltpu.VMEM((2, tz, ny_pad, nx_pad), dtype),  # x DMA slots
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=STREAM_VMEM_LIMIT, has_side_effects=True
+        ),
+        interpret=interpret,
+    )(b_pad, x0_pad)
+
+
+def cg_solve_stream(op: StencilOperator, b: jax.Array, x0: jax.Array, *, max_iter: int, tolerance: float = 0.0):
+    """Flat-vector wrapper returning a solver.CGResult."""
+    from hpccg_tpu.solver import CGResult
+
+    nzs, ny_pad, nx_pad = stream_dims(op, b.dtype)
+
+    def pad(v):
+        u = v.reshape(op.nz, op.ny, op.nx)
+        return jnp.pad(
+            u, ((0, nzs - op.nz), (0, ny_pad - op.ny), (0, nx_pad - op.nx))
+        )
+
+    x_pad, trace, stats = cg_stream_padded(
+        op, pad(b), pad(x0), max_iter, tolerance
+    )
+    return CGResult(
+        x=x_pad[: op.nz, : op.ny, : op.nx].reshape(-1),
+        niters=stats[0, 2].astype(jnp.int32),
+        normr=stats[0, 0],
+        rtrans=stats[0, 1],
+        trace=trace[:, 0],
+    )

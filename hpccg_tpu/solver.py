@@ -242,13 +242,16 @@ def resolve_backend(A, backend: str = "auto") -> str:
     if backend != "auto":
         return backend
     if not isinstance(A, StencilOperator):
-        return "auto"  # spmv() dispatches EllMatrix natively
+        return "auto"  # spmv() dispatches EllMatrix/DiaMatrix natively
     if jax.default_backend() != "tpu" or jnp.dtype(A.dtype).itemsize != 4:
         return "stencil"
     from hpccg_tpu.ops.pallas.megakernel import fits_vmem
+    from hpccg_tpu.ops.pallas.streamkernel import fits_stream_vmem
 
     if fits_vmem(A, A.dtype):
         return "megakernel"
+    if fits_stream_vmem(A, A.dtype):
+        return "streamkernel"
     if A.local_nrow * jnp.dtype(A.dtype).itemsize <= (40 << 20):
         return "stencil"
     return "pallas"
@@ -374,6 +377,15 @@ def make_cg(
 
         return jax.jit(
             lambda b, x0: cg_solve_mega(
+                A, b, x0, max_iter=max_iter, tolerance=tolerance
+            )
+        )
+
+    if backend == "streamkernel" and isinstance(A, StencilOperator):
+        from hpccg_tpu.ops.pallas.streamkernel import cg_solve_stream
+
+        return jax.jit(
+            lambda b, x0: cg_solve_stream(
                 A, b, x0, max_iter=max_iter, tolerance=tolerance
             )
         )

@@ -228,3 +228,34 @@ def test_fused_cg_early_exit_tolerance():
         prob.b, prob.x0
     )
     assert int(res.niters) < 499
+
+
+@pytest.mark.parametrize("dims,stencil", CASES)
+def test_streamkernel_matches_stencil(dims, stencil):
+    """Streaming whole-loop kernel (r/p pinned, x DMA-streamed): trajectory
+    parity with the flat-path solver on CPU interpret mode."""
+    from hpccg_tpu.ops.pallas.streamkernel import cg_solve_stream
+
+    cfg = ProblemConfig(*dims, stencil=stencil, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    rm = cg_solve_stream(prob.A, prob.b, prob.x0, max_iter=25, tolerance=0.0)
+    rs = make_cg(prob.A, max_iter=25, backend="stencil")(prob.b, prob.x0)
+    assert int(rm.niters) == int(rs.niters)
+    tm, ts = np.asarray(rm.trace), np.asarray(rs.trace)
+    good = ts > 1e-11 * ts[0]
+    np.testing.assert_allclose(tm[good], ts[good], rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rs.x), atol=1e-9)
+
+
+def test_streamkernel_tolerance_exit_matches():
+    from hpccg_tpu.ops.pallas.streamkernel import cg_solve_stream
+
+    cfg = ProblemConfig(8, 8, 8, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    rm = cg_solve_stream(prob.A, prob.b, prob.x0, max_iter=500, tolerance=1e-10)
+    rs = make_cg(prob.A, max_iter=500, tolerance=1e-10, backend="stencil")(
+        prob.b, prob.x0
+    )
+    assert int(rm.niters) == int(rs.niters)
+    # different reduction tree -> few-ulp-scale drift on the tiny residual
+    np.testing.assert_allclose(float(rm.normr), float(rs.normr), rtol=1e-6)
