@@ -71,6 +71,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "main.cpp:310-316 — commented out in the reference)",
     )
     ap.add_argument(
+        "--validate",
+        action="store_true",
+        help="verify problem invariants before solving (A@xexact == b, "
+        "symmetry) and fail fast on a non-finite result",
+    )
+    ap.add_argument(
         "--profile",
         metavar="DIR",
         help="capture a jax.profiler device trace of the solve into DIR "
@@ -157,6 +163,12 @@ def main(argv=None) -> int:
         path = dump_matlab(args.dump_matlab, prob.A)
         print(f"# wrote {path}", file=sys.stderr)
 
+    if args.validate and args.mesh <= 1:
+        from hpccg_tpu.utils.checks import validate_problem
+
+        findings = validate_problem(prob)
+        print(f"# problem validated: {findings}", file=sys.stderr)
+
     # --- solve (compile excluded from the timed run, like the reference's
     # post-setup chrono window, main.cpp:189-197) ---
     fence(solve(prob.b, prob.x0))
@@ -181,6 +193,11 @@ def main(argv=None) -> int:
 
         check_residual = float(compute_residual(res.x, prob.xexact))
         print(f"Difference between computed and exact = {check_residual:.6g}")
+
+    if args.validate:
+        from hpccg_tpu.utils.checks import check_finite
+
+        check_finite(res)
 
     if not args.quiet:
         # ref HPCCG.cpp:342-344,356,372-373

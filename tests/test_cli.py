@@ -89,3 +89,40 @@ def test_json_output():
     obj = json.loads(out)
     assert obj["Dimensions"]["nx"] == 4
     assert obj["Number of iterations"] == 9
+
+
+def test_validate_flag():
+    rc, out = run_cli(
+        ["6", "6", "6", "--max-iter", "20", "--validate", "--quiet",
+         "--skip-kernel-bench"]
+    )
+    assert rc == 0
+
+
+def test_validate_utilities():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from hpccg_tpu import ProblemConfig, generate_problem
+    from hpccg_tpu.utils.checks import ValidationError, check_finite, validate_problem
+
+    prob = generate_problem(ProblemConfig(5, 4, 3))
+    findings = validate_problem(prob)
+    assert findings["b_residual"] < 1e-10
+
+    # corrupt b -> validation must fail
+    import dataclasses
+
+    bad = dataclasses.replace(prob, b=prob.b.at[0].add(1.0))
+    with _pytest.raises(ValidationError):
+        validate_problem(bad)
+
+    # NaN result detection (the divergence signature: alpha = 0/0 after
+    # exact convergence under tolerance=0)
+    from hpccg_tpu.solver import make_cg
+
+    res = make_cg(prob.A, max_iter=10)(prob.b, prob.x0)
+    check_finite(res)  # healthy solve passes
+    nan_res = dataclasses.replace(res, normr=jnp.asarray(float("nan")))
+    with _pytest.raises(ValidationError):
+        check_finite(nan_res)
