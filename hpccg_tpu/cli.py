@@ -134,14 +134,22 @@ def main(argv=None) -> int:
 
             mesh = make_mesh(args.mesh)
             prob = generate_problem_sharded(cfg, mesh)
+            dist_backend = args.backend
+            if dist_backend in ("megakernel", "streamkernel", "ell"):
+                # whole-solve kernels are single-shard-only (no in-kernel
+                # collectives yet); ell has its own all_gather entry point
+                print(
+                    f"# --backend {dist_backend} is not a distributed solver "
+                    "backend; using auto",
+                    file=sys.stderr,
+                )
+                dist_backend = "auto"
             solve = make_distributed_cg(
                 cfg,
                 mesh,
                 max_iter=args.max_iter,
                 tolerance=args.tolerance,
-                backend=args.backend
-                if args.backend.startswith("pallas")
-                else "auto",
+                backend=dist_backend,
                 method=args.method,
             )
         else:
@@ -266,7 +274,16 @@ def main(argv=None) -> int:
             t_spmv1 = time_loop_slope(make_spmv_loop, prob.x0)
         else:
             t_spmv1 = time_loop_body(
-                lambda v: spmv(prob.A, v, backend=args.backend) * (1.0 / 54.0),
+                # whole-solve backends (megakernel/streamkernel/...) have no
+                # standalone SpMV; bench the dispatchable kernel tier
+                lambda v: spmv(
+                    prob.A,
+                    v,
+                    backend=args.backend
+                    if args.backend in ("stencil", "ell", "dia", "pallas")
+                    else "auto",
+                )
+                * (1.0 / 54.0),
                 prob.x0,
             )
         t_ddot = t_ddot1 * 2 * fniters

@@ -274,13 +274,20 @@ class EllMatrix:
         diagonals (stencil-generated matrices have <= 27). Returns None when
         more than ``max_diags`` distinct offsets exist (truly unstructured).
 
-        Requires the full square matrix in one partition (start_row == 0)."""
+        Requires the full square matrix in one partition (start_row == 0 and
+        local_nrow == total_nrow). Matrices carrying explicit zero entries
+        also return None: DIA treats stored zeros as structural zeros, which
+        would make the HPC-row write round trip lossy."""
         import numpy as np
 
         if self.start_row != 0:
             return None
         n = self.local_nrow
+        if self.total_nrow is not None and self.total_nrow != n:
+            return None  # rectangular row shard: offsets would wrap
         rows, cols, vals = self.to_coo()
+        if np.any(np.asarray(vals) == 0):
+            return None
         offs = cols.astype(np.int64) - rows.astype(np.int64)
         uniq = np.unique(offs)
         if uniq.size > max_diags:

@@ -9,10 +9,10 @@ boundaries. Applicable when ~5 padded vectors fit in VMEM (~<=170^3 at f32 on
 a 128 MiB-VMEM chip); above that the streaming backends take over.
 
 Layout matches stencil_v2: (nzp, ny_pad, nx_pad), y on sublanes, x on lanes.
-Iteration structure is bit-compatible with solver.cg_solve (same recurrence,
-same k==1 branch-free beta); the only difference is that r.r is carried from
-the update pass instead of recomputed at the loop top — same value, same
-reduction tree.
+Iteration structure is bit-compatible with solver.cg_solve: same recurrence,
+same k==1 branch-free beta, rtrans recomputed at the loop top, and the loop
+condition / exit normr use the body-top rtrans exactly as the reference does
+(HPCCG.cpp:358,371).
 """
 
 from __future__ import annotations
@@ -93,28 +93,31 @@ def _kernel(
     rtrans0 = jnp.sum(r_ref[:] * r_ref[:])
     trace_ref[0, :] = jnp.full((128,), jnp.sqrt(rtrans0), dtype)
 
+    # carry: (k, rt_last) — the rtrans computed at the top of the last
+    # executed body, which is what the reference's loop condition tests and
+    # reports as normr at exit (HPCCG.cpp:358,371): one update older than
+    # the freshest residual. Matches solver.cg_solve / streamkernel exactly.
     def cond(c):
-        k, rt_prev, rt_cur = c
-        return jnp.logical_and(k < max_iter, jnp.sqrt(rt_cur) > tol)
+        k, rt_last = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(rt_last) > tol)
 
     def body(c):
-        k, rt_prev, rt_cur = c
-        beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rt_cur / rt_prev)
-        normr = jnp.sqrt(rt_cur)
-        trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), normr, dtype)
+        k, rt_prev = c
+        rtrans = jnp.sum(r_ref[:] * r_ref[:])
+        beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rt_prev)
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), jnp.sqrt(rtrans), dtype)
         p_ref[:] = r_ref[:] + beta * p_ref[:]
         ap_ref[:] = mv(p_ref[:])
         pap = jnp.sum(p_ref[:] * ap_ref[:])
-        alpha = rt_cur / pap
+        alpha = rtrans / pap
         x_ref[:] = x_ref[:] + alpha * p_ref[:]
         r_ref[:] = r_ref[:] - alpha * ap_ref[:]
-        rr = jnp.sum(r_ref[:] * r_ref[:])
-        return (k + 1, rt_cur, rr)
+        return (k + 1, rtrans)
 
     k0 = jnp.asarray(1, jnp.int32)
-    k, rt_prev, rt_cur = jax.lax.while_loop(cond, body, (k0, rtrans0, rtrans0))
-    stats_ref[0, 0] = jnp.sqrt(rt_cur)  # normr at exit (== ref normr)
-    stats_ref[0, 1] = rt_cur
+    k, rt_last = jax.lax.while_loop(cond, body, (k0, rtrans0))
+    stats_ref[0, 0] = jnp.sqrt(rt_last)  # == ref normr at exit
+    stats_ref[0, 1] = rt_last
     stats_ref[0, 2] = (k - 1).astype(dtype)  # niters
 
 
@@ -134,6 +137,11 @@ def cg_mega_padded(
     dtype = b_pad.dtype
     assert b_pad.shape == (nzp, ny_pad, nx_pad)
     interpret = interpret or jax.default_backend() != "tpu"
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            "float64 is not supported by Mosaic TPU kernels; use the XLA "
+            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
+        )
     vec = jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype)
     return pl.pallas_call(
         partial(_kernel, op=op, max_iter=max_iter, tolerance=tolerance),

@@ -160,6 +160,11 @@ def spmv_padded_v2(
     if halo is None:
         halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
     interpret = interpret or jax.default_backend() != "tpu"
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            "float64 is not supported by Mosaic TPU kernels; use the XLA "
+            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
+        )
 
     return pl.pallas_call(
         partial(_kernel, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),

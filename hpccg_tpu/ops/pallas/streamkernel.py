@@ -29,7 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 from hpccg_tpu.config import DIAG_VALUE, OFFDIAG_VALUE, Stencil
 from hpccg_tpu.operators import StencilOperator
 from hpccg_tpu.ops.pallas.stencil_v2 import (
-    VMEM_LIMIT,
     _sum3_x,
     _sum3_y,
     pad_plane3,
@@ -49,10 +48,7 @@ def _stream_tz(op: StencilOperator, dtype) -> int:
 def stream_dims(op: StencilOperator, dtype=None):
     """(nzs, ny_pad, nx_pad): z padded to the streaming slab depth."""
     dtype = jnp.dtype(dtype or op.dtype)
-    tz = _stream_tz(op, dtype)
-    _, ny_pad, nx_pad = padded_dims(op, dtype, tz=1)
-    nzs = ((op.nz + tz - 1) // tz) * tz
-    return nzs, ny_pad, nx_pad
+    return padded_dims(op, dtype, tz=_stream_tz(op, dtype))
 
 
 STREAM_VMEM_LIMIT = 119 << 20  # just under the v5e's 128 MiB hardware VMEM
@@ -262,6 +258,11 @@ def cg_stream_padded(
     tz = _stream_tz(op, dtype)
     assert b_pad.shape == (nzs, ny_pad, nx_pad), (b_pad.shape, (nzs, ny_pad, nx_pad))
     interpret = interpret or jax.default_backend() != "tpu"
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            "float64 is not supported by Mosaic TPU kernels; use the XLA "
+            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
+        )
     vec = jax.ShapeDtypeStruct((nzs, ny_pad, nx_pad), dtype)
     return pl.pallas_call(
         partial(_kernel, op=op, tz=tz, max_iter=max_iter, tolerance=tolerance),
@@ -296,19 +297,12 @@ def cg_solve_stream(op: StencilOperator, b: jax.Array, x0: jax.Array, *, max_ite
     """Flat-vector wrapper returning a solver.CGResult."""
     from hpccg_tpu.solver import CGResult
 
-    nzs, ny_pad, nx_pad = stream_dims(op, b.dtype)
-
-    def pad(v):
-        u = v.reshape(op.nz, op.ny, op.nx)
-        return jnp.pad(
-            u, ((0, nzs - op.nz), (0, ny_pad - op.ny), (0, nx_pad - op.nx))
-        )
-
+    tz = _stream_tz(op, b.dtype)
     x_pad, trace, stats = cg_stream_padded(
-        op, pad(b), pad(x0), max_iter, tolerance
+        op, pad_plane3(op, b, tz), pad_plane3(op, x0, tz), max_iter, tolerance
     )
     return CGResult(
-        x=x_pad[: op.nz, : op.ny, : op.nx].reshape(-1),
+        x=unpad_plane3(op, x_pad),
         niters=stats[0, 2].astype(jnp.int32),
         normr=stats[0, 0],
         rtrans=stats[0, 1],

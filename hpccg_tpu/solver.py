@@ -146,12 +146,16 @@ def cg_solve_single_reduction(
     trace0 = jnp.full((max(max_iter, 1),), jnp.nan, dtype).at[0].set(normr0)
     alpha0 = gamma / delta
 
+    # gamma_top = the ||r||^2 a standard-CG body would have computed at ITS
+    # loop top (one update older than the fused gamma): the reference's loop
+    # condition and exit normr test that value (HPCCG.cpp:358,371), so cg1
+    # must too — otherwise tolerance exits land one iteration early.
     def cond(c):
-        k, x, r, p, s, gamma, alpha, trace = c
-        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma) > tol)
+        k, x, r, p, s, gamma, alpha, gamma_top, trace = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
 
     def body(c):
-        k, x, r, p, s, gamma, alpha, trace = c
+        k, x, r, p, s, gamma, alpha, _, trace = c
         trace = trace.at[k].set(jnp.sqrt(gamma))
         x = x + alpha * p
         r = r - alpha * s
@@ -161,13 +165,15 @@ def cg_solve_single_reduction(
         alpha = gamma_new / (delta - beta * gamma_new / alpha)
         p = r + beta * p
         s = u + beta * s
-        return (k + 1, x, r, p, s, gamma_new, alpha, trace)
+        return (k + 1, x, r, p, s, gamma_new, alpha, gamma, trace)
 
     k0 = jnp.asarray(1, jnp.int32)
-    carry = (k0, x0, r, r, u, gamma, alpha0, trace0)
-    k, x, r, p, s, gamma, alpha, trace = jax.lax.while_loop(cond, body, carry)
+    carry = (k0, x0, r, r, u, gamma, alpha0, gamma, trace0)
+    k, x, r, p, s, gamma, alpha, gamma_top, trace = jax.lax.while_loop(
+        cond, body, carry
+    )
     return CGResult(
-        x=x, niters=k - 1, normr=jnp.sqrt(gamma), rtrans=gamma, trace=trace
+        x=x, niters=k - 1, normr=jnp.sqrt(gamma_top), rtrans=gamma_top, trace=trace
     )
 
 

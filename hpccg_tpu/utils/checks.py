@@ -42,14 +42,18 @@ def validate_problem(prob, *, rtol: float = 1e-6) -> dict:
     scale = float(np.max(np.abs(np.asarray(b)))) or 1.0
     _require(err <= rtol * scale, f"A @ xexact != b (max err {err:.3g})")
 
-    # symmetry on a random sample: u.(A v) == v.(A u)
+    # symmetry on a random sample: u.(A v) == v.(A u). Scale by ||u||·||Av||
+    # (the natural magnitude of the bilinear form) — u.(Av) itself is a
+    # mean-zero statistic for random u,v and can land arbitrarily close to 0
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(n), b.dtype)
     v = jnp.asarray(rng.standard_normal(n), b.dtype)
-    uav = float(jnp.vdot(u, spmv(A, v)))
+    av = spmv(A, v)
+    uav = float(jnp.vdot(u, av))
     vau = float(jnp.vdot(v, spmv(A, u)))
-    sym_err = abs(uav - vau) / (abs(uav) or 1.0)
-    sym_rtol = 1e-3 if jnp.dtype(b.dtype).itemsize <= 4 else rtol
+    scale = float(jnp.linalg.norm(u) * jnp.linalg.norm(av)) or 1.0
+    sym_err = abs(uav - vau) / scale
+    sym_rtol = 1e-5 if jnp.dtype(b.dtype).itemsize <= 4 else rtol
     _require(sym_err <= sym_rtol, f"A not symmetric (rel err {sym_err:.3g})")
 
     return {"b_residual": err, "symmetry_rel_err": sym_err}

@@ -217,8 +217,14 @@ def test_megakernel_early_exit_tolerance():
     res = make_cg(prob.A, max_iter=500, tolerance=1e-10, backend="megakernel")(
         prob.b, prob.x0
     )
+    rs = make_cg(prob.A, max_iter=500, tolerance=1e-10, backend="stencil")(
+        prob.b, prob.x0
+    )
+    # exit semantics must match the reference loop exactly (same niters,
+    # same one-update-stale normr at exit)
+    assert int(res.niters) == int(rs.niters)
+    np.testing.assert_allclose(float(res.normr), float(rs.normr), rtol=1e-6)
     assert int(res.niters) < 499
-    assert float(res.normr) <= 1e-10
 
 
 def test_fused_cg_early_exit_tolerance():

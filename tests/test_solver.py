@@ -115,5 +115,9 @@ def test_single_reduction_cg_early_exit():
     res = make_cg(prob.A, max_iter=500, tolerance=1e-10, method="cg1")(
         prob.b, prob.x0
     )
+    rs = make_cg(prob.A, max_iter=500, tolerance=1e-10)(prob.b, prob.x0)
+    # same exit iteration and same one-update-stale exit normr as the
+    # reference recurrence
+    assert int(res.niters) == int(rs.niters)
+    np.testing.assert_allclose(float(res.normr), float(rs.normr), rtol=1e-6)
     assert int(res.niters) < 499
-    assert float(res.normr) <= 1e-10
