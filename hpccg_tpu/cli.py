@@ -50,6 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
             "pallas_fused",
             "megakernel",
             "streamkernel",
+            "collective",
         ],
     )
     ap.add_argument(
@@ -157,6 +158,13 @@ def main(argv=None) -> int:
             solve = None
 
     if solve is None:
+        if args.backend == "collective":
+            print(
+                "# --backend collective needs --mesh > 1 (whole-solve kernel "
+                "with in-kernel RDMA); using auto",
+                file=sys.stderr,
+            )
+            args.backend = "auto"
         solve = make_cg(
             prob.A,
             max_iter=args.max_iter,

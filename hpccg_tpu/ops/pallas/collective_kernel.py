@@ -1,0 +1,347 @@
+"""Collective whole-solve CG kernel: the ENTIRE multi-chip solve is one
+Pallas call per shard — communication included.
+
+The distributed solvers in parallel/cg.py run the loop under shard_map with
+XLA collectives (ppermute halo + psum) between compiled regions; on a real
+pod every iteration still pays XLA's collective launch overhead. This kernel
+moves the communication *into* the kernel:
+
+- halo exchange: an async remote copy (ICI RDMA) of each shard's boundary
+  z-plane directly into the neighbor's VMEM guard plane — the guard planes
+  of the pinned vector double as the receive buffers (the tail-of-x storage
+  of exchange_externals.cpp:84, TPU-style);
+- allreduce: each device RDMA-writes its (gamma, delta) partial row into
+  every peer's accumulation buffer and waits for n-1 receipts — one 2-scalar
+  allreduce per iteration, using the single-reduction Chronopoulos-Gear
+  recurrence (solver.cg_solve_single_reduction) so one round of
+  communication per iteration is enough.
+
+Synchronization safety: a device's iteration-k+1 halo send happens only
+after it passed its iteration-k allreduce wait, which requires every peer's
+k-partial, which each peer sends only after consuming its k-halo — so
+single-buffered halo planes and a single accumulation buffer are hazard-free
+(the allreduce is the global synchronizer).
+
+State per shard (all VMEM): x, r, p, s (= A p by recurrence), u (= A r),
+each with one guard plane per z end. Fits weak-scaling shard sizes
+(64^3..100^3 per chip) with lots of room.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpccg_tpu.config import Stencil
+from hpccg_tpu.operators import StencilOperator
+from hpccg_tpu.ops.pallas.stencil_v2 import VMEM_LIMIT, padded_dims
+from hpccg_tpu.ops.pallas.streamkernel import _stencil_slab
+
+LANE = 128
+
+# When True (tests), the CPU interpreter runs with its data-race detector on
+# (SURVEY.md §5: the reference has no race tooling; here every multi-device
+# kernel path can be checked for read/write races across shards).
+DETECT_RACES = False
+
+
+def fits_collective_vmem(
+    op: StencilOperator, dtype=None, budget: int = VMEM_LIMIT
+) -> bool:
+    """5 pinned guarded vectors + stencil temporaries (~7 vec-equivalents)."""
+    nzp, ny_pad, nx_pad = padded_dims(op, dtype or op.dtype, tz=1)
+    vec = (nzp + 2) * ny_pad * nx_pad * jnp.dtype(dtype or op.dtype).itemsize
+    return 7 * vec <= budget
+
+
+def _kernel(
+    b_ref,
+    x0_ref,
+    x_out,
+    trace_ref,
+    stats_ref,
+    x_ref,
+    r_ref,
+    p_ref,
+    s_ref,
+    u_ref,
+    allbuf,  # (2, ndev, LANE): [iteration parity, device, scalars] —
+    # double-buffered because non-neighbor devices are NOT synchronized by
+    # the halo exchange: a fast device's k+1 partial may land while a slow
+    # peer is still summing k; parity slots keep the rounds disjoint
+    halo_send,  # (2,) DMA sems for boundary-plane sends [down, up]
+    halo_recv,  # (2, 2) DMA sems for recvs [phase, from-below/from-above]:
+    #   phase 0 = the init x0 exchange, phase 1 = every r exchange. The two
+    #   init exchanges are NOT separated by an allreduce, so a fast peer's
+    #   r-halo signal could otherwise be consumed as the x0-halo's; all
+    #   consecutive r exchanges ARE allreduce-separated (see module doc).
+    all_send,  # (1,) DMA sem, accumulates ndev-1 send completions
+    all_recv,  # (2,) DMA sems (iteration parity), ndev-1 arrivals each
+    *,
+    op: StencilOperator,
+    ndev: int,
+    axis: str,
+    max_iter: int,
+    tolerance: float,
+):
+    dtype = b_ref.dtype
+    nx, ny, nz = op.nx, op.ny, op.nz
+    nzp, ny_pad, nx_pad = b_ref.shape
+    tol = jnp.asarray(tolerance, dtype)
+    my = jax.lax.axis_index(axis) if ndev > 1 else jnp.asarray(0, jnp.int32)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad, 1), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nzp, 1, 1), 0)
+    valid = ((ix < nx) & (iy < ny) & (iz < nz)).astype(dtype)
+
+    def _halo_down(v_ref, phase):
+        """My first real plane -> below-neighbor's top guard (their row
+        nz+1), signalling their halo_recv[phase, 1]."""
+        return pltpu.make_async_remote_copy(
+            src_ref=v_ref.at[pl.ds(1, 1)],
+            dst_ref=v_ref.at[pl.ds(nz + 1, 1)],
+            send_sem=halo_send.at[0],
+            recv_sem=halo_recv.at[phase, 1],
+            device_id=my - 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def _halo_up(v_ref, phase):
+        """My last real plane -> above-neighbor's bottom guard (their row
+        0), signalling their halo_recv[phase, 0]."""
+        return pltpu.make_async_remote_copy(
+            src_ref=v_ref.at[pl.ds(nz, 1)],
+            dst_ref=v_ref.at[pl.ds(0, 1)],
+            send_sem=halo_send.at[1],
+            recv_sem=halo_recv.at[phase, 0],
+            device_id=my + 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def exchange_and_apply(v_ref, out_ref, phase):
+        """out = A @ v for the GLOBAL operator restricted to this shard:
+        RDMA v's boundary planes into the neighbors' guard planes, wait,
+        then apply the stencil over the guarded (nzp+2) slab.
+
+        DMA semaphores count bytes, so every wait goes through a copy
+        descriptor of the matching shape. Send-existence and
+        receive-existence differ at the mesh edges: I send downward iff
+        my > 0, but I receive from ABOVE iff my < ndev-1."""
+        if ndev > 1:
+            @pl.when(my > 0)
+            def _():
+                _halo_down(v_ref, phase).start()
+
+            @pl.when(my < ndev - 1)
+            def _():
+                _halo_up(v_ref, phase).start()
+
+            @pl.when(my > 0)
+            def _():
+                _halo_down(v_ref, phase).wait_send()
+
+            @pl.when(my < ndev - 1)
+            def _():
+                _halo_up(v_ref, phase).wait_send()
+
+            # arrivals: from above into my row nz+1 (exists iff my < ndev-1),
+            # from below into my row 0 (exists iff my > 0)
+            @pl.when(my < ndev - 1)
+            def _():
+                _halo_down(v_ref, phase).wait_recv()
+
+            @pl.when(my > 0)
+            def _():
+                _halo_up(v_ref, phase).wait_recv()
+
+        out_ref[pl.ds(1, nzp)] = (
+            _stencil_slab(v_ref[:], nx, ny, op.stencil) * valid
+        )
+
+    def allreduce2(g_local, d_local, slot):
+        """Sum (gamma, delta) partials across the mesh: write my row into
+        every peer's allbuf (parity slot), wait for all peers' rows, sum."""
+        if ndev == 1:
+            return g_local, d_local
+        # (.at[].set lowers to scatter, which Mosaic has no TPU lowering for)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        mine = jnp.where(
+            lane == 0, g_local, jnp.where(lane == 1, d_local, 0.0)
+        ).astype(dtype)
+        allbuf[slot, pl.ds(my, 1)] = mine
+
+        def _bcast(d):
+            return pltpu.make_async_remote_copy(
+                src_ref=allbuf.at[slot, pl.ds(my, 1)],
+                dst_ref=allbuf.at[slot, pl.ds(my, 1)],
+                send_sem=all_send.at[0],
+                recv_sem=all_recv.at[slot],
+                device_id=jnp.asarray(d, jnp.int32),
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+
+        for d in range(ndev):
+            @pl.when(my != d)
+            def _(d=d):
+                _bcast(d).start()
+
+        # ndev-1 sends drained, ndev-1 one-row arrivals received (DMA sems
+        # count bytes; wait per same-shaped descriptor)
+        for d in range(ndev):
+            @pl.when(my != d)
+            def _(d=d):
+                _bcast(d).wait_send()
+                _bcast(d).wait_recv()
+
+        tot = jnp.sum(allbuf[slot], axis=0, keepdims=True)
+        return tot[0, 0], tot[0, 1]
+
+    def dot(a_ref, b2_ref):
+        # real rows only: row nz+1 holds the RDMA'd halo plane (nonzero),
+        # rows beyond are zero padding
+        return jnp.sum(a_ref[pl.ds(1, nz)] * b2_ref[pl.ds(1, nz)])
+
+    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
+    # Guard planes: only the rows that STAY zero (true domain boundaries)
+    # are zeroed — interior guards are written by RDMA, and the reader's
+    # wait_recv orders the write before any read, so no startup barrier is
+    # needed. u is never exchanged; p/s inherit defined guards via the full
+    # r/u copies below.
+    zero_row = jnp.zeros((1, ny_pad, nx_pad), dtype)
+    u_ref[pl.ds(0, 1)] = zero_row
+    u_ref[pl.ds(nzp + 1, 1)] = zero_row
+    for ref in (x_ref, r_ref):
+        @pl.when(my == 0)
+        def _(ref=ref):
+            ref[pl.ds(0, 1)] = zero_row
+
+        @pl.when(my == ndev - 1)
+        def _(ref=ref):
+            ref[pl.ds(nzp + 1, 1)] = zero_row
+
+    # --- init (cg1): r = b - A x0; u = A r; (g, d) = allreduce; p=r; s=u ---
+    x_ref[pl.ds(1, nzp)] = x0_ref[:] * valid
+    exchange_and_apply(x_ref, u_ref, 0)  # u <- A x0 (scratch use)
+    r_ref[pl.ds(1, nzp)] = b_ref[:] * valid - u_ref[pl.ds(1, nzp)]
+    exchange_and_apply(r_ref, u_ref, 1)
+    gamma0, delta0 = allreduce2(dot(r_ref, r_ref), dot(r_ref, u_ref), 0)
+    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), dtype)
+    # interior rows only: r's guard rows are RDMA targets — a fast peer's
+    # NEXT-iteration halo may land there while we copy (the guards' values
+    # are never read through p, but the access must still be race-free)
+    p_ref[pl.ds(1, nzp)] = r_ref[pl.ds(1, nzp)]
+    s_ref[pl.ds(1, nzp)] = u_ref[pl.ds(1, nzp)]
+    alpha0 = gamma0 / delta0
+
+    # carry: (k, gamma, alpha, gamma_top) — gamma_top is what a standard-CG
+    # body would have computed at its loop top (one update older); the
+    # reference's condition and exit normr test that (HPCCG.cpp:358,371)
+    def cond(c):
+        k, gamma, alpha, gamma_top = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
+
+    def body(c):
+        k, gamma, alpha, _ = c
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), jnp.sqrt(gamma), dtype)
+        x_ref[pl.ds(1, nzp)] = x_ref[pl.ds(1, nzp)] + alpha * p_ref[pl.ds(1, nzp)]
+        r_ref[pl.ds(1, nzp)] = r_ref[pl.ds(1, nzp)] - alpha * s_ref[pl.ds(1, nzp)]
+        exchange_and_apply(r_ref, u_ref, 1)
+        gamma_new, delta = allreduce2(
+            dot(r_ref, r_ref), dot(r_ref, u_ref), jax.lax.rem(k, jnp.asarray(2, k.dtype))
+        )
+        beta = gamma_new / gamma
+        alpha_new = gamma_new / (delta - beta * gamma_new / alpha)
+        p_ref[pl.ds(1, nzp)] = r_ref[pl.ds(1, nzp)] + beta * p_ref[pl.ds(1, nzp)]
+        s_ref[pl.ds(1, nzp)] = u_ref[pl.ds(1, nzp)] + beta * s_ref[pl.ds(1, nzp)]
+        return (k + 1, gamma_new, alpha_new, gamma)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    k, gamma, alpha, gamma_top = jax.lax.while_loop(
+        cond, body, (k0, gamma0, alpha0, gamma0)
+    )
+    x_out[:] = x_ref[pl.ds(1, nzp)]
+    stats_ref[0, 0] = jnp.sqrt(gamma_top)
+    stats_ref[0, 1] = gamma_top
+    stats_ref[0, 2] = (k - 1).astype(dtype)
+
+
+def cg_collective_padded(
+    op_local: StencilOperator,
+    b_pad: jax.Array,
+    x0_pad: jax.Array,
+    *,
+    ndev: int,
+    axis: str = "z",
+    max_iter: int,
+    tolerance: float = 0.0,
+    interpret: bool = False,
+):
+    """Per-shard whole-solve call; MUST run inside shard_map over `axis`.
+
+    b_pad/x0_pad: this shard's (nzp, ny_pad, nx_pad) padded block (op_local
+    holds the local dims). Returns (x_pad, trace, stats)."""
+    nzp, ny_pad, nx_pad = padded_dims(op_local, b_pad.dtype, tz=1)
+    dtype = b_pad.dtype
+    assert b_pad.shape == (nzp, ny_pad, nx_pad)
+    interpret = interpret or jax.default_backend() != "tpu"
+    if interpret:
+        # interpret=True engages a simple interpreter whose cross-device
+        # RDMA emulation silently drops asymmetric transfers; the full TPU
+        # interpreter (with cross-device shared memory and on-wait DMA
+        # semantics) requires an explicit InterpretParams
+        interpret = pltpu.InterpretParams(
+            dma_execution_mode="on_wait", detect_races=DETECT_RACES
+        )
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            "float64 is not supported by Mosaic TPU kernels; use the XLA "
+            "backends on TPU, or CPU for f64 parity runs"
+        )
+    vec = jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype)
+    gvec = pltpu.VMEM((nzp + 2, ny_pad, nx_pad), dtype)
+    return pl.pallas_call(
+        partial(
+            _kernel,
+            op=op_local,
+            ndev=ndev,
+            axis=axis,
+            max_iter=max_iter,
+            tolerance=tolerance,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            vec,
+            jax.ShapeDtypeStruct((max(max_iter, 1), LANE), dtype),
+            jax.ShapeDtypeStruct((1, 4), dtype),
+        ),
+        scratch_shapes=[
+            gvec,  # x
+            gvec,  # r
+            gvec,  # p
+            gvec,  # s = A p
+            gvec,  # u = A r
+            pltpu.VMEM((2, max(ndev, 1), LANE), dtype),  # allreduce partials
+            pltpu.SemaphoreType.DMA((2,)),  # halo sends
+            pltpu.SemaphoreType.DMA((2, 2)),  # halo recvs (phase, direction)
+            pltpu.SemaphoreType.DMA((1,)),  # allreduce sends
+            pltpu.SemaphoreType.DMA((2,)),  # allreduce recvs (parity)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(b_pad, x0_pad)

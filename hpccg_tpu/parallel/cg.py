@@ -183,6 +183,46 @@ def make_distributed_cg(
     if method != "cg":
         raise ValueError(f"unknown CG method {method!r}")
 
+    if backend == "collective":
+        # the whole multi-chip solve is ONE Pallas call per shard: in-kernel
+        # RDMA halo exchange + in-kernel scalar allreduce, zero XLA dispatch
+        # per iteration (ops/pallas/collective_kernel.py)
+        from hpccg_tpu.ops.pallas.collective_kernel import cg_collective_padded
+        from hpccg_tpu.ops.pallas.stencil_v2 import (
+            pad_plane3,
+            unpad_plane3,
+        )
+
+        ndev = mesh.shape[axis]
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            check_vma=False,
+        )
+        def solve_collective(b, x0):
+            x_pad, trace, stats = cg_collective_padded(
+                op_local,
+                pad_plane3(op_local, b, 1),
+                pad_plane3(op_local, x0, 1),
+                ndev=ndev,
+                axis=axis,
+                max_iter=max_iter,
+                tolerance=tolerance,
+            )
+            return CGResult(
+                x=unpad_plane3(op_local, x_pad),
+                niters=stats[0, 2].astype(jnp.int32),
+                normr=stats[0, 0],
+                rtrans=stats[0, 1],
+                trace=trace[:, 0],
+            )
+
+        return solve_collective
+
     if backend == "pallas":
         from hpccg_tpu.ops.pallas.stencil_v2 import (
             pad_plane3,
