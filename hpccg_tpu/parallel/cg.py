@@ -120,9 +120,11 @@ def make_distributed_cg(
         # shard's CG state VMEM-resident around it (cf. resolve_backend)
         backend = "pallas"
 
-    if method == "cg1":
+    if method == "cg1" and backend != "collective":
         # single-reduction CG: the iteration's two allreduces collapse into
-        # one psum of a stacked 2-vector (Chronopoulos-Gear; PAPERS.md)
+        # one psum of a stacked 2-vector (Chronopoulos-Gear; PAPERS.md).
+        # (backend="collective" falls through: its in-kernel allreduce IS
+        # the single-reduction recurrence.)
         from hpccg_tpu.solver import cg_solve_single_reduction
 
         def pdot2(p1, p2):
