@@ -50,12 +50,18 @@ def _matvec_full(u: jax.Array, valid: jax.Array, nx: int, ny: int, stencil: Sten
     keeps the padding exactly zero (z-pad planes see real neighbors below)."""
     nzp = u.shape[0]
     if stencil == Stencil.S27:
-        xy = _sum3_y(_sum3_x(u, nx), ny)
+        xy = _sum3_y(_sum3_x(u, nx, force_mask=True), ny)
         zp = jnp.pad(xy, ((1, 1), (0, 0), (0, 0)))
         s = zp[0:nzp] + xy + zp[2 : nzp + 2]
     else:
         zp = jnp.pad(u, ((1, 1), (0, 0), (0, 0)))
-        s = _sum3_x(u, nx) + _sum3_y(u, ny) - u + zp[0:nzp] + zp[2 : nzp + 2]
+        s = (
+            _sum3_x(u, nx, force_mask=True)
+            + _sum3_y(u, ny)
+            - u
+            + zp[0:nzp]
+            + zp[2 : nzp + 2]
+        )
     return ((DIAG_VALUE - OFFDIAG_VALUE) * u + OFFDIAG_VALUE * s) * valid
 
 

@@ -26,6 +26,8 @@ CASES = [
     ((20, 12, 8), Stencil.S27),  # nz not a multiple of 8 -> z-padding path
     ((8, 12, 20), Stencil.S7),
     ((5, 3, 9), Stencil.S27),  # tiny, very unaligned
+    ((128, 2, 3), Stencil.S27),  # nx == lane width exactly: masked-roll path
+    ((128, 3, 2), Stencil.S7),
 ]
 
 
