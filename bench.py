@@ -56,7 +56,7 @@ def main():
     ap.add_argument("--stencil", type=int, default=27, choices=[7, 27])
     ap.add_argument("--max-iter", type=int, default=150)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=7)
     ap.add_argument(
         "--backend",
         default="auto",
@@ -101,7 +101,7 @@ def main():
     # tunnel, unrepresentative of sustained/pipelined serving throughput)
     # cancels between the two run lengths. The spread must be large enough
     # that the marginal work rises well above the few-ms dispatch jitter.
-    k1, k2 = 64, max(args.max_iter - 1, 4096)
+    k1, k2 = 64, max(args.max_iter - 1, 8192)
     t1, _ = timed(k1 + 1)
     t2, res_long = timed(k2 + 1)
     assert int(res_long.niters) == k2, (int(res_long.niters), k2)
