@@ -31,7 +31,7 @@ def main(argv=None) -> int:
     ap.add_argument("--global-nz", type=int, default=1024, help="strong: global nz")
     ap.add_argument("--stencil", type=int, default=27, choices=[27, 7])
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--backend", default="auto", choices=["auto", "pallas"])
+    ap.add_argument("--backend", default="auto", choices=["auto", "pallas", "collective"], help="collective = whole-solve kernel with in-kernel RDMA halo + allreduce")
     ap.add_argument("--iters", type=int, default=64, help="slope-timing base iterations")
     ap.add_argument("--platform", default=None, help="cpu to force virtual devices")
     args = ap.parse_args(argv)
