@@ -179,11 +179,18 @@ def main(argv=None) -> int:
         path = dump_matlab(args.dump_matlab, prob.A)
         print(f"# wrote {path}", file=sys.stderr)
 
-    if args.validate and args.mesh <= 1:
-        from hpccg_tpu.utils.checks import validate_problem
+    if args.validate:
+        if args.mesh <= 1:
+            from hpccg_tpu.utils.checks import validate_problem
 
-        findings = validate_problem(prob)
-        print(f"# problem validated: {findings}", file=sys.stderr)
+            findings = validate_problem(prob)
+            print(f"# problem validated: {findings}", file=sys.stderr)
+        else:
+            print(
+                "# --validate: pre-solve invariant checks run single-device "
+                "only; post-solve finiteness check still applies",
+                file=sys.stderr,
+            )
 
     # --- solve (compile excluded from the timed run, like the reference's
     # post-setup chrono window, main.cpp:189-197) ---

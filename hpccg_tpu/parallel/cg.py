@@ -182,18 +182,31 @@ def make_distributed_cg(
             )
 
         return solve_cg1
-    if method != "cg":
+    if method not in ("cg", "cg1"):
         raise ValueError(f"unknown CG method {method!r}")
+    # (method == "cg1" with backend == "collective" reaches here and falls
+    # through: the collective kernel's in-kernel allreduce IS cg1)
 
     if backend == "collective":
         # the whole multi-chip solve is ONE Pallas call per shard: in-kernel
         # RDMA halo exchange + in-kernel scalar allreduce, zero XLA dispatch
         # per iteration (ops/pallas/collective_kernel.py)
-        from hpccg_tpu.ops.pallas.collective_kernel import cg_collective_padded
+        from hpccg_tpu.ops.pallas.collective_kernel import (
+            cg_collective_padded,
+            fits_collective_vmem,
+        )
         from hpccg_tpu.ops.pallas.stencil_v2 import (
             pad_plane3,
             unpad_plane3,
         )
+
+        if not fits_collective_vmem(op_local, cfg_local.dtype):
+            raise ValueError(
+                "backend='collective' pins 5 guarded shard vectors in VMEM; "
+                f"a {cfg_local.nx}x{cfg_local.ny}x{cfg_local.nz} shard at "
+                f"{jnp.dtype(cfg_local.dtype).name} does not fit — use "
+                "backend='pallas' (streaming halo) or smaller shards"
+            )
 
         ndev = mesh.shape[axis]
 

@@ -236,19 +236,23 @@ def cg_solve_fused(
 def resolve_backend(A, backend: str = "auto") -> str:
     """Map backend="auto" to the fastest measured backend for this problem.
 
-    Measured on v5e (f32, PERF.md): the whole-solve megakernel wins while the
-    5 solve vectors fit VMEM (~<=128^3); the XLA stencil path wins the
-    mid-range where XLA still keeps most state VMEM-resident (200^3: 790 vs
-    1003 us/iter); the streaming Pallas kernel wins once truly HBM-resident
-    (256^3: 1390 vs 2311 us/iter). On CPU (tests/parity) and for f64 (no
-    Mosaic f64) auto stays on the XLA stencil path.
+    Measured on v5e (f32, PERF.md): the whole-solve megakernel wins while
+    the 5 solve vectors fit VMEM (~<=128^3); the streaming whole-solve
+    kernel (r/p pinned, x DMA-streamed) wins while 2 vectors fit
+    (~<=200^3: 207 us/iter vs 790 XLA / 1003 pallas); the XLA stencil path
+    covers the remaining band where it keeps most state VMEM-resident; the
+    streaming Pallas kernel wins once truly HBM-resident (256^3: 1390 vs
+    2311 us/iter). On CPU (tests/parity) and for f64 (no Mosaic f64) auto
+    stays on the XLA stencil path.
     """
     from hpccg_tpu.operators import StencilOperator
 
+    if not isinstance(A, StencilOperator):
+        # explicit matrices (ELL/DIA) dispatch through spmv(); whole-solve
+        # kernel names are stencil-only — fall back rather than crash
+        return "auto"
     if backend != "auto":
         return backend
-    if not isinstance(A, StencilOperator):
-        return "auto"  # spmv() dispatches EllMatrix/DiaMatrix natively
     if jax.default_backend() != "tpu" or jnp.dtype(A.dtype).itemsize != 4:
         return "stencil"
     from hpccg_tpu.ops.pallas.megakernel import fits_vmem

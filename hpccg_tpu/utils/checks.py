@@ -53,7 +53,9 @@ def validate_problem(prob, *, rtol: float = 1e-6) -> dict:
     vau = float(jnp.vdot(v, spmv(A, u)))
     scale = float(jnp.linalg.norm(u) * jnp.linalg.norm(av)) or 1.0
     sym_err = abs(uav - vau) / scale
-    sym_rtol = 1e-5 if jnp.dtype(b.dtype).itemsize <= 4 else rtol
+    # tolerance scales with the dtype's precision (bf16's eps is ~7.8e-3;
+    # a fixed f32-ish bound would reject pristine bf16 problems)
+    sym_rtol = max(rtol, 100 * float(jnp.finfo(b.dtype).eps))
     _require(sym_err <= sym_rtol, f"A not symmetric (rel err {sym_err:.3g})")
 
     return {"b_residual": err, "symmetry_rel_err": sym_err}

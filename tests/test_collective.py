@@ -57,5 +57,9 @@ def test_collective_race_free(monkeypatch):
 
     from jax._src.pallas.mosaic.interpret import interpret_pallas_call as _ipc
 
-    if getattr(_ipc, "races", None) is not None:
-        assert not _ipc.races.races_found
+    # fail loudly if the (private) detector hook moved — a silent skip would
+    # green-light the kernel's central race-freedom claim unchecked
+    assert getattr(_ipc, "races", None) is not None, (
+        "jax race-detector internals moved; update this test"
+    )
+    assert not _ipc.races.races_found
