@@ -213,6 +213,87 @@ def spmv_padded_v2(
     )(halo, u, u, u)
 
 
+def _kernel_pap(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, pap_ref, *, tz, nx, ny, nz, stencil):
+    """Stencil kernel + in-flight p.Ap partial: the reduction accumulates in
+    SMEM across (sequential) grid steps while the blocks are in VMEM — the
+    standalone pAp dot at HBM-resident sizes would re-read both vectors."""
+    i = pl.program_id(0)
+    _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, tz=tz, nx=nx, ny=ny, nz=nz, stencil=stencil)
+
+    @pl.when(i == 0)
+    def _():
+        pap_ref[0, 0] = jnp.asarray(0.0, mid_ref.dtype)
+
+    pap_ref[0, 0] += jnp.sum(mid_ref[:] * out_ref[:])
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def spmv_padded_v2_pap(
+    op: StencilOperator,
+    u: jax.Array,
+    halo=None,
+    interpret: bool = False,
+    tz: int | None = None,
+):
+    """(A @ x, x . (A @ x)) in one pass over the padded layout.
+
+    Same traffic as spmv_padded_v2 but the p.Ap reduction comes for free
+    (padding contributes zero: out blocks are valid-masked). The grid must
+    run sequentially ("arbitrary") for the SMEM accumulation — measured
+    within noise of the parallel-semantics pipeline on v5e."""
+    nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
+    dtype = u.dtype
+    assert u.shape == (nzp, ny_pad, nx_pad), (u.shape, (nzp, ny_pad, nx_pad))
+    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, dtype.itemsize)
+    nzb = nzp // tz
+    if halo is None:
+        halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
+    interpret = interpret or jax.default_backend() != "tpu"
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            "float64 is not supported by Mosaic TPU kernels; use the XLA "
+            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
+        )
+
+    y, pap = pl.pallas_call(
+        partial(_kernel_pap, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),
+        grid=(nzb,),
+        in_specs=[
+            pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ny_pad, nx_pad),
+                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ny_pad, nx_pad),
+                lambda i: (jnp.minimum(i * tz + tz, nzb * tz - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (op.stencil.value + 1) * op.local_nrow,
+            bytes_accessed=2 * nzp * ny_pad * nx_pad * dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(halo, u, u, u)
+    return y, pap[0, 0]
+
+
 def spmv_stencil_pallas_v2(
     op: StencilOperator, x: jax.Array, interpret: bool = False, tz: int | None = None
 ) -> jax.Array:

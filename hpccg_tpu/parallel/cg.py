@@ -241,10 +241,12 @@ def make_distributed_cg(
     if backend == "pallas":
         from hpccg_tpu.ops.pallas.stencil_v2 import (
             pad_plane3,
-            spmv_padded_v2,
             unpad_plane3,
         )
-        from hpccg_tpu.parallel.halo import stencil_matvec_halo_pallas_v2
+        from hpccg_tpu.parallel.halo import (
+            stencil_matvec_halo_pallas_v2,
+            stencil_matvec_halo_pallas_v2_pap,
+        )
 
         @jax.jit
         @partial(
@@ -265,6 +267,10 @@ def make_distributed_cg(
                 max_iter=max_iter,
                 tolerance=tolerance,
                 dot=pdot,
+                matvec_pap=lambda v: stencil_matvec_halo_pallas_v2_pap(
+                    op_local, v, axis
+                ),
+                pap_reduce=lambda s: jax.lax.psum(s, axis),
             )
             return CGResult(
                 x=unpad_plane3(op_local, res.x),

@@ -156,3 +156,27 @@ def stencil_matvec_halo_pallas_v2(
         )
         halo = jnp.stack([below, above])
     return spmv_padded_v2(op, u_pad, halo)
+
+
+def stencil_matvec_halo_pallas_v2_pap(
+    op: StencilOperator,
+    u_pad: jax.Array,
+    axis_name: str = "z",
+):
+    """Like stencil_matvec_halo_pallas_v2 but returns (Ap, local p.Ap
+    partial) from the fused kernel (caller psums the partial)."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import spmv_padded_v2_pap
+
+    n = jax.lax.axis_size(axis_name)
+    nz = op.nz
+    if n == 1:
+        halo = None
+    else:
+        below = jax.lax.ppermute(
+            u_pad[nz - 1], axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        above = jax.lax.ppermute(
+            u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+        halo = jnp.stack([below, above])
+    return spmv_padded_v2_pap(op, u_pad, halo)
