@@ -56,9 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--method",
         default="cg",
-        choices=["cg", "cg1"],
+        choices=["cg", "cg1", "pipecg"],
         help="cg: the reference recurrence (2 reductions/iter); cg1: "
-        "Chronopoulos-Gear single-reduction CG (1 fused psum/iter)",
+        "Chronopoulos-Gear single-reduction CG (1 fused psum/iter); pipecg: "
+        "Ghysels-Vanroose pipelined CG (the psum overlaps the SpMV)",
     )
     ap.add_argument("--report-file", action="store_true", help="also write the timestamped .yaml")
     ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")

@@ -120,12 +120,16 @@ def make_distributed_cg(
         # shard's CG state VMEM-resident around it (cf. resolve_backend)
         backend = "pallas"
 
-    if method == "cg1" and backend != "collective":
-        # single-reduction CG: the iteration's two allreduces collapse into
-        # one psum of a stacked 2-vector (Chronopoulos-Gear; PAPERS.md).
-        # (backend="collective" falls through: its in-kernel allreduce IS
-        # the single-reduction recurrence.)
-        from hpccg_tpu.solver import cg_solve_single_reduction
+    if method in ("cg1", "pipecg") and backend != "collective":
+        # one-reduction CG variants: the iteration's two allreduces collapse
+        # into one psum of a stacked 2-vector (cg1, Chronopoulos-Gear), and
+        # pipecg additionally overlaps that psum with the SpMV
+        # (Ghysels-Vanroose; PAPERS.md).
+        from hpccg_tpu.solver import cg_solve_pipelined, cg_solve_single_reduction
+
+        solver_fn = (
+            cg_solve_single_reduction if method == "cg1" else cg_solve_pipelined
+        )
 
         def pdot2(p1, p2):
             tot = jax.lax.psum(
@@ -145,8 +149,8 @@ def make_distributed_cg(
                 out_specs=_result_specs(P(axis)),
                 check_vma=False,
             )
-            def solve_cg1_pallas(b, x0):
-                res = cg_solve_single_reduction(
+            def solve_1red_pallas(b, x0):
+                res = solver_fn(
                     lambda v: stencil_matvec_halo_pallas_v2(op_local, v, axis),
                     pad_plane3(op_local, b),
                     pad_plane3(op_local, x0),
@@ -162,7 +166,7 @@ def make_distributed_cg(
                     trace=res.trace,
                 )
 
-            return solve_cg1_pallas
+            return solve_1red_pallas
 
         @jax.jit
         @partial(
@@ -171,8 +175,8 @@ def make_distributed_cg(
             in_specs=(P(axis), P(axis)),
             out_specs=_result_specs(P(axis)),
         )
-        def solve_cg1(b, x0):
-            return cg_solve_single_reduction(
+        def solve_1red(b, x0):
+            return solver_fn(
                 lambda v: stencil_matvec_halo(op_local, v, axis),
                 b,
                 x0,
@@ -181,11 +185,11 @@ def make_distributed_cg(
                 dot2=pdot2,
             )
 
-        return solve_cg1
-    if method not in ("cg", "cg1"):
+        return solve_1red
+    if method not in ("cg", "cg1", "pipecg"):
         raise ValueError(f"unknown CG method {method!r}")
-    # (method == "cg1" with backend == "collective" reaches here and falls
-    # through: the collective kernel's in-kernel allreduce IS cg1)
+    # (a one-reduction method with backend == "collective" reaches here and
+    # falls through: the collective kernel's in-kernel allreduce IS cg1)
 
     if backend == "collective":
         # the whole multi-chip solve is ONE Pallas call per shard: in-kernel

@@ -190,6 +190,74 @@ def cg_solve_single_reduction(
     )
 
 
+def cg_solve_pipelined(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    dot2: Optional[Callable] = None,
+) -> CGResult:
+    """Ghysels–Vanroose pipelined CG: the iteration's single fused reduction
+    overlaps the SpMV (arXiv 2105.06176 and the communication-hiding CG
+    literature; PAPERS.md).
+
+    Maintains w = A r, s = A p, z = A s by recurrences, so the one SpMV per
+    iteration (q = A w) carries NO data dependency on that iteration's
+    (gamma, delta) reduction — inside the jitted loop XLA's scheduler can run
+    the psum concurrently with the matvec, hiding allreduce latency entirely
+    on a mesh. Costs three extra carried vectors and three extra axpys vs
+    cg1; in floating point the recurrences drift from true residuals
+    somewhat faster than standard CG (same trajectory to ~1e-5 over typical
+    run lengths; deep-convergence parity runs should use method="cg").
+    """
+    if dot2 is None:
+        def dot2(p1, p2):
+            return jnp.vdot(*p1), jnp.vdot(*p2)
+
+    dtype = b.dtype
+    tol = jnp.asarray(tolerance, dtype)
+
+    r = b - matvec(x0)
+    w = matvec(r)
+    gamma, delta = dot2((r, r), (w, r))
+    normr0 = jnp.sqrt(gamma)
+    trace0 = jnp.full((max(max_iter, 1),), jnp.nan, dtype).at[0].set(normr0)
+    q = matvec(w)
+    alpha = gamma / delta
+    p, s, z = r, w, q
+
+    # same delayed-exit semantics as cg1: the reference's loop condition and
+    # exit normr test the body-top rtrans (HPCCG.cpp:358,371)
+    def cond(c):
+        k, x, r, w, p, s, z, gamma, alpha, gamma_top, trace = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
+
+    def body(c):
+        k, x, r, w, p, s, z, gamma, alpha, _, trace = c
+        trace = trace.at[k].set(jnp.sqrt(gamma))
+        x = x + alpha * p
+        r = r - alpha * s
+        w = w - alpha * z
+        gamma_new, delta = dot2((r, r), (w, r))
+        q = matvec(w)  # independent of the in-flight reduction -> overlaps
+        beta = gamma_new / gamma
+        alpha = gamma_new / (delta - beta * gamma_new / alpha)
+        p = r + beta * p
+        s = w + beta * s
+        z = q + beta * z
+        return (k + 1, x, r, w, p, s, z, gamma_new, alpha, gamma, trace)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    carry = (k0, x0, r, w, p, s, z, gamma, alpha, gamma, trace0)
+    out = jax.lax.while_loop(cond, body, carry)
+    k, x, r, w, p, s, z, gamma, alpha, gamma_top, trace = out
+    return CGResult(
+        x=x, niters=k - 1, normr=jnp.sqrt(gamma_top), rtrans=gamma_top, trace=trace
+    )
+
+
 def cg_solve_fused(
     op,
     b_pad: jax.Array,
@@ -302,17 +370,22 @@ def make_cg(
 
     backend = resolve_backend(A, backend)
 
-    if method == "cg1":
-        # single-reduction CG rides the pallas-v2 layout or the XLA path
-        if backend in ("pallas", "megakernel") and isinstance(A, StencilOperator):
+    if method in ("cg1", "pipecg"):
+        solver_fn = (
+            cg_solve_single_reduction if method == "cg1" else cg_solve_pipelined
+        )
+        # one-reduction variants ride the pallas-v2 layout or the XLA path
+        if backend in ("pallas", "megakernel", "streamkernel") and isinstance(
+            A, StencilOperator
+        ):
             from hpccg_tpu.ops.pallas.stencil_v2 import (
                 pad_plane3,
                 spmv_padded_v2,
                 unpad_plane3,
             )
 
-            def solve_cg1_pallas(b, x0):
-                res = cg_solve_single_reduction(
+            def solve_1red_pallas(b, x0):
+                res = solver_fn(
                     lambda v: spmv_padded_v2(A, v),
                     pad_plane3(A, b),
                     pad_plane3(A, x0),
@@ -327,10 +400,10 @@ def make_cg(
                     trace=res.trace,
                 )
 
-            return jax.jit(solve_cg1_pallas)
+            return jax.jit(solve_1red_pallas)
 
         return jax.jit(
-            lambda b, x0: cg_solve_single_reduction(
+            lambda b, x0: solver_fn(
                 lambda v: spmv(A, v, backend=backend if backend in ("auto", "stencil", "ell") else "auto"),
                 b,
                 x0,

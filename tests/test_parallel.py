@@ -133,3 +133,26 @@ def test_distributed_single_reduction_cg():
         t1 = np.asarray(r1.trace)
         np.testing.assert_allclose(t1[good], t0[good], rtol=1e-6)
         assert float(compute_residual(r1.x, prob.xexact)) < 1e-10
+
+
+def test_distributed_pipelined_cg():
+    import numpy as np
+
+    from hpccg_tpu import ProblemConfig
+    from hpccg_tpu.ops.vector import compute_residual
+    from hpccg_tpu.parallel import make_mesh
+    from hpccg_tpu.parallel.cg import generate_problem_sharded, make_distributed_cg
+
+    cfg = ProblemConfig(6, 5, 4)
+    mesh = make_mesh(4)
+    prob = generate_problem_sharded(cfg, mesh)
+    r0 = make_distributed_cg(cfg, mesh, max_iter=30)(prob.b, prob.x0)
+    t0 = np.asarray(r0.trace)
+    good = t0 > 1e-8 * t0[0]
+    for backend in ("auto", "pallas"):
+        r1 = make_distributed_cg(
+            cfg, mesh, max_iter=30, method="pipecg", backend=backend
+        )(prob.b, prob.x0)
+        t1 = np.asarray(r1.trace)
+        np.testing.assert_allclose(t1[good], t0[good], rtol=1e-5)
+        assert float(compute_residual(r1.x, prob.xexact)) < 1e-9

@@ -121,3 +121,28 @@ def test_single_reduction_cg_early_exit():
     assert int(res.niters) == int(rs.niters)
     np.testing.assert_allclose(float(res.normr), float(rs.normr), rtol=1e-6)
     assert int(res.niters) < 499
+
+
+def test_pipelined_cg_matches_standard():
+    """Ghysels-Vanroose pipelined CG: same trajectory to rounding over
+    typical run lengths (recurrence drift grows with iteration count)."""
+    cfg = ProblemConfig(12, 10, 9)
+    prob = generate_problem(cfg)
+    r1 = make_cg(prob.A, max_iter=40, method="pipecg")(prob.b, prob.x0)
+    r0 = make_cg(prob.A, max_iter=40)(prob.b, prob.x0)
+    assert int(r1.niters) == int(r0.niters)
+    t1, t0 = np.asarray(r1.trace), np.asarray(r0.trace)
+    good = t0 > 1e-8 * t0[0]
+    np.testing.assert_allclose(t1[good], t0[good], rtol=1e-5)
+    assert float(compute_residual(r1.x, prob.xexact)) < 1e-9
+
+
+def test_pipelined_cg_early_exit():
+    cfg = ProblemConfig(8, 8, 8)
+    prob = generate_problem(cfg)
+    res = make_cg(prob.A, max_iter=500, tolerance=1e-8, method="pipecg")(
+        prob.b, prob.x0
+    )
+    rs = make_cg(prob.A, max_iter=500, tolerance=1e-8)(prob.b, prob.x0)
+    assert abs(int(res.niters) - int(rs.niters)) <= 1  # recurrence drift
+    assert float(res.normr) <= 1e-8
