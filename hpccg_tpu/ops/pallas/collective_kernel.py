@@ -345,3 +345,305 @@ def cg_collective_padded(
         ),
         interpret=interpret,
     )(b_pad, x0_pad)
+
+
+# ---------------------------------------------------------------------------
+# Communication-hiding variant: pipelined CG (Ghysels-Vanroose) with the
+# in-kernel allreduce overlapped by the stencil apply
+# ---------------------------------------------------------------------------
+
+
+def fits_collective_pipelined_vmem(
+    op: StencilOperator, dtype=None, budget: int = VMEM_LIMIT
+) -> bool:
+    """7 pinned vectors (x,r,w,p,s,z,q) + stencil temporaries."""
+    nzp, ny_pad, nx_pad = padded_dims(op, dtype or op.dtype, tz=1)
+    vec = nzp * ny_pad * nx_pad * jnp.dtype(dtype or op.dtype).itemsize
+    return 9 * vec <= budget
+
+
+def _kernel_pipelined(
+    b_ref,
+    x0_ref,
+    x_out,
+    trace_ref,
+    stats_ref,
+    x_ref,
+    r_ref,
+    w_ref,
+    p_ref,
+    s_ref,
+    z_ref,
+    q_ref,
+    hbuf,  # (5, 2, ny_pad, nx_pad) halo landing zones by phase:
+    #   0 = init x0 exchange, 1 = init r, 2 = init w, 3/4 = loop parity.
+    #   Separate buffers (NOT in-place guard rows) so a fast peer's NEXT
+    #   exchange can never overwrite a slab being read: consecutive loop
+    #   exchanges alternate parity, and slot reuse at k+2 is ordered by the
+    #   k+1 allreduce wait.
+    allbuf,  # (2, ndev, LANE) partials, parity slots (see _kernel)
+    halo_send,  # (2,) DMA sems [down, up]
+    halo_recv,  # (5, 2) DMA sems [phase, from-below/from-above]
+    all_send,  # (1,)
+    all_recv,  # (2,) parity
+    *,
+    op: StencilOperator,
+    ndev: int,
+    axis: str,
+    max_iter: int,
+    tolerance: float,
+):
+    dtype = b_ref.dtype
+    nx, ny, nz = op.nx, op.ny, op.nz
+    nzp, ny_pad, nx_pad = b_ref.shape
+    tol = jnp.asarray(tolerance, dtype)
+    my = jax.lax.axis_index(axis) if ndev > 1 else jnp.asarray(0, jnp.int32)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad, 1), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nzp, 1, 1), 0)
+    valid = ((ix < nx) & (iy < ny) & (iz < nz)).astype(dtype)
+
+    def _send_down(v_ref, phase):
+        # my first real plane -> below-neighbor's "from above" landing row
+        return pltpu.make_async_remote_copy(
+            src_ref=v_ref.at[pl.ds(0, 1)],
+            dst_ref=hbuf.at[phase, pl.ds(1, 1)],
+            send_sem=halo_send.at[0],
+            recv_sem=halo_recv.at[phase, 1],
+            device_id=my - 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def _send_up(v_ref, phase):
+        # my last real plane -> above-neighbor's "from below" landing row
+        return pltpu.make_async_remote_copy(
+            src_ref=v_ref.at[pl.ds(nz - 1, 1)],
+            dst_ref=hbuf.at[phase, pl.ds(0, 1)],
+            send_sem=halo_send.at[1],
+            recv_sem=halo_recv.at[phase, 0],
+            device_id=my + 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def exchange_start(v_ref, phase):
+        if ndev == 1:
+            return
+        # true-boundary landing rows stay zero (zeroed once at kernel start)
+        @pl.when(my > 0)
+        def _():
+            _send_down(v_ref, phase).start()
+
+        @pl.when(my < ndev - 1)
+        def _():
+            _send_up(v_ref, phase).start()
+
+    def exchange_wait(v_ref, phase):
+        if ndev == 1:
+            return
+        @pl.when(my > 0)
+        def _():
+            _send_down(v_ref, phase).wait_send()
+
+        @pl.when(my < ndev - 1)
+        def _():
+            _send_up(v_ref, phase).wait_send()
+
+        @pl.when(my < ndev - 1)
+        def _():
+            _send_down(v_ref, phase).wait_recv()
+
+        @pl.when(my > 0)
+        def _():
+            _send_up(v_ref, phase).wait_recv()
+
+    def apply(v_ref, out_ref, phase):
+        """out = A @ v using the phase's landing rows as z-halo planes.
+        Callers must have completed exchange_wait(v_ref, phase)."""
+        u = jnp.concatenate(
+            [hbuf[phase, 0:1], v_ref[:], hbuf[phase, 1:2]], axis=0
+        )
+        out_ref[:] = _stencil_slab(u, nx, ny, op.stencil) * valid
+
+    def dot(a_ref, b2_ref):
+        return jnp.sum(a_ref[pl.ds(0, nz)] * b2_ref[pl.ds(0, nz)])
+
+    def _bcast(d, slot):
+        return pltpu.make_async_remote_copy(
+            src_ref=allbuf.at[slot, pl.ds(my, 1)],
+            dst_ref=allbuf.at[slot, pl.ds(my, 1)],
+            send_sem=all_send.at[0],
+            recv_sem=all_recv.at[slot],
+            device_id=jnp.asarray(d, jnp.int32),
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def allreduce_start(g_local, d_local, slot):
+        if ndev == 1:
+            return
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        mine = jnp.where(
+            lane == 0, g_local, jnp.where(lane == 1, d_local, 0.0)
+        ).astype(dtype)
+        allbuf[slot, pl.ds(my, 1)] = mine
+        for d in range(ndev):
+            @pl.when(my != d)
+            def _(d=d):
+                _bcast(d, slot).start()
+
+    def allreduce_wait(g_local, d_local, slot):
+        if ndev == 1:
+            return g_local, d_local
+        for d in range(ndev):
+            @pl.when(my != d)
+            def _(d=d):
+                _bcast(d, slot).wait_send()
+                _bcast(d, slot).wait_recv()
+        tot = jnp.sum(allbuf[slot], axis=0, keepdims=True)
+        return tot[0, 0], tot[0, 1]
+
+    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
+    # Zero ONLY the landing rows that stay zero (true domain boundaries,
+    # which no peer ever writes). Blanket-zeroing would race a fast peer's
+    # first halo write; every other row is RDMA-written before it is read,
+    # ordered by the matching wait_recv.
+    zero_row = jnp.zeros((1, ny_pad, nx_pad), dtype)
+    for ph in range(5):
+        @pl.when(my == 0)
+        def _(ph=ph):
+            hbuf[ph, pl.ds(0, 1)] = zero_row
+
+        @pl.when(my == ndev - 1)
+        def _(ph=ph):
+            hbuf[ph, pl.ds(1, 1)] = zero_row
+
+    # --- init (no overlap; the allreduce orders the phases for the loop) ---
+    x_ref[:] = x0_ref[:] * valid
+    exchange_start(x_ref, 0)
+    exchange_wait(x_ref, 0)
+    apply(x_ref, q_ref, 0)  # q as scratch: A x0
+    r_ref[:] = b_ref[:] * valid - q_ref[:]
+    exchange_start(r_ref, 1)
+    exchange_wait(r_ref, 1)
+    apply(r_ref, w_ref, 1)  # w = A r
+    gamma_l, delta_l = dot(r_ref, r_ref), dot(w_ref, r_ref)
+    exchange_start(w_ref, 2)
+    exchange_wait(w_ref, 2)
+    apply(w_ref, q_ref, 2)  # q = A w
+    allreduce_start(gamma_l, delta_l, 0)
+    gamma0, delta0 = allreduce_wait(gamma_l, delta_l, 0)
+    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), dtype)
+    alpha0 = gamma0 / delta0
+    p_ref[:] = r_ref[:]
+    s_ref[:] = w_ref[:]
+    z_ref[:] = q_ref[:]
+
+    # carry: (k, gamma, alpha, gamma_top) — delayed-exit semantics as cg1
+    def cond(c):
+        k, gamma, alpha, gamma_top = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
+
+    def body(c):
+        k, gamma, alpha, _ = c
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), jnp.sqrt(gamma), dtype)
+        x_ref[:] = x_ref[:] + alpha * p_ref[:]
+        r_ref[:] = r_ref[:] - alpha * s_ref[:]
+        w_ref[:] = w_ref[:] - alpha * z_ref[:]
+        phase = 3 + jax.lax.rem(k, jnp.asarray(2, k.dtype))
+        slot = jax.lax.rem(k, jnp.asarray(2, k.dtype))
+        # halo + dots + allreduce all in flight before the stencil:
+        exchange_start(w_ref, phase)
+        gamma_l, delta_l = dot(r_ref, r_ref), dot(w_ref, r_ref)
+        allreduce_start(gamma_l, delta_l, slot)
+        exchange_wait(w_ref, phase)
+        apply(w_ref, q_ref, phase)  # q = A w — hides the allreduce
+        gamma_new, delta = allreduce_wait(gamma_l, delta_l, slot)
+        beta = gamma_new / gamma
+        alpha_new = gamma_new / (delta - beta * gamma_new / alpha)
+        p_ref[:] = r_ref[:] + beta * p_ref[:]
+        s_ref[:] = w_ref[:] + beta * s_ref[:]
+        z_ref[:] = q_ref[:] + beta * z_ref[:]
+        return (k + 1, gamma_new, alpha_new, gamma)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    k, gamma, alpha, gamma_top = jax.lax.while_loop(
+        cond, body, (k0, gamma0, alpha0, gamma0)
+    )
+    x_out[:] = x_ref[:]
+    stats_ref[0, 0] = jnp.sqrt(gamma_top)
+    stats_ref[0, 1] = gamma_top
+    stats_ref[0, 2] = (k - 1).astype(dtype)
+
+
+def cg_collective_pipelined_padded(
+    op_local: StencilOperator,
+    b_pad: jax.Array,
+    x0_pad: jax.Array,
+    *,
+    ndev: int,
+    axis: str = "z",
+    max_iter: int,
+    tolerance: float = 0.0,
+    interpret: bool = False,
+):
+    """Per-shard communication-hiding whole-solve call (pipelined CG); MUST
+    run inside shard_map over `axis`. Returns (x_pad, trace, stats)."""
+    nzp, ny_pad, nx_pad = padded_dims(op_local, b_pad.dtype, tz=1)
+    dtype = b_pad.dtype
+    assert b_pad.shape == (nzp, ny_pad, nx_pad)
+    interpret = interpret or jax.default_backend() != "tpu"
+    if interpret:
+        interpret = pltpu.InterpretParams(
+            dma_execution_mode="on_wait", detect_races=DETECT_RACES
+        )
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            "float64 is not supported by Mosaic TPU kernels; use the XLA "
+            "backends on TPU, or CPU for f64 parity runs"
+        )
+    vec = jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype)
+    svec = pltpu.VMEM((nzp, ny_pad, nx_pad), dtype)
+    return pl.pallas_call(
+        partial(
+            _kernel_pipelined,
+            op=op_local,
+            ndev=ndev,
+            axis=axis,
+            max_iter=max_iter,
+            tolerance=tolerance,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            vec,
+            jax.ShapeDtypeStruct((max(max_iter, 1), LANE), dtype),
+            jax.ShapeDtypeStruct((1, 4), dtype),
+        ),
+        scratch_shapes=[
+            svec,  # x
+            svec,  # r
+            svec,  # w = A r
+            svec,  # p
+            svec,  # s = A p
+            svec,  # z = A s
+            svec,  # q = A w
+            pltpu.VMEM((5, 2, ny_pad, nx_pad), dtype),  # halo landing zones
+            pltpu.VMEM((2, max(ndev, 1), LANE), dtype),  # allreduce partials
+            pltpu.SemaphoreType.DMA((2,)),  # halo sends
+            pltpu.SemaphoreType.DMA((5, 2)),  # halo recvs (phase, dir)
+            pltpu.SemaphoreType.DMA((1,)),  # allreduce sends
+            pltpu.SemaphoreType.DMA((2,)),  # allreduce recvs (parity)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(b_pad, x0_pad)

@@ -194,9 +194,13 @@ def make_distributed_cg(
     if backend == "collective":
         # the whole multi-chip solve is ONE Pallas call per shard: in-kernel
         # RDMA halo exchange + in-kernel scalar allreduce, zero XLA dispatch
-        # per iteration (ops/pallas/collective_kernel.py)
+        # per iteration (ops/pallas/collective_kernel.py). method="pipecg"
+        # selects the communication-hiding variant (the allreduce RDMAs fly
+        # while the stencil applies); cg/cg1 use the single-reduction kernel.
         from hpccg_tpu.ops.pallas.collective_kernel import (
             cg_collective_padded,
+            cg_collective_pipelined_padded,
+            fits_collective_pipelined_vmem,
             fits_collective_vmem,
         )
         from hpccg_tpu.ops.pallas.stencil_v2 import (
@@ -204,15 +208,22 @@ def make_distributed_cg(
             unpad_plane3,
         )
 
-        if not fits_collective_vmem(op_local, cfg_local.dtype):
+        pipelined = method == "pipecg"
+        fits = (
+            fits_collective_pipelined_vmem if pipelined else fits_collective_vmem
+        )
+        if not fits(op_local, cfg_local.dtype):
             raise ValueError(
-                "backend='collective' pins 5 guarded shard vectors in VMEM; "
+                "backend='collective' pins the shard's solve vectors in VMEM; "
                 f"a {cfg_local.nx}x{cfg_local.ny}x{cfg_local.nz} shard at "
                 f"{jnp.dtype(cfg_local.dtype).name} does not fit — use "
                 "backend='pallas' (streaming halo) or smaller shards"
             )
 
         ndev = mesh.shape[axis]
+        kernel_call = (
+            cg_collective_pipelined_padded if pipelined else cg_collective_padded
+        )
 
         @jax.jit
         @partial(
@@ -223,7 +234,7 @@ def make_distributed_cg(
             check_vma=False,
         )
         def solve_collective(b, x0):
-            x_pad, trace, stats = cg_collective_padded(
+            x_pad, trace, stats = kernel_call(
                 op_local,
                 pad_plane3(op_local, b, 1),
                 pad_plane3(op_local, x0, 1),
