@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hpccg_tpu.config import Stencil
 from hpccg_tpu.operators import StencilOperator
-from hpccg_tpu.ops.pallas.stencil_v2 import VMEM_LIMIT, padded_dims
+from hpccg_tpu.ops.pallas.stencil_v2 import VMEM_LIMIT, check_mosaic_dtype, padded_dims
 from hpccg_tpu.ops.pallas.streamkernel import _stencil_slab
 
 LANE = 128
@@ -47,6 +47,63 @@ LANE = 128
 # (SURVEY.md §5: the reference has no race tooling; here every multi-device
 # kernel path can be checked for read/write races across shards).
 DETECT_RACES = False
+
+
+def _interpret_params(interpret):
+    """interpret=True engages a simple interpreter whose cross-device RDMA
+    emulation silently drops asymmetric transfers; the full TPU interpreter
+    (cross-device shared memory, on-wait DMA semantics, optional race
+    detector) requires an explicit InterpretParams."""
+    if interpret:
+        return pltpu.InterpretParams(
+            dma_execution_mode="on_wait", detect_races=DETECT_RACES
+        )
+    return interpret
+
+
+def _allreduce_mine_row(g_local, d_local, dtype):
+    """(1, LANE) row carrying (gamma, delta) — built with iota selects
+    because .at[].set lowers to scatter, which Mosaic cannot lower."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    return jnp.where(
+        lane == 0, g_local, jnp.where(lane == 1, d_local, 0.0)
+    ).astype(dtype)
+
+
+def _allreduce_bcast(allbuf, all_send, all_recv, my, slot, d):
+    """Descriptor for broadcasting my partial row to device d (same row of
+    the same parity slot on the destination)."""
+    return pltpu.make_async_remote_copy(
+        src_ref=allbuf.at[slot, pl.ds(my, 1)],
+        dst_ref=allbuf.at[slot, pl.ds(my, 1)],
+        send_sem=all_send.at[0],
+        recv_sem=all_recv.at[slot],
+        device_id=jnp.asarray(d, jnp.int32),
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+
+
+def _allreduce_start(allbuf, all_send, all_recv, my, ndev, g_local, d_local, slot, dtype):
+    """Write my (gamma, delta) row into every peer's parity slot (ndev-1
+    RDMAs); peers' arrivals are awaited by _allreduce_finish."""
+    allbuf[slot, pl.ds(my, 1)] = _allreduce_mine_row(g_local, d_local, dtype)
+    for d in range(ndev):
+        @pl.when(my != d)
+        def _(d=d):
+            _allreduce_bcast(allbuf, all_send, all_recv, my, slot, d).start()
+
+
+def _allreduce_finish(allbuf, all_send, all_recv, my, ndev, slot):
+    """Drain my ndev-1 sends, await ndev-1 arrivals (DMA sems count bytes;
+    wait per same-shaped descriptor), and sum the slot's rows."""
+    for d in range(ndev):
+        @pl.when(my != d)
+        def _(d=d):
+            desc = _allreduce_bcast(allbuf, all_send, all_recv, my, slot, d)
+            desc.wait_send()
+            desc.wait_recv()
+    tot = jnp.sum(allbuf[slot], axis=0, keepdims=True)
+    return tot[0, 0], tot[0, 1]
 
 
 def fits_collective_vmem(
@@ -164,42 +221,13 @@ def _kernel(
         )
 
     def allreduce2(g_local, d_local, slot):
-        """Sum (gamma, delta) partials across the mesh: write my row into
-        every peer's allbuf (parity slot), wait for all peers' rows, sum."""
+        """One fused 2-scalar allreduce (start + finish back to back)."""
         if ndev == 1:
             return g_local, d_local
-        # (.at[].set lowers to scatter, which Mosaic has no TPU lowering for)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-        mine = jnp.where(
-            lane == 0, g_local, jnp.where(lane == 1, d_local, 0.0)
-        ).astype(dtype)
-        allbuf[slot, pl.ds(my, 1)] = mine
-
-        def _bcast(d):
-            return pltpu.make_async_remote_copy(
-                src_ref=allbuf.at[slot, pl.ds(my, 1)],
-                dst_ref=allbuf.at[slot, pl.ds(my, 1)],
-                send_sem=all_send.at[0],
-                recv_sem=all_recv.at[slot],
-                device_id=jnp.asarray(d, jnp.int32),
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
-
-        for d in range(ndev):
-            @pl.when(my != d)
-            def _(d=d):
-                _bcast(d).start()
-
-        # ndev-1 sends drained, ndev-1 one-row arrivals received (DMA sems
-        # count bytes; wait per same-shaped descriptor)
-        for d in range(ndev):
-            @pl.when(my != d)
-            def _(d=d):
-                _bcast(d).wait_send()
-                _bcast(d).wait_recv()
-
-        tot = jnp.sum(allbuf[slot], axis=0, keepdims=True)
-        return tot[0, 0], tot[0, 1]
+        _allreduce_start(
+            allbuf, all_send, all_recv, my, ndev, g_local, d_local, slot, dtype
+        )
+        return _allreduce_finish(allbuf, all_send, all_recv, my, ndev, slot)
 
     def dot(a_ref, b2_ref):
         # real rows only: row nz+1 holds the RDMA'd halo plane (nonzero),
@@ -268,6 +296,7 @@ def _kernel(
     stats_ref[0, 0] = jnp.sqrt(gamma_top)
     stats_ref[0, 1] = gamma_top
     stats_ref[0, 2] = (k - 1).astype(dtype)
+    stats_ref[0, 3] = jnp.asarray(0.0, dtype)  # spare slot, defined
 
 
 def cg_collective_padded(
@@ -288,20 +317,8 @@ def cg_collective_padded(
     nzp, ny_pad, nx_pad = padded_dims(op_local, b_pad.dtype, tz=1)
     dtype = b_pad.dtype
     assert b_pad.shape == (nzp, ny_pad, nx_pad)
-    interpret = interpret or jax.default_backend() != "tpu"
-    if interpret:
-        # interpret=True engages a simple interpreter whose cross-device
-        # RDMA emulation silently drops asymmetric transfers; the full TPU
-        # interpreter (with cross-device shared memory and on-wait DMA
-        # semantics) requires an explicit InterpretParams
-        interpret = pltpu.InterpretParams(
-            dma_execution_mode="on_wait", detect_races=DETECT_RACES
-        )
-    if not interpret and jnp.dtype(dtype).itemsize == 8:
-        raise ValueError(
-            "float64 is not supported by Mosaic TPU kernels; use the XLA "
-            "backends on TPU, or CPU for f64 parity runs"
-        )
+    interpret = _interpret_params(interpret or jax.default_backend() != "tpu")
+    check_mosaic_dtype(interpret, dtype)
     vec = jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype)
     gvec = pltpu.VMEM((nzp + 2, ny_pad, nx_pad), dtype)
     return pl.pallas_call(
@@ -356,10 +373,12 @@ def cg_collective_padded(
 def fits_collective_pipelined_vmem(
     op: StencilOperator, dtype=None, budget: int = VMEM_LIMIT
 ) -> bool:
-    """7 pinned vectors (x,r,w,p,s,z,q) + stencil temporaries."""
+    """Peak footprint: 7 pinned scratch vectors (x,r,w,p,s,z,q) + the three
+    b/x0/x_out I/O buffers + the per-apply concatenated halo'd slab + ~2-3
+    slab-sized stencil temporaries -> budget ~13 vector-equivalents."""
     nzp, ny_pad, nx_pad = padded_dims(op, dtype or op.dtype, tz=1)
     vec = nzp * ny_pad * nx_pad * jnp.dtype(dtype or op.dtype).itemsize
-    return 9 * vec <= budget
+    return 13 * vec <= budget
 
 
 def _kernel_pipelined(
@@ -468,39 +487,17 @@ def _kernel_pipelined(
     def dot(a_ref, b2_ref):
         return jnp.sum(a_ref[pl.ds(0, nz)] * b2_ref[pl.ds(0, nz)])
 
-    def _bcast(d, slot):
-        return pltpu.make_async_remote_copy(
-            src_ref=allbuf.at[slot, pl.ds(my, 1)],
-            dst_ref=allbuf.at[slot, pl.ds(my, 1)],
-            send_sem=all_send.at[0],
-            recv_sem=all_recv.at[slot],
-            device_id=jnp.asarray(d, jnp.int32),
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-
     def allreduce_start(g_local, d_local, slot):
         if ndev == 1:
             return
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-        mine = jnp.where(
-            lane == 0, g_local, jnp.where(lane == 1, d_local, 0.0)
-        ).astype(dtype)
-        allbuf[slot, pl.ds(my, 1)] = mine
-        for d in range(ndev):
-            @pl.when(my != d)
-            def _(d=d):
-                _bcast(d, slot).start()
+        _allreduce_start(
+            allbuf, all_send, all_recv, my, ndev, g_local, d_local, slot, dtype
+        )
 
     def allreduce_wait(g_local, d_local, slot):
         if ndev == 1:
             return g_local, d_local
-        for d in range(ndev):
-            @pl.when(my != d)
-            def _(d=d):
-                _bcast(d, slot).wait_send()
-                _bcast(d, slot).wait_recv()
-        tot = jnp.sum(allbuf[slot], axis=0, keepdims=True)
-        return tot[0, 0], tot[0, 1]
+        return _allreduce_finish(allbuf, all_send, all_recv, my, ndev, slot)
 
     trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
     # Zero ONLY the landing rows that stay zero (true domain boundaries,
@@ -573,6 +570,7 @@ def _kernel_pipelined(
     stats_ref[0, 0] = jnp.sqrt(gamma_top)
     stats_ref[0, 1] = gamma_top
     stats_ref[0, 2] = (k - 1).astype(dtype)
+    stats_ref[0, 3] = jnp.asarray(0.0, dtype)  # spare slot, defined
 
 
 def cg_collective_pipelined_padded(
@@ -591,16 +589,8 @@ def cg_collective_pipelined_padded(
     nzp, ny_pad, nx_pad = padded_dims(op_local, b_pad.dtype, tz=1)
     dtype = b_pad.dtype
     assert b_pad.shape == (nzp, ny_pad, nx_pad)
-    interpret = interpret or jax.default_backend() != "tpu"
-    if interpret:
-        interpret = pltpu.InterpretParams(
-            dma_execution_mode="on_wait", detect_races=DETECT_RACES
-        )
-    if not interpret and jnp.dtype(dtype).itemsize == 8:
-        raise ValueError(
-            "float64 is not supported by Mosaic TPU kernels; use the XLA "
-            "backends on TPU, or CPU for f64 parity runs"
-        )
+    interpret = _interpret_params(interpret or jax.default_backend() != "tpu")
+    check_mosaic_dtype(interpret, dtype)
     vec = jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype)
     svec = pltpu.VMEM((nzp, ny_pad, nx_pad), dtype)
     return pl.pallas_call(

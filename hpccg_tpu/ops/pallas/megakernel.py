@@ -125,6 +125,7 @@ def _kernel(
     stats_ref[0, 0] = jnp.sqrt(rt_last)  # == ref normr at exit
     stats_ref[0, 1] = rt_last
     stats_ref[0, 2] = (k - 1).astype(dtype)  # niters
+    stats_ref[0, 3] = jnp.asarray(0.0, dtype)  # spare slot, defined
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))

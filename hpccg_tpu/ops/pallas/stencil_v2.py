@@ -147,6 +147,39 @@ def _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stenc
     out_ref[:] = y * valid
 
 
+def _v2_in_specs(tz: int, nzb: int, ny_pad: int, nx_pad: int):
+    """Input BlockSpecs shared by the plain and fused-pAp kernels: external
+    halo planes, clamped single-plane z-neighbor blocks, and the mid slab."""
+    return [
+        pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, ny_pad, nx_pad),
+            lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, ny_pad, nx_pad),
+            lambda i: (jnp.minimum(i * tz + tz, nzb * tz - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+
+def _v2_out_spec(tz: int, ny_pad: int, nx_pad: int):
+    return pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def check_mosaic_dtype(interpret, dtype) -> None:
+    """Mosaic has no f64 lowering; fail with guidance instead of deep in
+    the compiler (the CLI default dtype is f64)."""
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            "float64 is not supported by Mosaic TPU kernels; use the XLA "
+            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
+        )
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def spmv_padded_v2(
     op: StencilOperator,
@@ -174,31 +207,13 @@ def spmv_padded_v2(
     if halo is None:
         halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
     interpret = interpret or jax.default_backend() != "tpu"
-    if not interpret and jnp.dtype(dtype).itemsize == 8:
-        raise ValueError(
-            "float64 is not supported by Mosaic TPU kernels; use the XLA "
-            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
-        )
+    check_mosaic_dtype(interpret, dtype)
 
     return pl.pallas_call(
         partial(_kernel, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),
         grid=(nzb,),
-        in_specs=[
-            pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            # single-plane z-neighbor blocks, clamped in range at the edges
-            pl.BlockSpec(
-                (1, ny_pad, nx_pad),
-                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, ny_pad, nx_pad),
-                lambda i: (jnp.minimum(i * tz + tz, nzb * tz - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=_v2_in_specs(tz, nzb, ny_pad, nx_pad),
+        out_specs=_v2_out_spec(tz, ny_pad, nx_pad),
         out_shape=jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * op.stencil.value * op.local_nrow,
@@ -249,31 +264,14 @@ def spmv_padded_v2_pap(
     if halo is None:
         halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
     interpret = interpret or jax.default_backend() != "tpu"
-    if not interpret and jnp.dtype(dtype).itemsize == 8:
-        raise ValueError(
-            "float64 is not supported by Mosaic TPU kernels; use the XLA "
-            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
-        )
+    check_mosaic_dtype(interpret, dtype)
 
     y, pap = pl.pallas_call(
         partial(_kernel_pap, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),
         grid=(nzb,),
-        in_specs=[
-            pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, ny_pad, nx_pad),
-                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, ny_pad, nx_pad),
-                lambda i: (jnp.minimum(i * tz + tz, nzb * tz - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=_v2_in_specs(tz, nzb, ny_pad, nx_pad),
         out_specs=(
-            pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            _v2_out_spec(tz, ny_pad, nx_pad),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(

@@ -131,6 +131,23 @@ def stencil_matvec_halo_pallas(
     return spmv_padded(op, u_pad, masks, halo, donor)
 
 
+def _halo_planes_v2(op: StencilOperator, u_pad: jax.Array, axis_name: str):
+    """ppermute the shard's boundary z-planes (v2 layout): our last real
+    plane goes up, our first goes down; None on a single-device mesh (true
+    domain boundary -> the kernels substitute zeros)."""
+    n = jax.lax.axis_size(axis_name)
+    nz = op.nz
+    if n == 1:
+        return None
+    below = jax.lax.ppermute(
+        u_pad[nz - 1], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    above = jax.lax.ppermute(
+        u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    return jnp.stack([below, above])
+
+
 def stencil_matvec_halo_pallas_v2(
     op: StencilOperator,
     u_pad: jax.Array,
@@ -143,19 +160,7 @@ def stencil_matvec_halo_pallas_v2(
     received planes feed the kernel's external-halo input."""
     from hpccg_tpu.ops.pallas.stencil_v2 import spmv_padded_v2
 
-    n = jax.lax.axis_size(axis_name)
-    nz = op.nz
-    if n == 1:
-        halo = None
-    else:
-        below = jax.lax.ppermute(
-            u_pad[nz - 1], axis_name, [(i, i + 1) for i in range(n - 1)]
-        )
-        above = jax.lax.ppermute(
-            u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
-        )
-        halo = jnp.stack([below, above])
-    return spmv_padded_v2(op, u_pad, halo)
+    return spmv_padded_v2(op, u_pad, _halo_planes_v2(op, u_pad, axis_name))
 
 
 def stencil_matvec_halo_pallas_v2_pap(
@@ -167,16 +172,4 @@ def stencil_matvec_halo_pallas_v2_pap(
     partial) from the fused kernel (caller psums the partial)."""
     from hpccg_tpu.ops.pallas.stencil_v2 import spmv_padded_v2_pap
 
-    n = jax.lax.axis_size(axis_name)
-    nz = op.nz
-    if n == 1:
-        halo = None
-    else:
-        below = jax.lax.ppermute(
-            u_pad[nz - 1], axis_name, [(i, i + 1) for i in range(n - 1)]
-        )
-        above = jax.lax.ppermute(
-            u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
-        )
-        halo = jnp.stack([below, above])
-    return spmv_padded_v2_pap(op, u_pad, halo)
+    return spmv_padded_v2_pap(op, u_pad, _halo_planes_v2(op, u_pad, axis_name))
