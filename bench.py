@@ -101,7 +101,9 @@ def main():
     # tunnel, unrepresentative of sustained/pipelined serving throughput)
     # cancels between the two run lengths. The spread must be large enough
     # that the marginal work rises well above the few-ms dispatch jitter.
-    k1, k2 = 64, max(args.max_iter - 1, 8192)
+    # (off-TPU the 8192-iteration leg would take minutes; keep CI/CPU sane)
+    long_leg = 8192 if jax.default_backend() == "tpu" else 256
+    k1, k2 = 64, max(args.max_iter - 1, long_leg)
     t1, _ = timed(k1 + 1)
     t2, res_long = timed(k2 + 1)
     assert int(res_long.niters) == k2, (int(res_long.niters), k2)
