@@ -185,3 +185,52 @@ def test_save_load_dia_problem(tmp_path):
     np.testing.assert_allclose(
         np.asarray(prob2.A.data), np.asarray(prob.A.data)
     )
+
+
+def test_random_banded_spd_matrix_cg():
+    """General-path end-to-end on a NON-stencil matrix: random banded SPD,
+    solved through both ELL and DIA against numpy.linalg.solve."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpccg_tpu.operators import EllMatrix
+    from hpccg_tpu.solver import make_cg
+
+    rng = np.random.default_rng(7)
+    n, offs = 96, [-9, -3, -1, 0, 1, 3, 9]
+    dense = np.zeros((n, n))
+    for off in offs:
+        if off < 0:
+            continue
+        vals = rng.standard_normal(n - off) * 0.3
+        idx = np.arange(n - off)
+        dense[idx, idx + off] = vals
+        dense[idx + off, idx] = vals  # symmetric
+    dense[np.arange(n), np.arange(n)] = np.abs(dense).sum(axis=1) + 1.0  # SPD
+
+    # pack to ELL
+    width = max((np.abs(dense[i]) > 0).sum() for i in range(n))
+    vals = np.zeros((n, width))
+    cols = np.zeros((n, width), dtype=np.int32)
+    valid = np.zeros((n, width), dtype=bool)
+    for i in range(n):
+        nz = np.nonzero(dense[i])[0]
+        vals[i, : len(nz)] = dense[i, nz]
+        cols[i, : len(nz)] = nz
+        valid[i, : len(nz)] = True
+    A = EllMatrix(
+        vals=jnp.asarray(vals), cols=jnp.asarray(cols), valid=jnp.asarray(valid),
+        start_row=0, total_nrow=n,
+    )
+    b = rng.standard_normal(n)
+    x_ref = np.linalg.solve(dense, b)
+
+    for op in (A, A.to_dia()):
+        assert op is not None
+        np.testing.assert_allclose(
+            np.asarray(op.to_dense()), dense, atol=1e-14
+        )
+        res = make_cg(op, max_iter=200, tolerance=1e-12)(
+            jnp.asarray(b), jnp.zeros(n)
+        )
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8, atol=1e-9)
