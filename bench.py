@@ -101,13 +101,26 @@ def main():
     # tunnel, unrepresentative of sustained/pipelined serving throughput)
     # cancels between the two run lengths. The spread must be large enough
     # that the marginal work rises well above the few-ms dispatch jitter.
+    # The chip's effective clock also drifts over minutes, so measure the
+    # (short, long) pair INTERLEAVED several times and take the median of
+    # the per-pair slopes — a pair shares one clock epoch.
     # (off-TPU the 8192-iteration leg would take minutes; keep CI/CPU sane)
     long_leg = 8192 if jax.default_backend() == "tpu" else 256
     k1, k2 = 64, max(args.max_iter - 1, long_leg)
-    t1, _ = timed(k1 + 1)
-    t2, res_long = timed(k2 + 1)
+    solve1 = make_cg(prob.A, max_iter=k1 + 1, tolerance=0.0, backend=args.backend)
+    solve2 = make_cg(prob.A, max_iter=k2 + 1, tolerance=0.0, backend=args.backend)
+    fence(solve1(prob.b, prob.x0))
+    res_long = fence(solve2(prob.b, prob.x0))
     assert int(res_long.niters) == k2, (int(res_long.niters), k2)
-    per_iter = max(t2 - t1, 1e-12) / (k2 - k1)
+    slopes = []
+    for _ in range(max(args.reps, 3)):
+        t0 = time.perf_counter()
+        fence(solve1(prob.b, prob.x0))
+        t1 = time.perf_counter()
+        fence(solve2(prob.b, prob.x0))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    per_iter = max(statistics.median(slopes), 1e-12)
 
     # the headline run itself (end-to-end, dispatch included)
     t_e2e, res = timed(args.max_iter)
