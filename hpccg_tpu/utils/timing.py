@@ -65,12 +65,26 @@ def time_loop_slope(
     """Slope-timing for a caller-built K-iteration loop: make_loop(k) must
     return a jitted callable running k iterations.
 
-    The dispatch constant through the remote tunnel is tens of ms with several
-    ms of jitter, so the two loop lengths must differ by a lot (default 64x)
-    for the marginal per-iteration cost to rise above the noise.
+    The dispatch constant through the remote tunnel is tens of ms with
+    several ms of jitter, so the two loop lengths must differ by a lot
+    (default 64x) for the marginal per-iteration cost to rise above the
+    noise. The chip's effective clock also drifts over minutes, so the
+    (short, long) pair is measured INTERLEAVED and the median of per-pair
+    slopes is returned — a pair shares one clock epoch.
     """
-    t1 = time_fn(make_loop(iters), init, reps=reps, warmup=2)
-    t2 = time_fn(make_loop(spread * iters), init, reps=reps, warmup=2)
+    short = make_loop(iters)
+    long_ = make_loop(spread * iters)
+    # compile + warm both
+    fence(short(init))
+    fence(long_(init))
+    slopes = []
+    for _ in range(max(reps, 3)):
+        t0 = time.perf_counter()
+        fence(short(init))
+        t1 = time.perf_counter()
+        fence(long_(init))
+        t2 = time.perf_counter()
+        slopes.append((t2 - t1) - (t1 - t0))
     # 0.0 = "below timer resolution", mirroring the reference's golden run
     # (out.txt reports 0 kernel times and inf MFLOPS at small sizes)
-    return max(t2 - t1, 0.0) / ((spread - 1) * iters)
+    return max(statistics.median(slopes), 0.0) / ((spread - 1) * iters)
