@@ -94,8 +94,11 @@ def _sum3_x(u: jax.Array, nx: int, force_mask: bool = False) -> jax.Array:
     fused multiply-adds pipeline better than the bare add chain there),
     while the grid-pipelined SpMV kernel is ~12% faster without."""
     nx_pad = u.shape[-1]
-    left = pltpu.roll(u, 1, axis=u.ndim - 1)
-    right = pltpu.roll(u, nx_pad - 1, axis=u.ndim - 1)
+    # pin the shift to i32: under jax_enable_x64 a Python int traces as an
+    # i64 operand, which Mosaic's dynamic_rotate rejects (this bites f32
+    # kernels whenever the RUNTIME has x64 on, e.g. iterative refinement)
+    left = pltpu.roll(u, jnp.asarray(1, jnp.int32), axis=u.ndim - 1)
+    right = pltpu.roll(u, jnp.asarray(nx_pad - 1, jnp.int32), axis=u.ndim - 1)
     if nx < nx_pad and not force_mask:
         return left + u + right
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)

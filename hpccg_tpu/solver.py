@@ -144,6 +144,11 @@ def cg_solve_single_reduction(
 
     ``dot2((a1,b1),(a2,b2))`` returns (a1.b1, a2.b2) reduced in one round;
     defaults to the local fused pair.
+
+    f32 note: the recurrence residual decays BELOW the true residual's
+    stagnation floor (~1e-7 relative) and eventually flushes to exact zero,
+    terminating tolerance=0 runs around iteration ~140 at typical sizes —
+    long fixed-work benchmark runs should use method="cg" or f64.
     """
     if dot2 is None:
         def dot2(p1, p2):
@@ -526,3 +531,76 @@ def make_cg(
         )
 
     return jax.jit(solve)
+
+
+def cg_solve_refined(
+    A,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    inner_max_iter: int = 150,
+    outer_max_iter: int = 6,
+    tolerance: float = 0.0,
+    backend: str = "auto",
+) -> CGResult:
+    """Mixed-precision iterative refinement: f32 inner CG solves, f64-quality
+    result.
+
+    f64 on TPU is emulated (double-double with an f32 exponent range) and an
+    order of magnitude slower than native f32, so a pure-f64 deep-convergence
+    solve wastes the MXU/VPU. Classic iterative refinement gets f64 accuracy
+    at f32 kernel speed: the residual r = b - A x is computed in f64 (one
+    matvec per OUTER iteration — cheap), the correction solve A d = r runs
+    entirely in f32 through the fast backends (megakernel/streamkernel/...),
+    and x accumulates in f64. Each outer round recovers ~7 more decimal
+    digits until the f64 floor.
+
+    b/x0 must be f64 (enable jax_enable_x64). Returns a CGResult whose trace
+    holds the OUTER f64 residual norms (length outer_max_iter + 1) and whose
+    niters counts total INNER iterations.
+    """
+    from hpccg_tpu.operators import StencilOperator
+    from hpccg_tpu.ops.spmv import spmv
+
+    if jnp.dtype(b.dtype).itemsize != 8:
+        raise ValueError("cg_solve_refined expects f64 b/x0 (jax_enable_x64)")
+
+    if isinstance(A, StencilOperator):
+        A32 = dataclasses.replace(A, dtype_name="float32")
+    else:
+        A32 = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32)
+            if jnp.issubdtype(v.dtype, jnp.floating)
+            else v,
+            A,
+        )
+    inner = make_cg(
+        A32, max_iter=inner_max_iter, tolerance=0.0, backend=backend
+    )
+
+    x = x0
+    trace = []
+    total_inner = 0
+    normr = jnp.sqrt(jnp.vdot(b - spmv(A, x), b - spmv(A, x)))
+    trace.append(float(normr))
+    for _ in range(outer_max_iter):
+        r64 = b - spmv(A, x)
+        normr = jnp.sqrt(jnp.vdot(r64, r64))
+        if float(normr) <= tolerance:
+            break
+        res = inner(r64.astype(jnp.float32), jnp.zeros_like(r64, jnp.float32))
+        total_inner += int(res.niters)
+        x = x + res.x.astype(b.dtype)
+        r64 = b - spmv(A, x)
+        normr = jnp.sqrt(jnp.vdot(r64, r64))
+        trace.append(float(normr))
+
+    trace_arr = jnp.full((outer_max_iter + 1,), jnp.nan, b.dtype)
+    trace_arr = trace_arr.at[: len(trace)].set(jnp.asarray(trace, b.dtype))
+    return CGResult(
+        x=x,
+        niters=jnp.asarray(total_inner, jnp.int32),
+        normr=jnp.asarray(float(normr), b.dtype),
+        rtrans=jnp.asarray(float(normr) ** 2, b.dtype),
+        trace=trace_arr,
+    )

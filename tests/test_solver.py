@@ -146,3 +146,21 @@ def test_pipelined_cg_early_exit():
     rs = make_cg(prob.A, max_iter=500, tolerance=1e-8)(prob.b, prob.x0)
     assert abs(int(res.niters) - int(rs.niters)) <= 1  # recurrence drift
     assert float(res.normr) <= 1e-8
+
+
+def test_iterative_refinement_reaches_f64_accuracy():
+    """Mixed-precision refinement: f32 inner solves, f64-floor result."""
+    from hpccg_tpu.solver import cg_solve_refined
+
+    cfg = ProblemConfig(10, 10, 10)  # f64 problem
+    prob = generate_problem(cfg)
+    res = cg_solve_refined(
+        prob.A, prob.b, prob.x0, inner_max_iter=80, outer_max_iter=6
+    )
+    # far beyond single-precision accuracy (~1e-7): true f64-quality solution
+    assert float(compute_residual(res.x, prob.xexact)) < 1e-12
+    tr = np.asarray(res.trace)
+    assert tr[0] > 100  # initial residual 258.24
+    finite = tr[np.isfinite(tr)]
+    assert finite[-1] < 1e-10
+    assert int(res.niters) > 0
