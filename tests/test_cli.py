@@ -126,3 +126,19 @@ def test_validate_utilities():
     nan_res = dataclasses.replace(res, normr=jnp.asarray(float("nan")))
     with _pytest.raises(ValidationError):
         check_finite(nan_res)
+
+
+def test_refine_flag():
+    rc, out = run_cli(
+        ["8", "8", "8", "--refine", "4", "--max-iter", "60", "--check",
+         "--skip-kernel-bench"]
+    )
+    assert rc == 0
+    assert "Refinement round = 1" in out
+    line = [l for l in out.splitlines() if "computed and exact" in l][0]
+    assert float(line.split("=")[-1]) < 1e-12  # f64-floor via f32 inners
+
+
+def test_refine_requires_f64():
+    rc, _ = run_cli(["8", "8", "8", "--refine", "2", "--dtype", "float32"])
+    assert rc == 2

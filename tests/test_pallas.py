@@ -267,3 +267,33 @@ def test_streamkernel_tolerance_exit_matches():
     assert int(rm.niters) == int(rs.niters)
     # different reduction tree -> few-ulp-scale drift on the tiny residual
     np.testing.assert_allclose(float(rm.normr), float(rs.normr), rtol=1e-6)
+
+
+def test_streamkernel_dma_pipeline_race_free(monkeypatch):
+    """Run the manual double-buffered DMA slab pipeline (multiple slabs, so
+    loads/stores/drains actually interleave) under the full TPU interpreter's
+    data-race detector."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hpccg_tpu.ops.pallas import streamkernel as sk
+
+    monkeypatch.setattr(sk, "_stream_tz", lambda op, dtype: 4)  # nzb = 3
+    cfg = ProblemConfig(8, 6, 12, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    ip = pltpu.InterpretParams(dma_execution_mode="on_wait", detect_races=True)
+    from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3
+
+    x_pad, trace, stats = sk.cg_stream_padded(
+        prob.A, pad_plane3(prob.A, prob.b, 4), pad_plane3(prob.A, prob.x0, 4),
+        20, 0.0, ip,
+    )
+    rs = make_cg(prob.A, max_iter=20, backend="stencil")(prob.b, prob.x0)
+    tm = np.asarray(trace[:, 0])
+    ts = np.asarray(rs.trace)
+    good = ts > 1e-10 * ts[0]
+    np.testing.assert_allclose(tm[good], ts[good], rtol=1e-7)
+
+    from jax._src.pallas.mosaic.interpret import interpret_pallas_call as _ipc
+
+    assert getattr(_ipc, "races", None) is not None
+    assert not _ipc.races.races_found
