@@ -574,8 +574,12 @@ def cg_solve_refined(
             else v,
             A,
         )
+    # The inner RHS is unit-scaled so a FIXED relative tolerance works for
+    # every outer round; without a tolerance the f32 inner solve would
+    # over-converge on small problems (residual collapses exactly -> the
+    # reference recurrence's alpha = 0/0 NaN, see verify SKILL notes).
     inner = make_cg(
-        A32, max_iter=inner_max_iter, tolerance=0.0, backend=backend
+        A32, max_iter=inner_max_iter, tolerance=1e-6, backend=backend
     )
 
     x = x0
@@ -586,11 +590,13 @@ def cg_solve_refined(
     for _ in range(outer_max_iter):
         r64 = b - spmv(A, x)
         normr = jnp.sqrt(jnp.vdot(r64, r64))
-        if float(normr) <= tolerance:
+        scale = float(normr)
+        if scale <= tolerance or scale == 0.0:
             break
-        res = inner(r64.astype(jnp.float32), jnp.zeros_like(r64, jnp.float32))
+        rhs32 = (r64 / scale).astype(jnp.float32)
+        res = inner(rhs32, jnp.zeros_like(rhs32))
         total_inner += int(res.niters)
-        x = x + res.x.astype(b.dtype)
+        x = x + scale * res.x.astype(b.dtype)
         r64 = b - spmv(A, x)
         normr = jnp.sqrt(jnp.vdot(r64, r64))
         trace.append(float(normr))
