@@ -542,6 +542,7 @@ def cg_solve_refined(
     outer_max_iter: int = 6,
     tolerance: float = 0.0,
     backend: str = "auto",
+    method: str = "cg",
 ) -> CGResult:
     """Mixed-precision iterative refinement: f32 inner CG solves, f64-quality
     result.
@@ -579,7 +580,8 @@ def cg_solve_refined(
     # over-converge on small problems (residual collapses exactly -> the
     # reference recurrence's alpha = 0/0 NaN, see verify SKILL notes).
     inner = make_cg(
-        A32, max_iter=inner_max_iter, tolerance=1e-6, backend=backend
+        A32, max_iter=inner_max_iter, tolerance=1e-6, backend=backend,
+        method=method,
     )
 
     x = x0
