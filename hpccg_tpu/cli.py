@@ -129,6 +129,7 @@ def main(argv=None) -> int:
         nx = ny = nz = 0
         if args.mesh > 1:
             print("# file mode runs single-device (general-matrix mesh path: API only)", file=sys.stderr)
+            args.mesh = 1  # downstream report/bench blocks key off this
         solve = None
     else:
         if len(args.dims) != 3:
@@ -182,6 +183,7 @@ def main(argv=None) -> int:
                 outer_max_iter=args.refine,
                 tolerance=args.tolerance,
                 backend=args.backend if args.backend != "collective" else "auto",
+                method=args.method,
             )
 
     if solve is None:

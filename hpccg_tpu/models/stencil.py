@@ -88,7 +88,15 @@ def _ell_arrays(cfg: ProblemConfig, start_row: int, total_nrow: int):
     offs = stencil_offsets(cfg.stencil)
     width = len(offs)
 
-    lrow = jnp.arange(n, dtype=jnp.int64 if total_nrow > 2**31 else jnp.int32)
+    if total_nrow > 2**31:
+        # EllMatrix.cols is int32 (the TPU-native index width); a >2^31-row
+        # explicit matrix would wrap silently. The implicit StencilOperator
+        # has no such limit — use it (or shard the explicit build).
+        raise ValueError(
+            f"explicit ELL construction supports < 2^31 global rows "
+            f"(got {total_nrow}); use the implicit StencilOperator instead"
+        )
+    lrow = jnp.arange(n, dtype=jnp.int32)
     ix = lrow % nx
     iy = (lrow // nx) % ny
     grow = lrow + start_row

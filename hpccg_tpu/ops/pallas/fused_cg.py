@@ -35,25 +35,27 @@ from hpccg_tpu.ops.pallas.stencil_kernel import (
     _stencil_slab,
     plane_width,
 )
+from hpccg_tpu.ops.pallas.stencil_v2 import check_mosaic_dtype
 
 
 def _assemble_slab(lo_ref, mid_ref, hi_ref, halo_lo, halo_hi, i, nzb, tz, nz):
     """(tz+2, M) halo'd slab from pipelined blocks + external halo planes
     (same substitution logic as stencil_kernel._kernel)."""
     dtype = mid_ref.dtype
-    nzp = nzb * tz
     sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(dtype)
     sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(dtype)
     u = jnp.concatenate(
         [lo_ref[SUBLANE - 1 : SUBLANE] * sel_lo, mid_ref[:], hi_ref[0:1] * sel_hi],
         axis=0,
     )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tz + 2, 1), 0)
-    is_lo = jnp.logical_and(i == 0, rows == 0)
-    hi_ib, hi_row = (nzb - 1, tz + 1) if nz == nzp else (nz // tz, nz % tz + 1)
-    is_hi = jnp.logical_and(i == hi_ib, rows == hi_row)
-    u = jnp.where(is_lo, halo_lo, u)
-    u = jnp.where(is_hi, halo_hi, u)
+    # substitute the external halos by GLOBAL z (exactly stencil_v2._kernel):
+    # the z == nz plane can appear in several blocks' views (the hi concat
+    # row of the block holding plane nz-1 AND a mid row of the next block
+    # when nz < nzp and tz | nz) — a single (block, row) substitution misses
+    # one of them and drops the above-halo at interior shards' top planes
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (tz + 2, 1), 0) + i * tz - 1
+    u = jnp.where(zrow == -1, halo_lo, u)
+    u = jnp.where(zrow == nz, halo_hi, u)
     return u
 
 
@@ -154,6 +156,7 @@ def fused_update_p_apply(
         donor = jnp.zeros((nzp, m), dtype)
     beta = jnp.asarray(beta, dtype).reshape(1, 1)
     interpret = interpret or jax.default_backend() != "tpu"
+    check_mosaic_dtype(interpret, dtype)
 
     def lo_map(i):
         return (jnp.maximum(i * blk - 1, 0), 0)
@@ -206,6 +209,7 @@ def fused_update_x_r(x, r, p, ap, alpha, interpret: bool = False):
     nzb = nzp // tz
     alpha = jnp.asarray(alpha, dtype).reshape(1, 1)
     interpret = interpret or jax.default_backend() != "tpu"
+    check_mosaic_dtype(interpret, dtype)
 
     mid_spec = pl.BlockSpec((tz, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     xout, rout, rr = pl.pallas_call(

@@ -186,6 +186,9 @@ def spmv_padded(
         donor = jnp.zeros((nzp, m), dtype)
     # Mosaic only targets real TPUs; elsewhere (CPU tests) run interpreted
     interpret = interpret or jax.default_backend() != "tpu"
+    from hpccg_tpu.ops.pallas.stencil_v2 import check_mosaic_dtype
+
+    check_mosaic_dtype(interpret, dtype)
 
     return pl.pallas_call(
         partial(_kernel, tz=tz, nx=op.nx, nz=op.nz, stencil=op.stencil),

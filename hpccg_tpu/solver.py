@@ -333,9 +333,25 @@ def resolve_backend(A, backend: str = "auto") -> str:
     """
     from hpccg_tpu.operators import StencilOperator
 
+    KNOWN = (
+        "auto", "stencil", "ell", "dia", "pallas", "pallas_v1",
+        "pallas_fused", "megakernel", "streamkernel", "collective",
+    )
+    if backend not in KNOWN:
+        raise ValueError(f"unknown backend {backend!r} (choose from {KNOWN})")
     if not isinstance(A, StencilOperator):
-        # explicit matrices (ELL/DIA) dispatch through spmv(); whole-solve
-        # kernel names are stencil-only — fall back rather than crash
+        # explicit matrices (ELL/DIA) dispatch through spmv(); the
+        # whole-solve kernel names are stencil-only, so requesting one here
+        # falls back to the native dispatch with a warning rather than
+        # silently mislabeling the measurement
+        if backend not in ("auto", "stencil", "ell", "dia"):
+            import warnings
+
+            warnings.warn(
+                f"backend={backend!r} applies to stencil operators only; "
+                f"{type(A).__name__} uses its native matvec dispatch",
+                stacklevel=3,
+            )
         return "auto"
     if backend != "auto":
         return backend
@@ -584,14 +600,16 @@ def cg_solve_refined(
         method=method,
     )
 
+    # exactly ONE emulated-f64 SpMV per outer round (it is the expensive op
+    # this function exists to minimize): the residual computed at the end of
+    # a round is reused as the next round's RHS
     x = x0
     trace = []
     total_inner = 0
-    normr = jnp.sqrt(jnp.vdot(b - spmv(A, x), b - spmv(A, x)))
+    r64 = b - spmv(A, x)
+    normr = jnp.sqrt(jnp.vdot(r64, r64))
     trace.append(float(normr))
     for _ in range(outer_max_iter):
-        r64 = b - spmv(A, x)
-        normr = jnp.sqrt(jnp.vdot(r64, r64))
         scale = float(normr)
         if scale <= tolerance or scale == 0.0:
             break

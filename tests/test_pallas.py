@@ -297,3 +297,27 @@ def test_streamkernel_dma_pipeline_race_free(monkeypatch):
 
     assert getattr(_ipc, "races", None) is not None
     assert not _ipc.races.races_found
+
+
+def test_fused_k1_halo_parity_z_padding_edge():
+    """Regression: with nz < nzp and the fused kernel's block depth dividing
+    nz, the z == nz plane appears both as one block's hi concat row and the
+    next block's mid row — the above-halo must substitute at ALL of them
+    (a single (block, row) substitution dropped it at interior shards' top
+    boundary planes)."""
+    from hpccg_tpu.ops.pallas.fused_cg import fused_update_p_apply
+
+    op = generate_problem(ProblemConfig(256, 256, 32, dtype=jnp.float32)).A
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal(op.local_nrow), jnp.float32)
+    p = jnp.asarray(rng.standard_normal(op.local_nrow), jnp.float32)
+    masks = jnp.asarray(plane_masks(op, jnp.float32))
+    rp, pp = pad_plane(op, r), pad_plane(op, p)
+    m = rp.shape[1]
+    halo2 = jnp.asarray(rng.standard_normal((2, m)), jnp.float32)
+    beta = 0.5
+    want = np.asarray(spmv_padded(op, rp + beta * pp, masks, (1 + beta) * halo2))
+    _, apout, _ = fused_update_p_apply(
+        op, rp, pp, beta, masks, jnp.concatenate([halo2, halo2])
+    )
+    np.testing.assert_allclose(np.asarray(apout), want, atol=1e-4)
