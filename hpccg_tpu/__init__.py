@@ -28,9 +28,9 @@ The package layout maps the reference's layer map (SURVEY.md §1):
 __version__ = "0.1.0"
 
 from hpccg_tpu.config import ProblemConfig, SolverConfig, Stencil
-from hpccg_tpu.operators import EllMatrix, StencilOperator
+from hpccg_tpu.operators import DiaMatrix, EllMatrix, StencilOperator
 from hpccg_tpu.models.stencil import generate_problem
-from hpccg_tpu.solver import CGResult, cg_solve
+from hpccg_tpu.solver import CGResult, cg_solve, cg_solve_refined, make_cg
 
 __all__ = [
     "ProblemConfig",
@@ -38,8 +38,11 @@ __all__ = [
     "Stencil",
     "StencilOperator",
     "EllMatrix",
+    "DiaMatrix",
     "generate_problem",
     "cg_solve",
+    "cg_solve_refined",
+    "make_cg",
     "CGResult",
     "__version__",
 ]
