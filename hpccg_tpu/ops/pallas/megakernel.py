@@ -99,17 +99,20 @@ def _kernel(
     rtrans0 = jnp.sum(r_ref[:] * r_ref[:])
     trace_ref[0, :] = jnp.full((128,), jnp.sqrt(rtrans0), dtype)
 
-    # carry: (k, rt_last) — the rtrans computed at the top of the last
-    # executed body, which is what the reference's loop condition tests and
-    # reports as normr at exit (HPCCG.cpp:358,371): one update older than
-    # the freshest residual. Matches solver.cg_solve / streamkernel exactly.
+    # carry: (k, rt_last, rr_fresh).
+    # rt_last = the rtrans the LAST executed body used — what the
+    # reference's loop condition tests and reports as normr at exit
+    # (HPCCG.cpp:358,371): one update older than the freshest residual.
+    # rr_fresh = r.r of the CURRENT r, computed fused with the r update at
+    # the end of the previous body — bit-identical to the top-of-body
+    # recompute solver.cg_solve does (same r, same reduction) but one fewer
+    # full-array pass per iteration.
     def cond(c):
-        k, rt_last = c
+        k, rt_last, rr_fresh = c
         return jnp.logical_and(k < max_iter, jnp.sqrt(rt_last) > tol)
 
     def body(c):
-        k, rt_prev = c
-        rtrans = jnp.sum(r_ref[:] * r_ref[:])
+        k, rt_prev, rtrans = c
         beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rt_prev)
         trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), jnp.sqrt(rtrans), dtype)
         p_ref[:] = r_ref[:] + beta * p_ref[:]
@@ -118,10 +121,11 @@ def _kernel(
         alpha = rtrans / pap
         x_ref[:] = x_ref[:] + alpha * p_ref[:]
         r_ref[:] = r_ref[:] - alpha * ap_ref[:]
-        return (k + 1, rtrans)
+        rr = jnp.sum(r_ref[:] * r_ref[:])
+        return (k + 1, rtrans, rr)
 
     k0 = jnp.asarray(1, jnp.int32)
-    k, rt_last = jax.lax.while_loop(cond, body, (k0, rtrans0))
+    k, rt_last, _ = jax.lax.while_loop(cond, body, (k0, rtrans0, rtrans0))
     stats_ref[0, 0] = jnp.sqrt(rt_last)  # == ref normr at exit
     stats_ref[0, 1] = rt_last
     stats_ref[0, 2] = (k - 1).astype(dtype)  # niters
