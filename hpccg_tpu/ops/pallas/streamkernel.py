@@ -170,16 +170,18 @@ def _kernel(
 
     jax.lax.fori_loop(0, nzb, init_x, 0)
 
-    # carry: (k, rt_last) with rt_last = the rtrans computed at the top of
-    # the last executed body (== the normr the reference's loop condition
-    # tests, HPCCG.cpp:358,371 — NOT the post-update residual)
+    # carry: (k, rt_last, rr_fresh). rt_last = the rtrans the LAST executed
+    # body used (== the normr the reference's loop condition tests,
+    # HPCCG.cpp:358,371 — one update older than the freshest residual);
+    # rr_fresh = r.r accumulated slab-wise DURING the r update (bit-identical
+    # to a top-of-body recompute, one fewer full VMEM pass + no gating
+    # reduction at the iteration head).
     def cond(c):
-        k, rt_last = c
+        k, rt_last, rr_fresh = c
         return jnp.logical_and(k < max_iter, jnp.sqrt(rt_last) > tol)
 
     def body(c):
-        k, rt_prev = c
-        rtrans = jnp.sum(r_ref[:] * r_ref[:])
+        k, rt_prev, rtrans = c
         beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rt_prev)
         trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), jnp.sqrt(rtrans), dtype)
 
@@ -201,12 +203,12 @@ def _kernel(
         ld0 = load(0, 0, x_hbm)
         ld0.start()
 
-        def upd_slab(k2, _):
+        def upd_slab(k2, acc):
             slot = k2 % 2
             ap = slab_apply(k2)
-            r_ref[pl.ds(k2 * tz + 1, tz)] = (
-                r_ref[pl.ds(k2 * tz + 1, tz)] - alpha * ap
-            )
+            rnew = r_ref[pl.ds(k2 * tz + 1, tz)] - alpha * ap
+            r_ref[pl.ds(k2 * tz + 1, tz)] = rnew
+            acc = acc + jnp.sum(rnew * rnew)
             load(slot, k2, x_hbm).wait()
             xbuf[slot] = xbuf[slot] + alpha * p_ref[pl.ds(k2 * tz + 1, tz)]
             store(slot, k2).start()
@@ -221,9 +223,9 @@ def _kernel(
 
                 load((k2 + 1) % 2, k2 + 1, x_hbm).start()
 
-            return 0
+            return acc
 
-        jax.lax.fori_loop(0, nzb, upd_slab, 0)
+        rr = jax.lax.fori_loop(0, nzb, upd_slab, jnp.asarray(0.0, dtype))
         # drain the tail stores
         @pl.when(nzb >= 2)
         def _():
@@ -231,10 +233,10 @@ def _kernel(
 
         store((nzb - 1) % 2, nzb - 1).wait()
 
-        return (k + 1, rtrans)
+        return (k + 1, rtrans, rr)
 
     k0 = jnp.asarray(1, jnp.int32)
-    k, rt_last = jax.lax.while_loop(cond, body, (k0, rtrans0))
+    k, rt_last, _ = jax.lax.while_loop(cond, body, (k0, rtrans0, rtrans0))
     stats_ref[0, 0] = jnp.sqrt(rt_last)
     stats_ref[0, 1] = rt_last
     stats_ref[0, 2] = (k - 1).astype(dtype)
