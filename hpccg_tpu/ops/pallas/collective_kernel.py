@@ -106,6 +106,32 @@ def _allreduce_finish(allbuf, all_send, all_recv, my, ndev, slot):
     return tot[0, 0], tot[0, 1]
 
 
+def _allreduce_rd(rdsrc, rdbuf, rd_send, rd_recv, my, ndev, g_local, d_local, slot, dtype):
+    """Recursive-doubling allreduce for power-of-two meshes: log2(ndev)
+    rounds of ONE symmetric partner exchange each (vs ndev-1 broadcast
+    messages per device). Each round uses its own landing row, and rows are
+    parity-double-buffered across iterations like allbuf (round-r reuse at
+    k+2 is ordered by the k+1 allreduce, which is a full barrier)."""
+    rounds = ndev.bit_length() - 1
+    acc = _allreduce_mine_row(g_local, d_local, dtype)
+    for r in range(rounds):
+        rdsrc[slot, pl.ds(r, 1)] = acc
+        partner = jnp.bitwise_xor(my, jnp.asarray(1 << r, my.dtype))
+        desc = pltpu.make_async_remote_copy(
+            src_ref=rdsrc.at[slot, pl.ds(r, 1)],
+            dst_ref=rdbuf.at[slot, pl.ds(r, 1)],
+            send_sem=rd_send.at[0],
+            recv_sem=rd_recv.at[slot, r],
+            device_id=partner,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        desc.start()
+        desc.wait_send()
+        desc.wait_recv()
+        acc = acc + rdbuf[slot, pl.ds(r, 1)]
+    return acc[0, 0], acc[0, 1]
+
+
 def fits_collective_vmem(
     op: StencilOperator, dtype=None, budget: int = VMEM_LIMIT
 ) -> bool:
@@ -138,6 +164,9 @@ def _kernel(
     #   consecutive r exchanges ARE allreduce-separated (see module doc).
     all_send,  # (1,) DMA sem, accumulates ndev-1 send completions
     all_recv,  # (2,) DMA sems (iteration parity), ndev-1 arrivals each
+    rdsrc,  # (2, R, LANE) recursive-doubling send rows [parity, round]
+    rdbuf,  # (2, R, LANE) recursive-doubling landing rows
+    rd_recv,  # (2, R) DMA sems [parity, round]
     *,
     op: StencilOperator,
     ndev: int,
@@ -150,6 +179,9 @@ def _kernel(
     nzp, ny_pad, nx_pad = b_ref.shape
     tol = jnp.asarray(tolerance, dtype)
     my = jax.lax.axis_index(axis) if ndev > 1 else jnp.asarray(0, jnp.int32)
+    # power-of-two meshes (>2) use log2(ndev)-round recursive doubling; the
+    # broadcast path covers the rest (and ndev=2, where they coincide)
+    use_rd = ndev > 2 and (ndev & (ndev - 1)) == 0
 
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad, 1), 1)
@@ -224,6 +256,11 @@ def _kernel(
         """One fused 2-scalar allreduce (start + finish back to back)."""
         if ndev == 1:
             return g_local, d_local
+        if use_rd:
+            return _allreduce_rd(
+                rdsrc, rdbuf, all_send, rd_recv, my, ndev,
+                g_local, d_local, slot, dtype,
+            )
         _allreduce_start(
             allbuf, all_send, all_recv, my, ndev, g_local, d_local, slot, dtype
         )
@@ -355,6 +392,9 @@ def cg_collective_padded(
             pltpu.SemaphoreType.DMA((2, 2)),  # halo recvs (phase, direction)
             pltpu.SemaphoreType.DMA((1,)),  # allreduce sends
             pltpu.SemaphoreType.DMA((2,)),  # allreduce recvs (parity)
+            pltpu.VMEM((2, max(ndev.bit_length() - 1, 1), LANE), dtype),  # rd src
+            pltpu.VMEM((2, max(ndev.bit_length() - 1, 1), LANE), dtype),  # rd landing
+            pltpu.SemaphoreType.DMA((2, max(ndev.bit_length() - 1, 1))),  # rd recvs
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT,

@@ -11,7 +11,7 @@ from hpccg_tpu.parallel import make_mesh
 from hpccg_tpu.parallel.cg import generate_problem_sharded, make_distributed_cg
 
 
-@pytest.mark.parametrize("ndev", [2, 4, 8])
+@pytest.mark.parametrize("ndev", [2, 4, 6, 8])  # 4/8: recursive doubling; 6: broadcast
 def test_collective_matches_cg1(ndev):
     cfg = ProblemConfig(6, 5, 4)
     mesh = make_mesh(ndev)
