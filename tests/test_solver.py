@@ -164,3 +164,23 @@ def test_iterative_refinement_reaches_f64_accuracy():
     finite = tr[np.isfinite(tr)]
     assert finite[-1] < 1e-10
     assert int(res.niters) > 0
+
+
+def test_resolve_backend_dispatch():
+    import pytest as _pytest
+
+    from hpccg_tpu.models.stencil import generate_ell
+    from hpccg_tpu.solver import resolve_backend
+
+    sprob = generate_problem(ProblemConfig(6, 6, 6))
+    eprob = generate_ell(ProblemConfig(6, 6, 6))
+    # CPU (tests): auto stays on the XLA stencil path
+    assert resolve_backend(sprob.A, "auto") == "stencil"
+    # explicit names pass through for stencil operators
+    assert resolve_backend(sprob.A, "megakernel") == "megakernel"
+    # explicit matrices use their native dispatch; stencil-only names warn
+    assert resolve_backend(eprob.A, "auto") == "auto"
+    with _pytest.warns(UserWarning, match="stencil operators only"):
+        assert resolve_backend(eprob.A, "megakernel") == "auto"
+    with _pytest.raises(ValueError, match="unknown backend"):
+        resolve_backend(sprob.A, "pallass")
