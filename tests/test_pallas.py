@@ -149,11 +149,12 @@ def test_pallas_external_halo():
 
 
 @pytest.mark.parametrize("ndev", [2, 8])
-def test_distributed_pallas_cg(ndev):
+@pytest.mark.parametrize("backend", ["pallas", "pallas_v1"])
+def test_distributed_pallas_cg(ndev, backend):
     cfg = ProblemConfig(6, 5, 4, dtype=jnp.float64)
     mesh = make_mesh(ndev)
     prob = generate_problem_sharded(cfg, mesh)
-    rp = make_distributed_cg(cfg, mesh, max_iter=30, backend="pallas")(prob.b, prob.x0)
+    rp = make_distributed_cg(cfg, mesh, max_iter=30, backend=backend)(prob.b, prob.x0)
     rs = make_distributed_cg(cfg, mesh, max_iter=30)(prob.b, prob.x0)
     assert float(compute_residual(rp.x, prob.xexact)) < 1e-10
     tp, ts = np.asarray(rp.trace), np.asarray(rs.trace)
