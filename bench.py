@@ -63,7 +63,27 @@ def main():
         help="auto (megakernel if it fits VMEM, else pallas) | megakernel | "
         "pallas | pallas_v1 | stencil | ell",
     )
+    ap.add_argument(
+        "--preset",
+        choices=["parity32", "fused64", "headline100", "weak-unit", "strong256"],
+        help="BASELINE.json config shortcuts: parity32 = 27-pt 32^3 "
+        "(config 1), fused64 = 7-pt 64^3 (config 2), headline100 = 27-pt "
+        "100^3 (config 3, the default), weak-unit = the 100^3 per-chip "
+        "weak-scaling block (config 4; multi-host runs via hpccg_tpu.sweep "
+        "on a pod), strong256 = global 256^3 on this chip (config 5)",
+    )
     args = ap.parse_args()
+
+    if args.preset:
+        dims = {
+            "parity32": (32, 27),
+            "fused64": (64, 7),
+            "headline100": (100, 27),
+            "weak-unit": (100, 27),
+            "strong256": (256, 27),
+        }[args.preset]
+        args.nx = args.ny = args.nz = dims[0]
+        args.stencil = dims[1]
 
     from hpccg_tpu import ProblemConfig, generate_problem
     from hpccg_tpu.solver import make_cg
