@@ -5,8 +5,16 @@ host-side q->wait() between each (HPCCG.cpp:186-265). The jitted-while_loop
 solver (solver.py) already removes the host from the loop; this kernel removes
 XLA from the loop too: b/x/r/p/Ap all live in VMEM for the whole solve, every
 iteration is pure VPU work with zero HBM traffic and zero kernel-launch
-boundaries. Applicable when ~5 padded vectors fit in VMEM (~<=170^3 at f32 on
-a 128 MiB-VMEM chip); above that the streaming backends take over.
+boundaries. Applicable when ~8 padded vector-equivalents (5 vectors +
+stencil temporaries) fit the VMEM budget — up to ~128^3 at f32 given lane
+padding; above that the streaming backends take over.
+
+Measured at the VPU roofline: one iteration is ~24 ops/element (stencil ~17
++ axpys/dots ~7), so 100^3 (1.39M padded elements) costs ~8.7 us/iter on a
+v5e (~3.85 T op/s) — further gains need fewer ops, not better scheduling.
+The r.r reduction is fused into the end-of-body r update (bit-identical to
+the reference's top-of-body recompute, one fewer pass and no gating
+reduction at the iteration head).
 
 Layout matches stencil_v2: (nzp, ny_pad, nx_pad), y on sublanes, x on lanes.
 Iteration structure is bit-compatible with solver.cg_solve: same recurrence,
