@@ -79,6 +79,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "symmetry) and fail fast on a non-finite result",
     )
     ap.add_argument(
+        "--init-distributed",
+        action="store_true",
+        help="call jax.distributed.initialize() first (multi-host pods; "
+        "coordinator discovery via the standard TPU environment)",
+    )
+    ap.add_argument(
         "--refine",
         type=int,
         default=0,
@@ -100,6 +106,9 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
     import jax
+
+    if args.init_distributed:
+        jax.distributed.initialize()
 
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)

@@ -18,9 +18,10 @@ reduction at the iteration head).
 
 Layout matches stencil_v2: (nzp, ny_pad, nx_pad), y on sublanes, x on lanes.
 Iteration structure is bit-compatible with solver.cg_solve: same recurrence,
-same k==1 branch-free beta, rtrans recomputed at the loop top, and the loop
-condition / exit normr use the body-top rtrans exactly as the reference does
-(HPCCG.cpp:358,371).
+same k==1 branch-free beta (the r.r each body uses is carried from the
+fused end-of-body computation, bit-identical to a top-of-body recompute),
+and the loop condition / exit normr use the body-used rtrans exactly as the
+reference does (HPCCG.cpp:358,371).
 """
 
 from __future__ import annotations

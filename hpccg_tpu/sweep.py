@@ -34,6 +34,11 @@ def main(argv=None) -> int:
     ap.add_argument("--backend", default="auto", choices=["auto", "pallas", "collective"], help="collective = whole-solve kernel with in-kernel RDMA halo + allreduce")
     ap.add_argument("--iters", type=int, default=64, help="slope-timing base iterations")
     ap.add_argument("--platform", default=None, help="cpu to force virtual devices")
+    ap.add_argument(
+        "--init-distributed",
+        action="store_true",
+        help="call jax.distributed.initialize() first (multi-host pods)",
+    )
     args = ap.parse_args(argv)
 
     import os
@@ -48,6 +53,8 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.init_distributed:
+        jax.distributed.initialize()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
