@@ -75,6 +75,13 @@ def main():
     args = ap.parse_args()
 
     if args.preset:
+        import sys as _sys
+
+        if (args.nx, args.ny, args.nz, args.stencil) != (100, 100, 100, 27):
+            print(
+                "# --preset overrides --nx/--ny/--nz/--stencil",
+                file=_sys.stderr,
+            )
         dims = {
             "parity32": (32, 27),
             "fused64": (64, 7),

@@ -109,6 +109,10 @@ def main(argv=None) -> int:
 
     if args.init_distributed:
         jax.distributed.initialize()
+    # multi-host: only process 0 prints/writes (every process still computes)
+    if jax.process_index() != 0:
+        args.quiet = True
+        args.report_file = False
 
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -428,7 +432,8 @@ def main(argv=None) -> int:
         ov.add("SPARSEMV MFLOPS W OVERHEAD", fnops_sparsemv / t_spmv / 1e6)
         ov.add("SPARSEMV PARALLEL OVERHEAD note", "halo exchange is fused into the SpMV (ppermute)")
 
-    print(doc.to_json() if args.json else doc.generate_yaml(), end="")
+    if jax.process_index() == 0:
+        print(doc.to_json() if args.json else doc.generate_yaml(), end="")
     if args.report_file:
         path = doc.write(fmt="json" if args.json else "yaml")
         print(f"# wrote {path}", file=sys.stderr)

@@ -10,21 +10,35 @@ moves the communication *into* the kernel:
   z-plane directly into the neighbor's VMEM guard plane — the guard planes
   of the pinned vector double as the receive buffers (the tail-of-x storage
   of exchange_externals.cpp:84, TPU-style);
-- allreduce: each device RDMA-writes its (gamma, delta) partial row into
-  every peer's accumulation buffer and waits for n-1 receipts — one 2-scalar
-  allreduce per iteration, using the single-reduction Chronopoulos-Gear
-  recurrence (solver.cg_solve_single_reduction) so one round of
-  communication per iteration is enough.
+- allreduce: one 2-scalar reduction per iteration (the single-reduction
+  Chronopoulos-Gear recurrence, solver.cg_solve_single_reduction). On
+  power-of-two meshes (>2) it is a recursive-doubling butterfly
+  (log2(ndev) symmetric partner exchanges); otherwise each device
+  RDMA-broadcasts its (gamma, delta) row to every peer and waits for n-1
+  receipts.
 
 Synchronization safety: a device's iteration-k+1 halo send happens only
-after it passed its iteration-k allreduce wait, which requires every peer's
-k-partial, which each peer sends only after consuming its k-halo — so
-single-buffered halo planes and a single accumulation buffer are hazard-free
-(the allreduce is the global synchronizer).
+after it passed its iteration-k allreduce — and completing the allreduce
+(butterfly or broadcast) transitively requires every peer to have
+contributed its k-partial, which each peer sends only after consuming its
+k-halo. So single-buffered halo GUARD planes are hazard-free for
+neighbors, while everything the allreduce itself touches (accumulation
+rows, recursive-doubling landing rows, their receive semaphores) is
+double-buffered by iteration parity: non-neighbor devices are not ordered
+by the halo, and a fast device's k+1 partial must not land in a slow
+peer's k round. The two unseparated init exchanges get their own
+semaphore phase.
+
+The second kernel (_kernel_pipelined) is the communication-HIDING variant:
+the Ghysels-Vanroose recurrence lets the allreduce RDMAs fly while the
+stencil applies, with halo planes in parity double-buffered landing zones.
+It keeps the broadcast allreduce deliberately: all n-1 messages hide
+behind compute anyway, while recursive doubling's sequential rounds would
+re-serialize the wait.
 
 State per shard (all VMEM): x, r, p, s (= A p by recurrence), u (= A r),
-each with one guard plane per z end. Fits weak-scaling shard sizes
-(64^3..100^3 per chip) with lots of room.
+each with one guard plane per z end (the pipelined variant carries x, r,
+w, p, s, z, q). Fits weak-scaling shard sizes (64^3..100^3 per chip).
 """
 
 from __future__ import annotations

@@ -14,7 +14,10 @@ full 5-vector solve state does not fit VMEM but TWO vectors do
   2 passes of x per iteration vs the ~7 effective passes of the XLA path.
 
 Iteration structure matches solver.cg_solve (same recurrence, same
-branch-free k==1 beta, rtrans recomputed at the loop top from the pinned r).
+branch-free k==1 beta). The r.r each body uses is accumulated slab-wise
+during the previous body's r update — value-equivalent to a top-of-body
+recompute but a DIFFERENT reduction tree (per-slab partial sums), so
+last-ulp trajectory differences vs the flat path are expected.
 """
 
 from __future__ import annotations
@@ -173,8 +176,9 @@ def _kernel(
     # carry: (k, rt_last, rr_fresh). rt_last = the rtrans the LAST executed
     # body used (== the normr the reference's loop condition tests,
     # HPCCG.cpp:358,371 — one update older than the freshest residual);
-    # rr_fresh = r.r accumulated slab-wise DURING the r update (bit-identical
-    # to a top-of-body recompute, one fewer full VMEM pass + no gating
+    # rr_fresh = r.r accumulated slab-wise DURING the r update
+    # (value-equivalent to a top-of-body recompute — different reduction
+    # tree, last-ulp differences — one fewer full VMEM pass + no gating
     # reduction at the iteration head).
     def cond(c):
         k, rt_last, rr_fresh = c

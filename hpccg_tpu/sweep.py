@@ -51,6 +51,9 @@ def main(argv=None) -> int:
         )
         os.environ["JAX_PLATFORMS"] = "cpu"
 
+    if args.init_distributed and args.platform == "cpu":
+        raise SystemExit("--init-distributed and --platform cpu are mutually exclusive")
+
     import jax
 
     if args.init_distributed:
@@ -67,15 +70,18 @@ def main(argv=None) -> int:
     )
     from hpccg_tpu.utils.timing import time_fn
 
+    lead = jax.process_index() == 0  # multi-host: one writer
+
+    def emit(obj):
+        if lead:
+            print(json.dumps(obj), flush=True)
+
     meshes = [int(m) for m in args.meshes.split(",")]
     dtype = jnp.dtype(args.dtype)
     results = []
     for nd in meshes:
         if nd > len(jax.devices()):
-            print(
-                json.dumps({"mesh": nd, "skipped": f"only {len(jax.devices())} devices"}),
-                flush=True,
-            )
+            emit({"mesh": nd, "skipped": f"only {len(jax.devices())} devices"})
             continue
         if args.mode == "weak":
             cfg = ProblemConfig(
@@ -84,7 +90,7 @@ def main(argv=None) -> int:
             )
         else:
             if args.global_nz % nd:
-                print(json.dumps({"mesh": nd, "skipped": "nz not divisible"}), flush=True)
+                emit({"mesh": nd, "skipped": "nz not divisible"})
                 continue
             cfg = ProblemConfig(
                 args.nx, args.ny, args.global_nz // nd,
@@ -112,7 +118,7 @@ def main(argv=None) -> int:
             "gnnz_per_s": None if below_res else round(nnz_s / 1e9, 2),
         }
         results.append(point)
-        print(json.dumps(point), flush=True)
+        emit(point)
 
     results = [r for r in results if r["gnnz_per_s"]]
     if results:
@@ -127,15 +133,12 @@ def main(argv=None) -> int:
                 (r["gnnz_per_s"] / base["gnnz_per_s"]) / (r["mesh"] / base["mesh"])
                 for r in results
             ]
-        print(
-            json.dumps(
-                {
-                    "summary": args.mode,
-                    "meshes": [r["mesh"] for r in results],
-                    "efficiency_vs_first": [round(e, 3) for e in eff],
-                }
-            ),
-            flush=True,
+        emit(
+            {
+                "summary": args.mode,
+                "meshes": [r["mesh"] for r in results],
+                "efficiency_vs_first": [round(e, 3) for e in eff],
+            }
         )
     return 0
 

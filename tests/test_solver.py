@@ -167,9 +167,6 @@ def test_iterative_refinement_reaches_f64_accuracy():
 
 
 def test_resolve_backend_dispatch():
-    import pytest as _pytest
-
-    from hpccg_tpu.models.stencil import generate_ell
     from hpccg_tpu.solver import resolve_backend
 
     sprob = generate_problem(ProblemConfig(6, 6, 6))
@@ -180,7 +177,7 @@ def test_resolve_backend_dispatch():
     assert resolve_backend(sprob.A, "megakernel") == "megakernel"
     # explicit matrices use their native dispatch; stencil-only names warn
     assert resolve_backend(eprob.A, "auto") == "auto"
-    with _pytest.warns(UserWarning, match="stencil operators only"):
+    with pytest.warns(UserWarning, match="stencil operators only"):
         assert resolve_backend(eprob.A, "megakernel") == "auto"
-    with _pytest.raises(ValueError, match="unknown backend"):
+    with pytest.raises(ValueError, match="unknown backend"):
         resolve_backend(sprob.A, "pallass")
