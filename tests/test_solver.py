@@ -181,3 +181,17 @@ def test_resolve_backend_dispatch():
         assert resolve_backend(eprob.A, "megakernel") == "auto"
     with pytest.raises(ValueError, match="unknown backend"):
         resolve_backend(sprob.A, "pallass")
+
+
+def test_iterative_refinement_explicit_matrices():
+    """Refinement's f32-cast branch for explicit operators (tree_map astype):
+    ELL and DIA inner solves must reach the f64 floor too."""
+    from hpccg_tpu.solver import cg_solve_refined
+
+    prob = generate_ell(ProblemConfig(8, 8, 8))
+    for A in (prob.A, prob.A.to_dia()):
+        assert A is not None
+        res = cg_solve_refined(
+            A, prob.b, prob.x0, inner_max_iter=80, outer_max_iter=6
+        )
+        assert float(compute_residual(res.x, prob.xexact)) < 1e-12
