@@ -372,12 +372,18 @@ def resolve_backend(A, backend: str = "auto") -> str:
 def make_cg(
     A,
     *,
-    max_iter: int,
-    tolerance: float = 0.0,
+    max_iter: Optional[int] = None,
+    tolerance: Optional[float] = None,
     backend: str = "auto",
     method: str = "cg",
+    config=None,
 ) -> Callable[[jax.Array, jax.Array], CGResult]:
     """Build a jitted single-device solver fn(b, x0) for operator A.
+
+    Solve parameters come from ``max_iter``/``tolerance`` or from a
+    :class:`hpccg_tpu.SolverConfig` passed as ``config`` (explicit keywords
+    win; with neither, SolverConfig's defaults apply — max_iter=150,
+    tolerance=0.0, the reference's fixed-work protocol).
 
     backend="auto" picks the fastest backend for the problem size (see
     resolve_backend). backend="pallas" (stencil operators only) runs the
@@ -386,8 +392,13 @@ def make_cg(
     iteration scalars are identical to the flat path. backend="megakernel"
     runs the ENTIRE solve inside one Pallas call (VMEM-resident state).
     """
+    from hpccg_tpu.config import SolverConfig
     from hpccg_tpu.operators import StencilOperator
     from hpccg_tpu.ops.spmv import spmv
+
+    base = config if config is not None else SolverConfig()
+    max_iter = base.max_iter if max_iter is None else max_iter
+    tolerance = base.tolerance if tolerance is None else tolerance
 
     backend = resolve_backend(A, backend)
 

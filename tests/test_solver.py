@@ -195,3 +195,19 @@ def test_iterative_refinement_explicit_matrices():
             A, prob.b, prob.x0, inner_max_iter=80, outer_max_iter=6
         )
         assert float(compute_residual(res.x, prob.xexact)) < 1e-12
+
+
+def test_make_cg_solver_config():
+    from hpccg_tpu import SolverConfig
+
+    prob = generate_problem(ProblemConfig(6, 6, 6))
+    r_cfg = make_cg(prob.A, config=SolverConfig(max_iter=30, tolerance=0.0))(
+        prob.b, prob.x0
+    )
+    r_kw = make_cg(prob.A, max_iter=30)(prob.b, prob.x0)
+    assert int(r_cfg.niters) == int(r_kw.niters) == 29
+    # explicit keyword wins over the config object
+    r_mix = make_cg(prob.A, max_iter=10, config=SolverConfig(max_iter=30))(
+        prob.b, prob.x0
+    )
+    assert int(r_mix.niters) == 9
