@@ -11,8 +11,10 @@ def test_bench_emits_one_json_line(monkeypatch):
 
     monkeypatch.setattr(
         sys, "argv",
-        ["bench.py", "--nx", "8", "--ny", "8", "--nz", "8",
-         "--max-iter", "20", "--reps", "3", "--backend", "stencil"],
+        # f64: an f32 problem this small converges to an EXACTLY zero
+        # residual before the long slope leg completes
+        ["bench.py", "--nx", "8", "--ny", "8", "--nz", "8", "--dtype",
+         "float64", "--max-iter", "20", "--reps", "3", "--backend", "stencil"],
     )
     buf = io.StringIO()
     with redirect_stdout(buf):
