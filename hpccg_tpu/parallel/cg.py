@@ -139,7 +139,9 @@ def make_distributed_cg(
 
         if backend == "pallas":
             from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3, unpad_plane3
-            from hpccg_tpu.parallel.halo import stencil_matvec_halo_pallas_v2
+            from hpccg_tpu.parallel.halo import (
+                stencil_matvec_halo_pallas_v2_overlap,
+            )
 
             @jax.jit
             @partial(
@@ -151,7 +153,9 @@ def make_distributed_cg(
             )
             def solve_1red_pallas(b, x0):
                 res = solver_fn(
-                    lambda v: stencil_matvec_halo_pallas_v2(op_local, v, axis),
+                    lambda v: stencil_matvec_halo_pallas_v2_overlap(
+                        op_local, v, axis
+                    ),
                     pad_plane3(op_local, b),
                     pad_plane3(op_local, x0),
                     max_iter=max_iter,
@@ -259,8 +263,7 @@ def make_distributed_cg(
             unpad_plane3,
         )
         from hpccg_tpu.parallel.halo import (
-            stencil_matvec_halo_pallas_v2,
-            stencil_matvec_halo_pallas_v2_pap,
+            stencil_matvec_halo_pallas_v2_overlap,
         )
 
         @jax.jit
@@ -276,14 +279,16 @@ def make_distributed_cg(
         )
         def solve_pallas_v2(b, x0):
             res = cg_solve(
-                lambda v: stencil_matvec_halo_pallas_v2(op_local, v, axis),
+                lambda v: stencil_matvec_halo_pallas_v2_overlap(
+                    op_local, v, axis
+                ),
                 pad_plane3(op_local, b),
                 pad_plane3(op_local, x0),
                 max_iter=max_iter,
                 tolerance=tolerance,
                 dot=pdot,
-                matvec_pap=lambda v: stencil_matvec_halo_pallas_v2_pap(
-                    op_local, v, axis
+                matvec_pap=lambda v: stencil_matvec_halo_pallas_v2_overlap(
+                    op_local, v, axis, with_pap=True
                 ),
                 pap_reduce=lambda s: jax.lax.psum(s, axis),
             )

@@ -173,3 +173,71 @@ def stencil_matvec_halo_pallas_v2_pap(
     from hpccg_tpu.ops.pallas.stencil_v2 import spmv_padded_v2_pap
 
     return spmv_padded_v2_pap(op, u_pad, _halo_planes_v2(op, u_pad, axis_name))
+
+
+def _plane_xy_sum(plane: jax.Array, op: StencilOperator) -> jax.Array:
+    """The halo plane's contribution to its adjacent boundary plane:
+    boundary-clipped xy neighbor sum for 27-pt (the z-neighbor plane
+    contributes its full 3x3 xy-neighborhood), identity for 7-pt (face
+    neighbor only). plane is (ny_pad, nx_pad) with zero padding."""
+    if op.stencil == Stencil.S27:
+        u = plane[None]  # _axis_sum3 pads/slices -> exact clipping
+        return _axis_sum3(_axis_sum3(u, 2), 1)[0]
+    return plane
+
+
+def stencil_matvec_halo_pallas_v2_overlap(
+    op: StencilOperator,
+    u_pad: jax.Array,
+    axis_name: str = "z",
+    with_pap: bool = False,
+):
+    """Distributed A @ x with HALO/COMPUTE OVERLAP (the BASELINE requirement:
+    ppermute "overlapped with interior SpMV compute").
+
+    The plain pallas path feeds the ppermuted planes into the kernel, making
+    the kernel data-dependent on the exchange. Here the kernel runs with a
+    ZERO external halo — correct everywhere except the two boundary z-planes
+    — while the ppermute carries no dependency on it; the halo lands as two
+    tiny plane corrections afterwards (y[0] += OFFDIAG * xy3(below),
+    y[nz-1] += OFFDIAG * xy3(above)), so XLA's scheduler is free to run the
+    exchange concurrently with the interior kernel.
+
+    with_pap=True also returns the local p.Ap partial (kernel partial +
+    boundary-correction terms)."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import spmv_padded_v2, spmv_padded_v2_pap
+
+    nz = op.nz
+    if with_pap:
+        y, pap = spmv_padded_v2_pap(op, u_pad, None)
+    else:
+        y = spmv_padded_v2(op, u_pad, None)
+
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return (y, pap) if with_pap else y
+
+    below = jax.lax.ppermute(
+        u_pad[nz - 1], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    above = jax.lax.ppermute(
+        u_pad[0], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    # corrections are zero-padded like everything else (the ppermuted planes
+    # come from padded arrays, and _plane_xy_sum's clipping keeps pad lanes
+    # from leaking into real ones only via real data — mask to be exact)
+    ny_pad, nx_pad = u_pad.shape[1], u_pad.shape[2]
+    iy = jnp.arange(ny_pad)[:, None] < op.ny
+    ix = jnp.arange(nx_pad)[None, :] < op.nx
+    valid = (iy & ix).astype(u_pad.dtype)
+    corr_lo = OFFDIAG_VALUE * _plane_xy_sum(below, op) * valid
+    corr_hi = OFFDIAG_VALUE * _plane_xy_sum(above, op) * valid
+    y = y.at[0].add(corr_lo).at[nz - 1].add(corr_hi)
+    if with_pap:
+        pap = (
+            pap
+            + jnp.vdot(u_pad[0], corr_lo)
+            + jnp.vdot(u_pad[nz - 1], corr_hi)
+        )
+        return y, pap
+    return y
