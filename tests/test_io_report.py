@@ -234,3 +234,28 @@ def test_random_banded_spd_matrix_cg():
             jnp.asarray(b), jnp.zeros(n)
         )
         np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_report_write_to_disk(tmp_path, monkeypatch):
+    """Report.write emits the timestamped file like YAML_Doc::generateYAML
+    (YAML_Doc.cpp:40-71), in both formats."""
+    import json
+    import os
+
+    from hpccg_tpu.utils.report import Report
+
+    monkeypatch.chdir(tmp_path)
+    doc = Report("hpccg-tpu", "1.0")
+    doc.add("Number of iterations", 42)
+    sec = doc.add("Dimensions")
+    sec.add("nx", 8)
+
+    ypath = doc.write()
+    assert os.path.exists(ypath) and ypath.endswith(".yaml")
+    text = open(ypath).read()
+    assert "Number of iterations: 42" in text and "nx: 8" in text
+
+    jpath = doc.write(fmt="json")
+    obj = json.loads(open(jpath).read())
+    assert obj["Number of iterations"] == 42
+    assert obj["Dimensions"]["nx"] == 8
