@@ -119,7 +119,10 @@ def main(argv=None) -> int:
         if jax.default_backend() == "tpu":
             print(
                 "# note: f64 on TPU is emulated with f32-pair arithmetic "
-                "(values < ~1e-38 flush to zero); use CPU for deep-convergence parity",
+                "(values < ~1e-38 flush to zero) and compiles MUCH slower "
+                "than f32 (minutes on first run); use CPU for "
+                "deep-convergence parity, or --refine for f64-floor "
+                "accuracy from fast f32 kernels",
                 file=sys.stderr,
             )
     import jax.numpy as jnp
