@@ -211,3 +211,18 @@ def test_make_cg_solver_config():
         prob.b, prob.x0
     )
     assert int(r_mix.niters) == 9
+
+
+def test_iterative_refinement_tolerance_stop():
+    """The outer loop stops once the f64 residual crosses the tolerance."""
+    from hpccg_tpu.solver import cg_solve_refined
+
+    prob = generate_problem(ProblemConfig(8, 8, 8))
+    res = cg_solve_refined(
+        prob.A, prob.b, prob.x0,
+        inner_max_iter=80, outer_max_iter=6, tolerance=1e-6,
+    )
+    assert float(res.normr) <= 1e-6
+    tr = np.asarray(res.trace)
+    # stopped early: fewer finite outer entries than the cap allows
+    assert np.isfinite(tr).sum() < 7
