@@ -91,3 +91,14 @@ def test_partitioned_shards_assemble_to_global():
     np.testing.assert_allclose(
         np.concatenate(ys), np.asarray(gprob.A.matvec(x)), rtol=1e-14
     )
+
+
+def test_problem_config_validation():
+    import pytest
+
+    from hpccg_tpu import ProblemConfig
+
+    with pytest.raises(ValueError, match="grid dims"):
+        ProblemConfig(0, 4, 4)
+    with pytest.raises(ValueError, match="grid dims"):
+        ProblemConfig(4, 4, -1)

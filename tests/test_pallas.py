@@ -322,3 +322,30 @@ def test_fused_k1_halo_parity_z_padding_edge():
         op, rp, pp, beta, masks, jnp.concatenate([halo2, halo2])
     )
     np.testing.assert_allclose(np.asarray(apout), want, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "dims",
+    # seeded random shape sweep: odd/aligned/tiny mixes for the whole-solve
+    # kernels' padding and slab-boundary logic
+    [(7, 11, 3), (13, 8, 21), (3, 17, 5), (24, 6, 10), (9, 9, 16)],
+)
+def test_wholesolve_kernels_random_shapes(dims):
+    from hpccg_tpu.ops.pallas.streamkernel import cg_stream_padded, _stream_tz
+    from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3
+
+    cfg = ProblemConfig(*dims, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    rs = make_cg(prob.A, max_iter=20, backend="stencil")(prob.b, prob.x0)
+    ts = np.asarray(rs.trace)
+    good = ts > 1e-10 * ts[0]
+
+    rm = make_cg(prob.A, max_iter=20, backend="megakernel")(prob.b, prob.x0)
+    np.testing.assert_allclose(np.asarray(rm.trace)[good], ts[good], rtol=1e-7)
+
+    tz = _stream_tz(prob.A, prob.b.dtype)
+    _, trace, stats = cg_stream_padded(
+        prob.A, pad_plane3(prob.A, prob.b, tz), pad_plane3(prob.A, prob.x0, tz),
+        20, 0.0,
+    )
+    np.testing.assert_allclose(np.asarray(trace[:, 0])[good], ts[good], rtol=1e-7)
