@@ -34,8 +34,15 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("dims", nargs="+", help="nx ny nz, or an HPC-row data file")
     ap.add_argument("--stencil", type=int, default=27, choices=[27, 7])
-    ap.add_argument("--max-iter", type=int, default=150, help="ref main_old.cpp:166 default; main.cpp uses 500")
+    ap.add_argument("--max-iter", type=int, default=150, help="ref main_old.cpp:166 default; main.cpp uses 500 (--preset ref500)")
     ap.add_argument("--tolerance", type=float, default=0.0)
+    ap.add_argument(
+        "--preset",
+        choices=["ref500", "ref150"],
+        help="solve-protocol shortcuts: ref500 = max_iter 500, tolerance 0 "
+        "(the reference benchmark protocol, main.cpp:187-188); ref150 = "
+        "max_iter 150 (main_old.cpp:166). Overrides --max-iter/--tolerance",
+    )
     ap.add_argument("--dtype", default="float64", choices=["float64", "float32", "bfloat16"])
     ap.add_argument("--mesh", type=int, default=1, metavar="N", help="devices on the 1-D z mesh")
     ap.add_argument(
@@ -45,6 +52,7 @@ def build_argparser() -> argparse.ArgumentParser:
             "auto",
             "stencil",
             "ell",
+            "dia",
             "pallas",
             "pallas_v1",
             "pallas_fused",
@@ -104,6 +112,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.preset:
+        args.max_iter = {"ref500": 500, "ref150": 150}[args.preset]
+        args.tolerance = 0.0
 
     import jax
 
@@ -147,6 +158,7 @@ def main(argv=None) -> int:
             print("# file mode runs single-device (general-matrix mesh path: API only)", file=sys.stderr)
             args.mesh = 1  # downstream report/bench blocks key off this
         solve = None
+        backend_used = None
     else:
         if len(args.dims) != 3:
             print("error: expected 'nx ny nz' or one data file", file=sys.stderr)
@@ -163,7 +175,7 @@ def main(argv=None) -> int:
             mesh = make_mesh(args.mesh)
             prob = generate_problem_sharded(cfg, mesh)
             dist_backend = args.backend
-            if dist_backend in ("megakernel", "streamkernel", "ell"):
+            if dist_backend in ("megakernel", "streamkernel", "ell", "dia"):
                 # whole-solve kernels are single-shard-only (no in-kernel
                 # collectives yet); ell has its own all_gather entry point
                 print(
@@ -180,15 +192,30 @@ def main(argv=None) -> int:
                 backend=dist_backend,
                 method=args.method,
             )
+            backend_used = f"distributed:{dist_backend}"
         else:
             prob = generate_problem(cfg)
             solve = None
+            backend_used = None
+
+    if args.refine > 0 and solve is not None:
+        # a distributed (or otherwise pre-built) solve ignores --refine; zero
+        # it so the reporting path doesn't mislabel CG iterations as
+        # refinement rounds
+        print(
+            "# --refine is a single-device path; ignoring it for this "
+            "solve (use --mesh 1)",
+            file=sys.stderr,
+        )
+        args.refine = 0
 
     if solve is None and args.refine > 0:
         if args.dtype != "float64":
             print("error: --refine requires --dtype float64", file=sys.stderr)
             return 2
         from hpccg_tpu.solver import cg_solve_refined
+
+        backend_used = f"refine({args.backend})"
 
         def solve(b, x0):  # noqa: F811
             return cg_solve_refined(
@@ -210,6 +237,14 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             args.backend = "auto"
+        from hpccg_tpu.solver import resolve_backend
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")  # make_cg re-emits any warning
+            backend_used = resolve_backend(prob.A, args.backend)
+        if backend_used == "auto":
+            backend_used = f"native({type(prob.A).__name__})"
         solve = make_cg(
             prob.A,
             max_iter=args.max_iter,
@@ -221,8 +256,21 @@ def main(argv=None) -> int:
     if args.dump_matlab:
         from hpccg_tpu.io import dump_matlab
 
-        path = dump_matlab(args.dump_matlab, prob.A)
-        print(f"# wrote {path}", file=sys.stderr)
+        if args.mesh > 1:
+            # per-shard dumps mat0..mat3, exactly the reference's per-rank
+            # files (dump_matlab_matrix.cpp:59-82; ranks > 3 are no-ops)
+            from hpccg_tpu.parallel.cg import local_operator
+
+            op_local = local_operator(cfg)
+            for r in range(min(args.mesh, 4)):
+                path = dump_matlab(
+                    args.dump_matlab, op_local, rank=r,
+                    start_row=r * op_local.local_nrow,
+                )
+                print(f"# wrote {path}", file=sys.stderr)
+        else:
+            path = dump_matlab(args.dump_matlab, prob.A)
+            print(f"# wrote {path}", file=sys.stderr)
 
     if args.validate:
         if args.mesh <= 1:
@@ -386,7 +434,12 @@ def main(argv=None) -> int:
     ts.add("DDOT    ", t_ddot)
     ts.add("WAXPBY  ", t_waxpby)
     ts.add("SPARSEMV", t_spmv)
-    ts.add("(DDOT/WAXPBY/SPARSEMV are phase-separated micro-benchmarks; the solve loop runs fused)", "")
+    ts.add(
+        f"(DDOT/WAXPBY/SPARSEMV are phase-separated micro-benchmarks of the "
+        f"dispatchable kernel tier; Total timed backend={backend_used or args.backend} "
+        f"— for fused/whole-solve backends the kernel rows are NOT components of Total)",
+        "",
+    )
 
     fl = doc.add("FLOPS Summary")
     fl.add("Total   ", fnops)
@@ -429,8 +482,16 @@ def main(argv=None) -> int:
             )
 
         t_psum = time_loop_slope(make_psum_loop, prob.b) * 2 * fniters
+        # ref main.cpp:201-210,285-288 reports min/max/avg of the ddot MPI
+        # time across ranks. XLA mesh collectives complete in lockstep (one
+        # fused program, every device leaves the psum together), so the
+        # cross-device spread the MPI build measures is structurally zero —
+        # report the same schema keys with that one value, and say why.
         dv = doc.add("DDOT Timing Variations")
-        dv.add("DDOT allreduce (psum) time", t_psum)
+        dv.add("Min DDOT MPI_Allreduce time", t_psum)
+        dv.add("Max DDOT MPI_Allreduce time", t_psum)
+        dv.add("Avg DDOT MPI_Allreduce time", t_psum)
+        dv.add("(XLA psum is lockstep across the mesh: min == max == avg)", "")
         ov = doc.add("SPARSEMV OVERHEADS")
         ov.add("SPARSEMV MFLOPS W OVERHEAD", fnops_sparsemv / t_spmv / 1e6)
         ov.add("SPARSEMV PARALLEL OVERHEAD note", "halo exchange is fused into the SpMV (ppermute)")

@@ -149,19 +149,37 @@ def write_hpc_row(path: str, prob: Problem, x: Optional[np.ndarray] = None) -> N
             f.write(f"{x[i]:.17g} {b[i]:.17g} {xexact[i]:.17g}\n")
 
 
-def dump_matlab(prefix: str, A, rank: int = 0) -> Optional[str]:
+def dump_matlab(prefix: str, A, rank: int = 0, start_row: int = 0) -> Optional[str]:
     """Write 1-indexed (row, col, val) triplets to <prefix><rank>.dat for
     Matlab spconvert (ref dump_matlab_matrix.cpp:59-82; ranks > 3 are no-ops).
+
+    ``start_row`` offsets the row (and, for a z-stacked stencil shard, the
+    column) numbering — pass ``rank * local_nrow`` to dump one shard of a
+    distributed problem exactly as the reference's per-rank dumps do.
     """
     if rank > 3:
         return None
     if isinstance(A, StencilOperator):
+        import dataclasses as _dc
+
         from hpccg_tpu.config import ProblemConfig
         from hpccg_tpu.models.stencil import generate_ell
 
-        A = generate_ell(
+        ell = generate_ell(
             ProblemConfig(A.nx, A.ny, A.nz, stencil=A.stencil, dtype=A.dtype)
         ).A
+        if start_row:
+            # z-stacked shard: global row AND column ids shift together
+            A = _dc.replace(
+                ell, cols=ell.cols + start_row, start_row=start_row
+            )
+        else:
+            A = ell
+    elif start_row:
+        raise ValueError(
+            "start_row applies to stencil shards; explicit matrices carry "
+            "their own partition metadata (EllMatrix.start_row)"
+        )
     rows, cols, vals = A.to_coo()
     path = f"{prefix}{rank}.dat"
     with open(path, "w") as f:

@@ -309,7 +309,7 @@ def _kernel(
     r_ref[pl.ds(1, nzp)] = b_ref[:] * valid - u_ref[pl.ds(1, nzp)]
     exchange_and_apply(r_ref, u_ref, 1)
     gamma0, delta0 = allreduce2(dot(r_ref, r_ref), dot(r_ref, u_ref), 0)
-    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), dtype)
+    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), trace_ref.dtype)
     # interior rows only: r's guard rows are RDMA targets — a fast peer's
     # NEXT-iteration halo may land there while we copy (the guards' values
     # are never read through p, but the access must still be race-free)
@@ -326,7 +326,7 @@ def _kernel(
 
     def body(c):
         k, gamma, alpha, _ = c
-        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), jnp.sqrt(gamma), dtype)
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), jnp.sqrt(gamma), trace_ref.dtype)
         x_ref[pl.ds(1, nzp)] = x_ref[pl.ds(1, nzp)] + alpha * p_ref[pl.ds(1, nzp)]
         r_ref[pl.ds(1, nzp)] = r_ref[pl.ds(1, nzp)] - alpha * s_ref[pl.ds(1, nzp)]
         exchange_and_apply(r_ref, u_ref, 1)
@@ -344,10 +344,12 @@ def _kernel(
         cond, body, (k0, gamma0, alpha0, gamma0)
     )
     x_out[:] = x_ref[pl.ds(1, nzp)]
-    stats_ref[0, 0] = jnp.sqrt(gamma_top)
-    stats_ref[0, 1] = gamma_top
-    stats_ref[0, 2] = (k - 1).astype(dtype)
-    stats_ref[0, 3] = jnp.asarray(0.0, dtype)  # spare slot, defined
+    # stats in f32-or-better: a bf16 niters slot is inexact past 256
+    sdt = stats_ref.dtype
+    stats_ref[0, 0] = jnp.sqrt(gamma_top).astype(sdt)
+    stats_ref[0, 1] = gamma_top.astype(sdt)
+    stats_ref[0, 2] = (k - 1).astype(sdt)
+    stats_ref[0, 3] = jnp.asarray(0.0, sdt)  # spare slot, defined
 
 
 def cg_collective_padded(
@@ -392,8 +394,8 @@ def cg_collective_padded(
         ),
         out_shape=(
             vec,
-            jax.ShapeDtypeStruct((max(max_iter, 1), LANE), dtype),
-            jax.ShapeDtypeStruct((1, 4), dtype),
+            jax.ShapeDtypeStruct((max(max_iter, 1), LANE), jnp.promote_types(dtype, jnp.float32)),
+            jax.ShapeDtypeStruct((1, 4), jnp.promote_types(dtype, jnp.float32)),
         ),
         scratch_shapes=[
             gvec,  # x
@@ -583,7 +585,7 @@ def _kernel_pipelined(
     apply(w_ref, q_ref, 2)  # q = A w
     allreduce_start(gamma_l, delta_l, 0)
     gamma0, delta0 = allreduce_wait(gamma_l, delta_l, 0)
-    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), dtype)
+    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), trace_ref.dtype)
     alpha0 = gamma0 / delta0
     p_ref[:] = r_ref[:]
     s_ref[:] = w_ref[:]
@@ -596,7 +598,7 @@ def _kernel_pipelined(
 
     def body(c):
         k, gamma, alpha, _ = c
-        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), jnp.sqrt(gamma), dtype)
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), jnp.sqrt(gamma), trace_ref.dtype)
         x_ref[:] = x_ref[:] + alpha * p_ref[:]
         r_ref[:] = r_ref[:] - alpha * s_ref[:]
         w_ref[:] = w_ref[:] - alpha * z_ref[:]
@@ -621,10 +623,12 @@ def _kernel_pipelined(
         cond, body, (k0, gamma0, alpha0, gamma0)
     )
     x_out[:] = x_ref[:]
-    stats_ref[0, 0] = jnp.sqrt(gamma_top)
-    stats_ref[0, 1] = gamma_top
-    stats_ref[0, 2] = (k - 1).astype(dtype)
-    stats_ref[0, 3] = jnp.asarray(0.0, dtype)  # spare slot, defined
+    # stats in f32-or-better: a bf16 niters slot is inexact past 256
+    sdt = stats_ref.dtype
+    stats_ref[0, 0] = jnp.sqrt(gamma_top).astype(sdt)
+    stats_ref[0, 1] = gamma_top.astype(sdt)
+    stats_ref[0, 2] = (k - 1).astype(sdt)
+    stats_ref[0, 3] = jnp.asarray(0.0, sdt)  # spare slot, defined
 
 
 def cg_collective_pipelined_padded(
@@ -667,8 +671,8 @@ def cg_collective_pipelined_padded(
         ),
         out_shape=(
             vec,
-            jax.ShapeDtypeStruct((max(max_iter, 1), LANE), dtype),
-            jax.ShapeDtypeStruct((1, 4), dtype),
+            jax.ShapeDtypeStruct((max(max_iter, 1), LANE), jnp.promote_types(dtype, jnp.float32)),
+            jax.ShapeDtypeStruct((1, 4), jnp.promote_types(dtype, jnp.float32)),
         ),
         scratch_shapes=[
             svec,  # x

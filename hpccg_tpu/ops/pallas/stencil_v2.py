@@ -43,10 +43,11 @@ def _round_up(v: int, m: int) -> int:
 
 
 def padded_dims(op: StencilOperator, dtype=None, tz: int | None = None):
-    """(nzp, ny_pad, nx_pad) for the v2 layout."""
+    """(nzp, ny_pad, nx_pad) for the v2 layout. The sublane unit doubles for
+    16-bit storage (bf16 min tile is (16, 128))."""
     dtype = jnp.dtype(dtype or op.dtype)
     nx_pad = _round_up(op.nx, LANE)
-    ny_pad = _round_up(op.ny, SUBLANE)
+    ny_pad = _round_up(op.ny, SUBLANE * 2 if dtype.itemsize == 2 else SUBLANE)
     tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, dtype.itemsize)
     nzp = _round_up(op.nz, tz)
     return nzp, ny_pad, nx_pad
@@ -94,6 +95,16 @@ def _sum3_x(u: jax.Array, nx: int, force_mask: bool = False) -> jax.Array:
     fused multiply-adds pipeline better than the bare add chain there),
     while the grid-pipelined SpMV kernel is ~12% faster without."""
     nx_pad = u.shape[-1]
+    if jnp.dtype(u.dtype).itemsize == 2:
+        # Mosaic's rotate handles 32-bit data only ("Rotate with non-32-bit
+        # data"); for bf16 shift via a zero lane-pad + unaligned slices.
+        # Zero fill at both ends also makes the boundary masks unnecessary:
+        # position 0's left neighbor and position nx-1's right neighbor are
+        # exact zeros (pad lane or jnp.pad zero), never wraparound data.
+        p = jnp.pad(u, ((0, 0),) * (u.ndim - 1) + ((1, 1),))
+        left = jax.lax.slice_in_dim(p, 0, nx_pad, axis=u.ndim - 1)
+        right = jax.lax.slice_in_dim(p, 2, nx_pad + 2, axis=u.ndim - 1)
+        return left + u + right
     # pin the shift to i32: under jax_enable_x64 a Python int traces as an
     # i64 operand, which Mosaic's dynamic_rotate rejects (this bites f32
     # kernels whenever the RUNTIME has x64 on, e.g. iterative refinement)

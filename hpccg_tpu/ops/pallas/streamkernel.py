@@ -157,7 +157,7 @@ def _kernel(
     jax.lax.fori_loop(0, nzb, init_r, 0)
 
     rtrans0 = jnp.sum(r_ref[:] * r_ref[:])
-    trace_ref[0, :] = jnp.full((128,), jnp.sqrt(rtrans0), dtype)
+    trace_ref[0, :] = jnp.full((128,), jnp.sqrt(rtrans0), trace_ref.dtype)
 
     # x starts as x0; copy it through (x_hbm may alias x0_hbm, but copy
     # anyway so the non-aliased interpret path is correct too)
@@ -187,7 +187,7 @@ def _kernel(
     def body(c):
         k, rt_prev, rtrans = c
         beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rt_prev)
-        trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), jnp.sqrt(rtrans), dtype)
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), jnp.sqrt(rtrans), trace_ref.dtype)
 
         # p = r + beta p (pinned, pure VMEM)
         p_ref[pl.ds(1, nzs)] = r_ref[pl.ds(1, nzs)] + beta * p_ref[pl.ds(1, nzs)]
@@ -241,10 +241,12 @@ def _kernel(
 
     k0 = jnp.asarray(1, jnp.int32)
     k, rt_last, _ = jax.lax.while_loop(cond, body, (k0, rtrans0, rtrans0))
-    stats_ref[0, 0] = jnp.sqrt(rt_last)
-    stats_ref[0, 1] = rt_last
-    stats_ref[0, 2] = (k - 1).astype(dtype)
-    stats_ref[0, 3] = jnp.asarray(0.0, dtype)  # spare slot, defined
+    # stats in f32-or-better: a bf16 niters slot is inexact past 256
+    sdt = stats_ref.dtype
+    stats_ref[0, 0] = jnp.sqrt(rt_last).astype(sdt)
+    stats_ref[0, 1] = rt_last.astype(sdt)
+    stats_ref[0, 2] = (k - 1).astype(sdt)
+    stats_ref[0, 3] = jnp.asarray(0.0, sdt)  # spare slot, defined
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))
@@ -284,8 +286,8 @@ def cg_stream_padded(
         ),
         out_shape=(
             vec,
-            jax.ShapeDtypeStruct((max(max_iter, 1), 128), dtype),
-            jax.ShapeDtypeStruct((1, 4), dtype),
+            jax.ShapeDtypeStruct((max(max_iter, 1), 128), jnp.promote_types(dtype, jnp.float32)),
+            jax.ShapeDtypeStruct((1, 4), jnp.promote_types(dtype, jnp.float32)),
         ),
         scratch_shapes=[
             pltpu.VMEM((nzs + 2, ny_pad, nx_pad), dtype),  # r (+ guards)

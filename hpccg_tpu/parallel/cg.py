@@ -195,6 +195,22 @@ def make_distributed_cg(
     # (a one-reduction method with backend == "collective" reaches here and
     # falls through: the collective kernel's in-kernel allreduce IS cg1)
 
+    if backend == "collective" and method == "cg":
+        # the collective whole-solve kernel's in-kernel allreduce IS the
+        # Chronopoulos-Gear single-reduction recurrence — equal to the
+        # reference recurrence only to rounding (and with the documented f32
+        # early-flush quirk, solver.cg_solve_single_reduction). Say so
+        # rather than silently substituting.
+        import warnings
+
+        warnings.warn(
+            "backend='collective' implements the cg1 (single-reduction) "
+            "recurrence, not the reference 'cg' recurrence; pass "
+            "method='cg1' to acknowledge, or backend='pallas' for the "
+            "reference recurrence with ppermute halo",
+            stacklevel=2,
+        )
+
     if backend == "collective":
         # the whole multi-chip solve is ONE Pallas call per shard: in-kernel
         # RDMA halo exchange + in-kernel scalar allreduce, zero XLA dispatch

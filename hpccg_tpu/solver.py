@@ -352,16 +352,36 @@ def resolve_backend(A, backend: str = "auto") -> str:
                 f"{type(A).__name__} uses its native matvec dispatch",
                 stacklevel=3,
             )
+        from hpccg_tpu.operators import EllMatrix
+
+        if (
+            isinstance(A, EllMatrix)
+            and jax.default_backend() == "tpu"
+            and A.local_nrow >= 100_000
+        ):
+            import warnings
+
+            warnings.warn(
+                f"ELL gather SpMV at {A.local_nrow} rows on TPU is orders of "
+                "magnitude off the memory roofline (no hardware gather); "
+                "convert the matrix with to_dia()/to_blocked_dia() or "
+                "hpccg_tpu.reorder.auto_structure() for a fast banded path",
+                stacklevel=3,
+            )
         return "auto"
     if backend != "auto":
         return backend
-    if jax.default_backend() != "tpu" or jnp.dtype(A.dtype).itemsize != 4:
+    if jax.default_backend() != "tpu" or jnp.dtype(A.dtype).itemsize not in (2, 4):
         return "stencil"
     from hpccg_tpu.ops.pallas.megakernel import fits_vmem
     from hpccg_tpu.ops.pallas.streamkernel import fits_stream_vmem
 
     if fits_vmem(A, A.dtype):
         return "megakernel"
+    if jnp.dtype(A.dtype).itemsize == 2:
+        # 16-bit state beyond the megakernel's (extended, ~160^3) reach:
+        # stay on the XLA stencil path — the streaming kernels are f32-tuned
+        return "stencil"
     if fits_stream_vmem(A, A.dtype):
         return "streamkernel"
     if A.local_nrow * jnp.dtype(A.dtype).itemsize <= (40 << 20):
@@ -406,10 +426,22 @@ def make_cg(
         solver_fn = (
             cg_solve_single_reduction if method == "cg1" else cg_solve_pipelined
         )
+        if backend in ("megakernel", "streamkernel", "pallas_fused"):
+            # the whole-solve / fused kernels implement the standard
+            # recurrence only; say so instead of silently re-routing a
+            # benchmark to a kernel that never ran (cf. resolve_backend's
+            # non-stencil fallback warning)
+            import warnings
+
+            warnings.warn(
+                f"backend={backend!r} implements method='cg' only; "
+                f"method={method!r} runs on the per-iteration pallas-v2 "
+                "SpMV path instead",
+                stacklevel=2,
+            )
+            backend = "pallas"
         # one-reduction variants ride the pallas-v2 layout or the XLA path
-        if backend in ("pallas", "megakernel", "streamkernel") and isinstance(
-            A, StencilOperator
-        ):
+        if backend == "pallas" and isinstance(A, StencilOperator):
             from hpccg_tpu.ops.pallas.stencil_v2 import (
                 pad_plane3,
                 spmv_padded_v2,

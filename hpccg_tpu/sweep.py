@@ -100,8 +100,10 @@ def main(argv=None) -> int:
         prob = generate_problem_sharded(cfg, mesh)
         k1, k2 = args.iters + 1, 8 * args.iters + 1
         backend = args.backend
-        s1 = make_distributed_cg(cfg, mesh, max_iter=k1, backend=backend)
-        s2 = make_distributed_cg(cfg, mesh, max_iter=k2, backend=backend)
+        # the collective kernel's in-kernel allreduce is the cg1 recurrence
+        method = "cg1" if backend == "collective" else "cg"
+        s1 = make_distributed_cg(cfg, mesh, max_iter=k1, backend=backend, method=method)
+        s2 = make_distributed_cg(cfg, mesh, max_iter=k2, backend=backend, method=method)
         t1 = time_fn(s1, prob.b, prob.x0, reps=3)
         t2 = time_fn(s2, prob.b, prob.x0, reps=3)
         below_res = (t2 - t1) <= 0

@@ -16,7 +16,7 @@ def test_collective_matches_cg1(ndev):
     cfg = ProblemConfig(6, 5, 4)
     mesh = make_mesh(ndev)
     prob = generate_problem_sharded(cfg, mesh)
-    rc = make_distributed_cg(cfg, mesh, max_iter=25, backend="collective")(
+    rc = make_distributed_cg(cfg, mesh, max_iter=25, backend="collective", method="cg1")(
         prob.b, prob.x0
     )
     r1 = make_distributed_cg(cfg, mesh, max_iter=25, method="cg1")(prob.b, prob.x0)
@@ -32,7 +32,7 @@ def test_collective_tolerance_exit():
     mesh = make_mesh(4)
     prob = generate_problem_sharded(cfg, mesh)
     rc = make_distributed_cg(
-        cfg, mesh, max_iter=200, tolerance=1e-10, backend="collective"
+        cfg, mesh, max_iter=200, tolerance=1e-10, backend="collective", method="cg1"
     )(prob.b, prob.x0)
     r1 = make_distributed_cg(cfg, mesh, max_iter=200, tolerance=1e-10, method="cg1")(
         prob.b, prob.x0
@@ -50,7 +50,7 @@ def test_collective_race_free(monkeypatch):
     cfg = ProblemConfig(4, 3, 2)
     mesh = make_mesh(4)
     prob = generate_problem_sharded(cfg, mesh)
-    res = make_distributed_cg(cfg, mesh, max_iter=10, backend="collective")(
+    res = make_distributed_cg(cfg, mesh, max_iter=10, backend="collective", method="cg1")(
         prob.b, prob.x0
     )
     assert float(res.normr) < float(res.trace[0])
