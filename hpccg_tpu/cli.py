@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -73,6 +74,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")
     ap.add_argument("--quiet", action="store_true", help="suppress residual lines")
     ap.add_argument("--dump-matlab", metavar="PREFIX", help="dump COO triplets (ref dump_matlab_matrix.cpp)")
+    ap.add_argument(
+        "--no-reorder",
+        action="store_true",
+        help="file mode: disable RCM bandwidth-reducing reordering (solve "
+        "in the file's original row order even if a hidden band exists)",
+    )
     ap.add_argument("--skip-kernel-bench", action="store_true", help="skip per-kernel micro-benchmarks")
     ap.add_argument(
         "--check",
@@ -150,15 +157,61 @@ def main(argv=None) -> int:
     file_mode = len(args.dims) == 1 and not args.dims[0].isdigit()
     mesh = None
     if file_mode:
-        from hpccg_tpu.io import read_hpc_row
+        from hpccg_tpu.io import pad_problem_rows, read_hpc_row_structured
 
-        prob, _ = read_hpc_row(args.dims[0], dtype=dtype)
+        prob, perm, report = read_hpc_row_structured(
+            args.dims[0], dtype=dtype, reorder=not args.no_reorder
+        )
+        print(f"# matrix structure: {report.format} — {report.reason}", file=sys.stderr)
         nx = ny = nz = 0
-        if args.mesh > 1:
-            print("# file mode runs single-device (general-matrix mesh path: API only)", file=sys.stderr)
-            args.mesh = 1  # downstream report/bench blocks key off this
         solve = None
         backend_used = None
+        if args.mesh > 1:
+            # distributed file mode (ref main.cpp:161-179: read_HPC_row ->
+            # make_local_matrix -> MPI CG): banded matrices ride the
+            # ppermute halo path, unstructured ELL the all-gather path
+            from hpccg_tpu.operators import DiaMatrix, EllMatrix
+            from hpccg_tpu.parallel import (
+                make_distributed_dia_cg,
+                make_distributed_ell_cg,
+                make_mesh,
+            )
+            from hpccg_tpu.parallel.cg import shard_problem
+
+            import dataclasses as _dc
+
+            mesh = make_mesh(args.mesh)
+            prob = pad_problem_rows(prob, args.mesh)
+            A = prob.A
+            L = prob.total_nrow // args.mesh
+            if isinstance(A, DiaMatrix) and not (
+                max(0, -min(A.offsets)) <= L and max(0, max(A.offsets)) <= L
+            ):
+                # band wider than one shard: neighbor halo insufficient —
+                # take the general all-gather path instead
+                print(
+                    f"# bandwidth exceeds the {L}-row shard; using the "
+                    "all-gather ELL path",
+                    file=sys.stderr,
+                )
+                prob = _dc.replace(prob, A=A.to_ell())
+                A = prob.A
+            if isinstance(A, DiaMatrix):
+                _dsolve = make_distributed_dia_cg(
+                    mesh, max_iter=args.max_iter, tolerance=args.tolerance
+                )
+                solve = partial(_dsolve, A)
+                backend_used = "distributed:dia-halo"
+            else:
+                prob = shard_problem(prob, mesh)
+                _esolve = make_distributed_ell_cg(
+                    mesh, max_iter=args.max_iter, tolerance=args.tolerance
+                )
+                solve = partial(_esolve, prob.A)
+                backend_used = "distributed:ell-allgather"
+            if not args.skip_kernel_bench:
+                # per-kernel micro-benchmarks are stencil-mesh specific
+                args.skip_kernel_bench = True
     else:
         if len(args.dims) != 3:
             print("error: expected 'nx ny nz' or one data file", file=sys.stderr)

@@ -113,6 +113,144 @@ def read_hpc_row(
     return prob, prob.x0
 
 
+def read_hpc_row_structured(
+    path: str,
+    *,
+    dtype=jnp.float64,
+    max_diags: int = 4096,
+    max_inflation: float = 64.0,
+    reorder: bool = True,
+):
+    """Load an HPC-row file and pick the fastest TPU representation.
+
+    Beyond :func:`read_hpc_row`'s direct banded->DIA conversion, this runs
+    :func:`hpccg_tpu.reorder.auto_structure`: a matrix that is a hidden
+    banded matrix under a row/column permutation is RCM-reordered and solved
+    in the reordered basis (CG is basis-invariant — b is permuted once here,
+    x must be unpermuted once by the caller via the returned ``perm``).
+
+    Returns (problem, perm, report): ``problem`` is in the *solve* basis
+    (b/x0/xexact permuted consistently with A); ``perm`` is None when no
+    reordering was applied, else ``x_original[perm[i]] = x_solved[i]``.
+    """
+    from hpccg_tpu.reorder import StructureReport, auto_structure
+
+    prob, _ = read_hpc_row(path, dtype=dtype, to_dia=False)
+    if not reorder:
+        dia = prob.A.to_dia(max_diags=128)
+        if dia is not None:
+            A, perm = dia, None
+            report = StructureReport(
+                format="dia", ndiag=dia.ndiag, bandwidth_before=0,
+                bandwidth_after=None, inflation=None,
+                reason=f"banded as loaded: {dia.ndiag} diagonals (reorder off)",
+            )
+        else:
+            A, perm = prob.A, None
+            report = StructureReport(
+                format="ell", ndiag=None, bandwidth_before=0,
+                bandwidth_after=None, inflation=None,
+                reason="reorder disabled; not directly banded — ELL gather path",
+            )
+    else:
+        A, perm, report = auto_structure(
+            prob.A, max_diags=max_diags, max_inflation=max_inflation
+        )
+    if perm is not None:
+        p = np.asarray(perm)
+        prob = Problem(
+            A=A,
+            b=jnp.asarray(np.asarray(prob.b)[p]),
+            x0=jnp.asarray(np.asarray(prob.x0)[p]),
+            xexact=jnp.asarray(np.asarray(prob.xexact)[p]),
+            total_nrow=prob.total_nrow,
+            total_nnz_model=prob.total_nnz_model,
+            total_nnz_exact=prob.total_nnz_exact,
+        )
+    else:
+        prob = dataclasses.replace(prob, A=A)
+    return prob, perm, report
+
+
+def pad_problem_rows(prob: Problem, multiple: int) -> Problem:
+    """Pad an explicit-matrix problem so its row count divides ``multiple``
+    (shard_map needs equal shards — the analog of read_HPC_row.cpp:255-266's
+    remainder handling, solved by padding instead of ragged blocks).
+
+    Pad rows are decoupled identity rows with b = x0 = xexact = 0: they
+    solve to exactly 0, contribute 0 to every dot product once converged,
+    and nothing references them — the CG trajectory on the real rows is
+    IDENTICAL to the unpadded problem's (pad residuals are 0 from the first
+    iteration). total_nrow reflects the padded size; the FLOP/nnz models
+    keep the true counts.
+    """
+    n = prob.total_nrow
+    npad = ((n + multiple - 1) // multiple) * multiple
+    if npad == n:
+        return prob
+    extra = npad - n
+    A = prob.A
+    if isinstance(A, EllMatrix):
+        width = max(A.width, 1)
+        vals = np.zeros((npad, width), np.asarray(A.vals).dtype)
+        cols = np.zeros((npad, width), np.int32)
+        valid = np.zeros((npad, width), bool)
+        vals[:n, : A.width] = np.asarray(A.vals)
+        cols[:n, : A.width] = np.asarray(A.cols)
+        valid[:n, : A.width] = np.asarray(A.valid)
+        vals[n:, 0] = 1.0
+        cols[n:, 0] = np.arange(n, npad)
+        valid[n:, 0] = True
+        A2 = EllMatrix(
+            vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+            valid=jnp.asarray(valid), start_row=0, total_nrow=npad,
+        )
+    elif isinstance(A, DiaMatrix):
+        offs = list(A.offsets)
+        data = np.asarray(A.data)
+        if 0 not in offs:
+            at = int(np.searchsorted(np.asarray(offs), 0))
+            offs.insert(at, 0)
+            data = np.insert(data, at, 0.0, axis=0)
+        data2 = np.zeros((len(offs), npad), data.dtype)
+        data2[:, :n] = data
+        d0 = offs.index(0)
+        data2[d0, n:] = 1.0
+        A2 = DiaMatrix(
+            data=jnp.asarray(data2), offsets=tuple(offs), total_nrow=npad
+        )
+    else:
+        raise TypeError(
+            "pad_problem_rows pads explicit matrices; the stencil operator "
+            "shards by construction"
+        )
+
+    def padv(v):
+        return jnp.concatenate(
+            [jnp.asarray(v), jnp.zeros((extra,), jnp.asarray(v).dtype)]
+        )
+
+    return Problem(
+        A=A2,
+        b=padv(prob.b),
+        x0=padv(prob.x0),
+        xexact=padv(prob.xexact),
+        total_nrow=npad,
+        total_nnz_model=prob.total_nnz_model,
+        total_nnz_exact=prob.total_nnz_exact,
+    )
+
+
+def unpermute(x, perm) -> np.ndarray:
+    """Map a solve-basis vector back to the file's original row order."""
+    x = np.asarray(x)
+    if perm is None:
+        return x
+    out = np.empty_like(x)
+    out[np.asarray(perm)] = x
+    return out
+
+
 def write_hpc_row(path: str, prob: Problem, x: Optional[np.ndarray] = None) -> None:
     """Serialize a Problem to the HPC-row text format (inverse of the reader)."""
     A = prob.A

@@ -356,8 +356,22 @@ class DiaMatrix:
 
         Rolls + iota masks (instead of .at[].add slice updates, which
         materialize a fresh y per diagonal) let XLA fuse the whole band into
-        a single pass: traffic = ndiag+2 vector reads."""
+        a single pass: traffic = ndiag+2 vector reads.
+
+        Past ~128 diagonals the unrolled fusion stops being the right shape
+        (XLA graph size grows linearly and fusion quality degrades); on TPU
+        the blocked-DIA Pallas kernel takes over — diagonal data streamed
+        from HBM with scalar-prefetched offsets, any diagonal count
+        (ops/pallas/dia_kernel.py)."""
         n = self.local_nrow
+        if self.ndiag > 128 and jax.default_backend() == "tpu":
+            from hpccg_tpu.ops.pallas.dia_kernel import (
+                dia_pallas_supported,
+                spmv_dia_pallas,
+            )
+
+            if dia_pallas_supported(self.offsets, n, x.dtype):
+                return spmv_dia_pallas(self, x)
         rows = jax.lax.iota(jnp.int32, n)
         y = jnp.zeros((n,), jnp.result_type(self.dtype, x.dtype))
         for d, off in enumerate(self.offsets):
@@ -402,6 +416,29 @@ class DiaMatrix:
                 (self.data[d, lo:hi] != 0).astype(jnp.int32)
             )
         return counts
+
+    def to_ell(self) -> "EllMatrix":
+        """Padded-ELL view of the stored nonzeros (for the all-gather
+        distributed path when the band is wider than a shard)."""
+        import numpy as np
+
+        rows, cols, vals = self.to_coo()
+        n = self.local_nrow
+        counts = np.bincount(rows, minlength=n)
+        width = max(int(counts.max()) if n else 0, 1)
+        ev = np.zeros((n, width), np.asarray(self.data).dtype)
+        ec = np.zeros((n, width), np.int32)
+        em = np.zeros((n, width), bool)
+        offsets_in_row = np.arange(len(rows)) - np.concatenate(
+            [[0], np.cumsum(counts)[:-1]]
+        )[rows]
+        ev[rows, offsets_in_row] = vals
+        ec[rows, offsets_in_row] = cols
+        em[rows, offsets_in_row] = True
+        return EllMatrix(
+            vals=jnp.asarray(ev), cols=jnp.asarray(ec), valid=jnp.asarray(em),
+            start_row=0, total_nrow=self.total_nrow or n,
+        )
 
     def to_dense(self) -> jax.Array:
         """Dense materialization — tests/debug only."""

@@ -13,12 +13,18 @@ from hpccg_tpu.ops.pallas.stencil_v2 import spmv_stencil_pallas_v2
 
 
 def spmv_pallas(A, x):
-    from hpccg_tpu.operators import StencilOperator
+    from hpccg_tpu.operators import DiaMatrix, StencilOperator
 
     if isinstance(A, StencilOperator):
         return spmv_stencil_pallas_v2(A, x)
+    if isinstance(A, DiaMatrix):
+        from hpccg_tpu.ops.pallas.dia_kernel import spmv_dia_pallas
+
+        return spmv_dia_pallas(A, x)
     raise NotImplementedError(
-        "pallas backend currently covers the stencil operator; ELL uses XLA gather"
+        "pallas backend covers stencil and DIA operators; there is no fast "
+        "TPU gather for raw ELL — reorder with hpccg_tpu.reorder."
+        "auto_structure (RCM -> banded/DIA) first"
     )
 
 

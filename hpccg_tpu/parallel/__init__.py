@@ -12,6 +12,7 @@ from hpccg_tpu.parallel.halo import exchange_halo, stencil_matvec_halo
 from hpccg_tpu.parallel.cg import (
     generate_problem_sharded,
     make_distributed_cg,
+    make_distributed_dia_cg,
     make_distributed_ell_cg,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "stencil_matvec_halo",
     "generate_problem_sharded",
     "make_distributed_cg",
+    "make_distributed_dia_cg",
     "make_distributed_ell_cg",
 ]

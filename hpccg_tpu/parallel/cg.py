@@ -24,7 +24,7 @@ from hpccg_tpu.models.stencil import Problem, generate_ell
 from hpccg_tpu.operators import EllMatrix, StencilOperator
 from hpccg_tpu.ops.vector import ddot
 from hpccg_tpu.parallel.halo import stencil_matvec_halo
-from hpccg_tpu.parallel.mesh import Z_AXIS
+from hpccg_tpu.parallel.mesh import Axis, Z_AXIS, axis_size
 from hpccg_tpu.solver import CGResult, cg_solve
 
 
@@ -44,7 +44,7 @@ def local_operator(cfg_local: ProblemConfig) -> StencilOperator:
 
 
 def generate_problem_sharded(
-    cfg_local: ProblemConfig, mesh: Mesh, *, axis: str = Z_AXIS
+    cfg_local: ProblemConfig, mesh: Mesh, *, axis: Axis = Z_AXIS
 ) -> Problem:
     """Generate the global z-stacked problem, sharded over the mesh.
 
@@ -53,7 +53,7 @@ def generate_problem_sharded(
     reference's per-rank generation (generate_matrix.cpp:284-286) with no
     host loop and no cross-host data movement beyond the halo planes.
     """
-    size = mesh.shape[axis]
+    size = axis_size(mesh, axis)
     op_local = local_operator(cfg_local)
     n_local = cfg_local.local_nrow
     n_total = n_local * size
@@ -97,7 +97,7 @@ def make_distributed_cg(
     *,
     max_iter: int,
     tolerance: float = 0.0,
-    axis: str = Z_AXIS,
+    axis: Axis = Z_AXIS,
     backend: str = "auto",
     method: str = "cg",
 ):
@@ -211,6 +211,12 @@ def make_distributed_cg(
             stacklevel=2,
         )
 
+    if backend == "collective" and isinstance(axis, tuple):
+        raise ValueError(
+            "backend='collective' computes in-kernel RDMA device ids over a "
+            "single flat mesh axis; build the mesh with make_mesh (1-D "
+            "host-major) instead of make_mesh2d"
+        )
     if backend == "collective":
         # the whole multi-chip solve is ONE Pallas call per shard: in-kernel
         # RDMA halo exchange + in-kernel scalar allreduce, zero XLA dispatch
@@ -240,7 +246,7 @@ def make_distributed_cg(
                 "backend='pallas' (streaming halo) or smaller shards"
             )
 
-        ndev = mesh.shape[axis]
+        ndev = axis_size(mesh, axis)
         kernel_call = (
             cg_collective_pipelined_padded if pipelined else cg_collective_padded
         )
@@ -330,7 +336,7 @@ def make_distributed_cg(
             from hpccg_tpu.solver import cg_solve_fused
 
             nz = op_local.nz
-            ndev = mesh.shape[axis]
+            ndev = axis_size(mesh, axis)
             fwd = [(i, i + 1) for i in range(ndev - 1)]
             bwd = [(i + 1, i) for i in range(ndev - 1)]
 
@@ -429,7 +435,7 @@ def make_distributed_ell_cg(
     *,
     max_iter: int,
     tolerance: float = 0.0,
-    axis: str = Z_AXIS,
+    axis: Axis = Z_AXIS,
 ):
     """General explicit-matrix path: solve(A_global, b, x0) with A in padded
     ELL, rows sharded P(axis), columns global.
@@ -471,7 +477,203 @@ def make_distributed_ell_cg(
     return solve
 
 
-def shard_problem(prob: Problem, mesh: Mesh, *, axis: str = Z_AXIS) -> Problem:
+def _z_mask(op_local: StencilOperator, shard_idx, nz_global: int, dtype):
+    """(nz_local, 1) mask of this shard's planes inside the real domain."""
+    z = jnp.arange(op_local.nz) + shard_idx * op_local.nz
+    return (z < nz_global).astype(dtype)[:, None]
+
+
+def make_distributed_cg_masked(
+    cfg_local: ProblemConfig,
+    mesh: Mesh,
+    *,
+    nz_global: int,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: Axis = Z_AXIS,
+):
+    """Distributed stencil CG for a global nz that does NOT divide the mesh.
+
+    The reference's strong-scaling protocol runs nz = 1024/np for np up to
+    64 (strongScalingRunScript:6-12) — non-divisible points need remainder
+    handling (read_HPC_row.cpp:255-266 does ragged blocks; shard_map needs
+    equal shards). Here every shard carries ceil(nz/np) planes and the
+    operator is masked to the real domain: y = M A (M x) with M zeroing the
+    trailing padded planes. Because the generated diagonal is constant
+    (27.0) and off-diagonals couple only through x values (zero on padding),
+    M A M restricted to real rows IS the true global operator — and with
+    b = x0 = 0 on padding, the padded residuals are identically zero, so the
+    CG trajectory equals the unpadded problem's exactly.
+    """
+    op_local = local_operator(cfg_local)
+    nz_l = cfg_local.nz
+    plane = cfg_local.nx * cfg_local.ny
+    if nz_l * axis_size(mesh, axis) < nz_global:
+        raise ValueError("local nz too small to cover the global domain")
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=_result_specs(P(axis)),
+    )
+    def solve(b, x0):
+        idx = jax.lax.axis_index(axis)
+        m = _z_mask(op_local, idx, nz_global, b.dtype)
+
+        def matvec(v):
+            vm = (v.reshape(nz_l, plane) * m).reshape(-1)
+            y = stencil_matvec_halo(op_local, vm, axis)
+            return (y.reshape(nz_l, plane) * m).reshape(-1)
+
+        return cg_solve(
+            matvec,
+            b,
+            x0,
+            max_iter=max_iter,
+            tolerance=tolerance,
+            dot=lambda u, w: ddot(u, w, axis_name=axis),
+        )
+
+    return solve
+
+
+def generate_problem_sharded_masked(
+    cfg_local: ProblemConfig, mesh: Mesh, *, nz_global: int, axis: Axis = Z_AXIS
+) -> Problem:
+    """Sharded problem generation for the masked (remainder) decomposition:
+    b = M A (M 1), xexact = M 1 — the true global problem's data on real
+    planes, zeros on padding."""
+    size = axis_size(mesh, axis)
+    op_local = local_operator(cfg_local)
+    n_local = cfg_local.local_nrow
+    nz_l = cfg_local.nz
+    plane = cfg_local.nx * cfg_local.ny
+    dtype = cfg_local.dtype
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    def build():
+        idx = jax.lax.axis_index(axis)
+        m = _z_mask(op_local, idx, nz_global, dtype)
+        ones = jnp.broadcast_to(m, (nz_l, plane)).reshape(-1)
+        b = stencil_matvec_halo(op_local, ones, axis)
+        b = (b.reshape(nz_l, plane) * m).reshape(-1)
+        return b, jnp.zeros((n_local,), dtype), ones
+
+    b, x0, xexact = build()
+    op_global = StencilOperator(
+        nx=cfg_local.nx, ny=cfg_local.ny, nz=nz_global,
+        stencil=cfg_local.stencil, dtype_name=jnp.dtype(dtype).name,
+    )
+    return Problem(
+        A=op_global,
+        b=b,
+        x0=x0,
+        xexact=xexact,
+        total_nrow=n_local * size,
+        total_nnz_model=cfg_local.stencil.value * plane * nz_global,
+        total_nnz_exact=op_global.nnz,
+    )
+
+
+def make_distributed_dia_cg(
+    mesh: Mesh,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: Axis = Z_AXIS,
+):
+    """Distributed CG for a banded explicit matrix (DIA): rows block-sharded,
+    halo = the bandwidth-wide boundary strips, exchanged with ppermute.
+
+    This is the file-loaded-matrix analog of the stencil halo path — the
+    reference reaches it via read_HPC_row -> make_local_matrix -> MPI CG
+    (main.cpp:161-179). A DIA matrix's comm plan is static: shard r needs
+    rows [rL - bw_lo, rL) from its lower neighbor and [(r+1)L, (r+1)L+bw_hi)
+    from its upper neighbor, where bw_lo/bw_hi are the extreme negative/
+    positive diagonal offsets. Out-of-domain strips arrive as ppermute's
+    zero fill — exactly the boundary clipping the matrix's zero-padded
+    diagonals expect.
+
+    Returns solve(A_global, b, x0); A's row count must divide the mesh
+    (pad with ``hpccg_tpu.io.pad_problem_rows``) and its bandwidth must fit
+    one shard (else fall back to the all-gather ELL path).
+    """
+    from hpccg_tpu.operators import DiaMatrix
+
+    ndev = axis_size(mesh, axis)
+
+    def solve(A: DiaMatrix, b, x0):
+        if not isinstance(A, DiaMatrix):
+            raise TypeError("make_distributed_dia_cg needs a DiaMatrix")
+        n = A.local_nrow
+        if n % ndev:
+            raise ValueError(
+                f"{n} rows do not divide a {ndev}-device mesh; pad with "
+                "hpccg_tpu.io.pad_problem_rows(prob, ndev)"
+            )
+        L = n // ndev
+        offs = A.offsets
+        bw_lo = max(0, -min(offs)) if offs else 0
+        bw_hi = max(0, max(offs)) if offs else 0
+        if bw_lo > L or bw_hi > L:
+            raise ValueError(
+                f"bandwidth ({bw_lo}/{bw_hi}) exceeds the {L}-row shard: "
+                "neighbor halo insufficient — use make_distributed_ell_cg"
+            )
+        fwd = [(i, i + 1) for i in range(ndev - 1)]
+        bwd = [(i + 1, i) for i in range(ndev - 1)]
+
+        data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
+        vec_sh = NamedSharding(mesh, P(axis))
+        b = jax.device_put(b, vec_sh)
+        x0 = jax.device_put(x0, vec_sh)
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+        )
+        def _solve(data_l, b_l, x0_l):
+            def matvec(v):
+                parts = []
+                if bw_lo:
+                    parts.append(jax.lax.ppermute(v[L - bw_lo :], axis, fwd))
+                parts.append(v)
+                if bw_hi:
+                    parts.append(jax.lax.ppermute(v[:bw_hi], axis, bwd))
+                x_ext = jnp.concatenate(parts) if len(parts) > 1 else v
+                y = jnp.zeros((L,), v.dtype)
+                for d, off in enumerate(offs):
+                    y = y + data_l[d] * jax.lax.slice_in_dim(
+                        x_ext, bw_lo + off, bw_lo + off + L
+                    )
+                return y
+
+            return cg_solve(
+                matvec,
+                b_l,
+                x0_l,
+                max_iter=max_iter,
+                tolerance=tolerance,
+                dot=lambda u, w: ddot(u, w, axis_name=axis),
+            )
+
+        return _solve(data, b, x0)
+
+    return solve
+
+
+def shard_problem(prob: Problem, mesh: Mesh, *, axis: Axis = Z_AXIS) -> Problem:
     """Place an existing (host/global) problem onto the mesh with P(axis)
     shardings — vectors row-sharded; an EllMatrix row-sharded with global
     columns."""

@@ -466,15 +466,17 @@ def make_cg(
 
             return jax.jit(solve_1red_pallas)
 
-        return jax.jit(
-            lambda b, x0: solver_fn(
-                lambda v: spmv(A, v, backend=backend if backend in ("auto", "stencil", "ell") else "auto"),
+        def _solve_1red(A_, b, x0):
+            return solver_fn(
+                lambda v: spmv(A_, v, backend=backend if backend in ("auto", "stencil", "ell") else "auto"),
                 b,
                 x0,
                 max_iter=max_iter,
                 tolerance=tolerance,
             )
-        )
+
+        # explicit matrices enter as jit ARGUMENTS (see the cg branch below)
+        return partial(jax.jit(_solve_1red), A)
     if method != "cg":
         raise ValueError(f"unknown CG method {method!r}")
 
@@ -580,16 +582,22 @@ def make_cg(
 
         return jax.jit(solve_pallas_v1)
 
-    def solve(b, x0):
+    # A enters the jitted program as an ARGUMENT (it is a registered pytree),
+    # not a closure constant: a closure-captured explicit matrix would be
+    # embedded in the HLO as a literal — for a GB-scale DIA/ELL matrix that
+    # stalls compilation for minutes serializing the constant (measured).
+    # The StencilOperator is all-metadata, so both forms are equivalent
+    # there; one code path covers everything.
+    def solve_impl(A_, b, x0):
         return cg_solve(
-            lambda v: spmv(A, v, backend=backend),
+            lambda v: spmv(A_, v, backend=backend),
             b,
             x0,
             max_iter=max_iter,
             tolerance=tolerance,
         )
 
-    return jax.jit(solve)
+    return partial(jax.jit(solve_impl), A)
 
 
 def cg_solve_refined(

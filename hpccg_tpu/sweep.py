@@ -83,27 +83,46 @@ def main(argv=None) -> int:
         if nd > len(jax.devices()):
             emit({"mesh": nd, "skipped": f"only {len(jax.devices())} devices"})
             continue
+        remainder = False
         if args.mode == "weak":
             cfg = ProblemConfig(
                 args.per_chip, args.per_chip, args.per_chip,
                 stencil=args.stencil, dtype=dtype,
             )
         else:
-            if args.global_nz % nd:
-                emit({"mesh": nd, "skipped": "nz not divisible"})
-                continue
+            remainder = bool(args.global_nz % nd)
+            # non-divisible nz: every shard carries ceil(nz/np) planes with
+            # the trailing pad masked out (ref strongScalingRunScript runs
+            # np up to 64 against nz=1024 — e.g. np=48 needs this)
+            nz_local = -(-args.global_nz // nd)
             cfg = ProblemConfig(
-                args.nx, args.ny, args.global_nz // nd,
+                args.nx, args.ny, nz_local,
                 stencil=args.stencil, dtype=dtype,
             )
         mesh = make_mesh(nd)
-        prob = generate_problem_sharded(cfg, mesh)
         k1, k2 = args.iters + 1, 8 * args.iters + 1
         backend = args.backend
         # the collective kernel's in-kernel allreduce is the cg1 recurrence
         method = "cg1" if backend == "collective" else "cg"
-        s1 = make_distributed_cg(cfg, mesh, max_iter=k1, backend=backend, method=method)
-        s2 = make_distributed_cg(cfg, mesh, max_iter=k2, backend=backend, method=method)
+        if remainder:
+            from hpccg_tpu.parallel.cg import (
+                generate_problem_sharded_masked,
+                make_distributed_cg_masked,
+            )
+
+            prob = generate_problem_sharded_masked(
+                cfg, mesh, nz_global=args.global_nz
+            )
+            s1 = make_distributed_cg_masked(
+                cfg, mesh, nz_global=args.global_nz, max_iter=k1
+            )
+            s2 = make_distributed_cg_masked(
+                cfg, mesh, nz_global=args.global_nz, max_iter=k2
+            )
+        else:
+            prob = generate_problem_sharded(cfg, mesh)
+            s1 = make_distributed_cg(cfg, mesh, max_iter=k1, backend=backend, method=method)
+            s2 = make_distributed_cg(cfg, mesh, max_iter=k2, backend=backend, method=method)
         t1 = time_fn(s1, prob.b, prob.x0, reps=3)
         t2 = time_fn(s2, prob.b, prob.x0, reps=3)
         below_res = (t2 - t1) <= 0
@@ -113,6 +132,7 @@ def main(argv=None) -> int:
             "mode": args.mode,
             "mesh": nd,
             "local_dims": [cfg.nx, cfg.ny, cfg.nz],
+            **({"global_nz": args.global_nz, "remainder_masked": True} if remainder else {}),
             "global_nrow": prob.total_nrow,
             # None = below timer resolution (cf. the reference golden run's
             # inf MFLOPS at small sizes)

@@ -1,0 +1,145 @@
+"""Distributed file-mode, end-to-end (VERDICT round-1 item 2): a loaded
+explicit matrix partitioned row-wise over the mesh — banded-halo DIA path
+and all-gather ELL path — wired through the CLI, matching the single-device
+solve (ref main.cpp:161-179: read_HPC_row -> make_local_matrix -> MPI CG).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hpccg_tpu import ProblemConfig
+from hpccg_tpu.io import pad_problem_rows, write_hpc_row
+from hpccg_tpu.models.stencil import generate_ell
+from hpccg_tpu.operators import DiaMatrix
+from hpccg_tpu.parallel import make_distributed_dia_cg, make_mesh
+from hpccg_tpu.solver import make_cg
+
+
+def _banded(n, offsets, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    data = np.zeros((len(offsets), n), dtype)
+    for d, off in enumerate(offsets):
+        lo, hi = max(0, -off), min(n, n - off)
+        data[d, lo:hi] = (
+            2.0 * len(offsets) if off == 0 else rng.uniform(-1, -0.1, hi - lo)
+        )
+    return DiaMatrix(
+        data=jnp.asarray(data), offsets=tuple(offsets), total_nrow=n
+    )
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_distributed_dia_matches_single(ndev):
+    n = 240
+    A = _banded(n, (-13, -5, -1, 0, 1, 5, 13))
+    xex = jnp.ones((n,), jnp.float64)
+    b = A.matvec(xex)
+    x0 = jnp.zeros_like(b)
+    single = make_cg(A, max_iter=40, tolerance=0.0)(b, x0)
+    mesh = make_mesh(ndev)
+    dist = make_distributed_dia_cg(mesh, max_iter=40, tolerance=0.0)(A, b, x0)
+    assert int(dist.niters) == int(single.niters)
+    ts, td = np.asarray(single.trace), np.asarray(dist.trace)
+    good = np.isfinite(ts) & (ts > 1e-12 * ts[0])
+    np.testing.assert_allclose(td[good], ts[good], rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(dist.x), np.asarray(single.x), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_distributed_dia_with_remainder_padding():
+    """n = 250 on 8 devices: pad_problem_rows pads to 256 with identity
+    rows whose residual is zero from the start — trajectory identical."""
+    from hpccg_tpu.models.stencil import Problem
+
+    n = 250
+    A = _banded(n, (-3, -1, 0, 1, 3), seed=2)
+    xex = jnp.ones((n,), jnp.float64)
+    b = A.matvec(xex)
+    prob = Problem(
+        A=A, b=b, x0=jnp.zeros_like(b), xexact=xex,
+        total_nrow=n, total_nnz_model=int(A.nnz), total_nnz_exact=int(A.nnz),
+    )
+    single = make_cg(A, max_iter=40, tolerance=0.0)(prob.b, prob.x0)
+
+    padded = pad_problem_rows(prob, 8)
+    assert padded.total_nrow == 256
+    mesh = make_mesh(8)
+    dist = make_distributed_dia_cg(mesh, max_iter=40, tolerance=0.0)(
+        padded.A, padded.b, padded.x0
+    )
+    assert int(dist.niters) == int(single.niters)
+    ts, td = np.asarray(single.trace), np.asarray(dist.trace)
+    good = np.isfinite(ts) & (ts > 1e-12 * ts[0])
+    np.testing.assert_allclose(td[good], ts[good], rtol=1e-9)
+    x = np.asarray(dist.x)
+    np.testing.assert_allclose(x[:n], np.asarray(single.x), rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(x[n:], 0.0)
+
+
+def test_distributed_dia_rejects_wide_band():
+    n = 64
+    A = _banded(n, (-40, 0, 40))
+    b = A.matvec(jnp.ones((n,), jnp.float64))
+    mesh = make_mesh(8)  # L = 8 < bandwidth 40
+    with pytest.raises(ValueError, match="bandwidth"):
+        make_distributed_dia_cg(mesh, max_iter=5)(A, b, jnp.zeros_like(b))
+
+
+class TestCliFileMesh:
+    def _write(self, tmp_path, cfg):
+        prob = generate_ell(cfg)
+        path = str(tmp_path / "prob.dat")
+        write_hpc_row(path, prob)
+        return path
+
+    def _run(self, argv):
+        import contextlib
+        import io as _io
+
+        from hpccg_tpu.cli import main
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0
+        return json.loads(buf.getvalue()[buf.getvalue().index("{") :])
+
+    def test_file_mesh_dia_halo(self, tmp_path):
+        """Tall domain: band (nx*ny + nx + 1 = 26) fits a 40-row shard ->
+        the ppermute banded-halo DIA path."""
+        path = self._write(tmp_path, ProblemConfig(5, 4, 16))
+        base = ["--max-iter", "20", "--skip-kernel-bench", "--json", "--quiet"]
+        r1 = self._run([path] + base)
+        r8 = self._run([path, "--mesh", "8"] + base)
+        assert r8["Number of iterations"] == r1["Number of iterations"]
+        np.testing.assert_allclose(
+            r8["Final residual"], r1["Final residual"], rtol=1e-9, atol=1e-13
+        )
+        assert r8["Parallelism"]["Number of mesh devices"] == 8
+
+    def test_file_mesh_wide_band_allgather(self, tmp_path):
+        """Short domain: band 26 > 20-row shard -> all-gather ELL fallback,
+        still distributed and still matching the single-device solve."""
+        path = self._write(tmp_path, ProblemConfig(5, 4, 8))
+        base = ["--max-iter", "20", "--skip-kernel-bench", "--json", "--quiet"]
+        r1 = self._run([path] + base)
+        r8 = self._run([path, "--mesh", "8"] + base)
+        assert r8["Number of iterations"] == r1["Number of iterations"]
+        # converged to the f64 roundoff floor on both paths (the absolute
+        # floor differs with psum reduction order)
+        assert r8["Final residual"] < 1e-12 and r1["Final residual"] < 1e-12
+        assert r8["Parallelism"]["Number of mesh devices"] == 8
+
+    def test_file_mesh_remainder_rows(self, tmp_path):
+        # 5*4*7 = 140 rows on 8 devices -> padded to 144
+        path = self._write(tmp_path, ProblemConfig(5, 4, 7))
+        base = ["--max-iter", "20", "--skip-kernel-bench", "--json", "--quiet"]
+        r1 = self._run([path] + base)
+        r8 = self._run([path, "--mesh", "8"] + base)
+        assert r8["Number of iterations"] == r1["Number of iterations"]
+        assert r8["Final residual"] < 1e-12 and r1["Final residual"] < 1e-12

@@ -1,0 +1,253 @@
+"""General explicit-matrix fast path: blocked-DIA Pallas kernel + RCM
+reordering (VERDICT round-1 item 1 — the reference SpMV runs ANY matrix,
+HPC_sparsemv.cpp:68-87; on TPU that takes diagonal structure, found or made).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hpccg_tpu import ProblemConfig
+from hpccg_tpu.models.stencil import generate_ell
+from hpccg_tpu.operators import DiaMatrix, EllMatrix
+
+
+def random_banded_dia(n, noffs, rng, span=None, dtype=np.float32, diag_scale=2.0):
+    """SPD-ish DiaMatrix with ``noffs`` distinct symmetric offsets."""
+    span = min(span or 4 * noffs, n - 1)
+    pos = rng.choice(np.arange(1, span), size=(noffs - 1) // 2, replace=False)
+    offs = np.unique(np.r_[-pos, 0, pos])
+    data = np.zeros((offs.size, n), dtype)
+    for d, off in enumerate(offs):
+        lo, hi = max(0, -off), min(n, n - off)
+        if off == 0:
+            data[d, :] = diag_scale * noffs  # diagonally dominant => SPD
+        else:
+            data[d, lo:hi] = rng.uniform(-1.0, -0.1, hi - lo)
+    # symmetrize: A[r, r+off] = A[r+off, r]
+    for d, off in enumerate(offs):
+        if off <= 0:
+            continue
+        dn = int(np.where(offs == -off)[0][0])
+        rows = np.arange(0, n - off)
+        data[dn, rows + off] = data[d, rows]
+    return DiaMatrix(
+        data=jnp.asarray(data),
+        offsets=tuple(int(o) for o in offs),
+        total_nrow=n,
+    )
+
+
+class TestDiaPallasKernel:
+    @pytest.mark.parametrize("noffs,n", [(11, 300), (257, 2000), (357, 700)])
+    def test_matches_dense(self, noffs, n):
+        from hpccg_tpu.ops.pallas.dia_kernel import spmv_dia_pallas
+
+        rng = np.random.default_rng(noffs + n)
+        A = random_banded_dia(n, noffs, rng)
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        y_kernel = spmv_dia_pallas(A, x, interpret=True)
+        y_dense = np.asarray(A.to_dense(), np.float64) @ np.asarray(x, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(y_kernel, np.float64), y_dense, rtol=2e-5, atol=1e-4
+        )
+
+    def test_large_positive_and_negative_offsets(self):
+        """Offsets beyond +-128 exercise the sublane-shift (q) path."""
+        from hpccg_tpu.ops.pallas.dia_kernel import spmv_dia_pallas
+
+        n = 900
+        offs = (-700, -257, -128, -1, 0, 3, 129, 400, 800)
+        rng = np.random.default_rng(0)
+        data = np.zeros((len(offs), n), np.float32)
+        for d, off in enumerate(offs):
+            lo, hi = max(0, -off), min(n, n - off)
+            data[d, lo:hi] = rng.standard_normal(hi - lo)
+        A = DiaMatrix(data=jnp.asarray(data), offsets=offs, total_nrow=n)
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        y = spmv_dia_pallas(A, x, interpret=True)
+        y_ref = np.asarray(A.to_dense(), np.float64) @ np.asarray(x, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float64), y_ref, rtol=2e-5, atol=1e-4
+        )
+
+    def test_matvec_dispatch_threshold(self, monkeypatch):
+        """DiaMatrix.matvec routes >128-diagonal matrices to the kernel on
+        TPU; the kernel path must agree with the unrolled-roll path."""
+        rng = np.random.default_rng(7)
+        A = random_banded_dia(600, 161, rng)
+        x = jnp.asarray(rng.standard_normal(600), jnp.float32)
+        y_loop = A.matvec(x)  # CPU: unrolled rolls
+        from hpccg_tpu.ops.pallas import dia_kernel
+
+        called = {}
+        orig = dia_kernel.spmv_dia_pallas
+
+        def spy(A_, x_, **kw):
+            called["yes"] = True
+            return orig(A_, x_, interpret=True)
+
+        monkeypatch.setattr(dia_kernel, "spmv_dia_pallas", spy)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        y_kernel = A.matvec(x)
+        assert called.get("yes")
+        np.testing.assert_allclose(
+            np.asarray(y_kernel), np.asarray(y_loop), rtol=2e-5, atol=1e-4
+        )
+
+    def test_cg_solves_256_diag_matrix(self):
+        """End-to-end: CG on a random >=257-diagonal SPD matrix through the
+        Pallas kernel (interpret) converges to the planted solution."""
+        from hpccg_tpu.ops.pallas.dia_kernel import spmv_dia_pallas
+        from hpccg_tpu.solver import cg_solve
+
+        rng = np.random.default_rng(42)
+        n = 1500
+        # diag_scale 0.62 keeps SPD (Gershgorin ratio ~1.1) while the f32
+        # residual stays off exact zero for the whole run — tolerance=0 with
+        # an exactly-zero residual reproduces the reference's 0/0 NaN
+        A = random_banded_dia(n, 257, rng, diag_scale=0.62)
+        xexact = jnp.ones((n,), jnp.float32)
+        b = A.matvec(xexact)
+        res = cg_solve(
+            lambda v: spmv_dia_pallas(A, v, interpret=True),
+            b,
+            jnp.zeros_like(b),
+            max_iter=60,
+            tolerance=0.0,
+        )
+        assert float(res.normr) < 1e-3 * float(res.trace[0])
+        assert np.max(np.abs(np.asarray(res.x) - 1.0)) < 1e-3
+
+
+class TestReorder:
+    def _permuted_band(self, n=400, seed=3, width_offsets=(-9, -4, -1, 0, 1, 4, 9)):
+        """A banded matrix hidden behind a random symmetric permutation."""
+        rng = np.random.default_rng(seed)
+        dia = random_banded_dia(n, len(width_offsets), rng, span=10)
+        dense = np.asarray(dia.to_dense())
+        perm = rng.permutation(n)
+        scrambled = dense[np.ix_(perm, perm)]
+        width = int((scrambled != 0).sum(axis=1).max())
+        vals = np.zeros((n, width), np.float32)
+        cols = np.zeros((n, width), np.int32)
+        valid = np.zeros((n, width), bool)
+        for i in range(n):
+            js = np.nonzero(scrambled[i])[0]
+            vals[i, : js.size] = scrambled[i, js]
+            cols[i, : js.size] = js
+            valid[i, : js.size] = True
+        return (
+            EllMatrix(
+                vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                valid=jnp.asarray(valid), total_nrow=n,
+            ),
+            dense,
+        )
+
+    def test_permute_ell_is_similarity_transform(self):
+        from hpccg_tpu.reorder import permute_ell
+
+        ell, dense = self._permuted_band(n=120)
+        rng = np.random.default_rng(1)
+        perm = rng.permutation(120)
+        B = permute_ell(ell, perm)
+        d0 = np.asarray(ell.to_dense())
+        np.testing.assert_array_equal(
+            np.asarray(B.to_dense()), d0[np.ix_(perm, perm)]
+        )
+
+    def test_auto_structure_recovers_hidden_band(self):
+        from hpccg_tpu.reorder import auto_structure, bandwidth
+
+        ell, _ = self._permuted_band()
+        assert bandwidth(ell) > 100  # scrambled
+        A, perm, report = auto_structure(ell)
+        assert report.format == "dia+rcm", report
+        assert isinstance(A, DiaMatrix)
+        assert perm is not None
+        assert report.bandwidth_after < report.bandwidth_before / 4
+        # similarity: P A P^T equals the structured operator
+        d = np.asarray(ell.to_dense(), np.float64)
+        np.testing.assert_allclose(
+            np.asarray(A.to_dense(), np.float64),
+            d[np.ix_(perm, perm)],
+            rtol=1e-6,
+        )
+
+    def test_auto_structure_banded_passthrough(self):
+        from hpccg_tpu.reorder import auto_structure
+
+        prob = generate_ell(ProblemConfig(6, 5, 4, dtype=jnp.float32))
+        A, perm, report = auto_structure(prob.A)
+        assert report.format == "dia" and perm is None
+        assert isinstance(A, DiaMatrix)
+
+    def test_auto_structure_honest_ell_fallback(self):
+        """A randomly permuted 3-D stencil has no small-diagonal-count
+        representation even after RCM — auto_structure must say so, not
+        inflate storage."""
+        from hpccg_tpu.reorder import auto_structure
+
+        prob = generate_ell(ProblemConfig(8, 8, 8, dtype=jnp.float32))
+        rng = np.random.default_rng(5)
+        dense = np.asarray(prob.A.to_dense())
+        perm = rng.permutation(512)
+        scrambled = dense[np.ix_(perm, perm)]
+        width = int((scrambled != 0).sum(axis=1).max())
+        n = 512
+        vals = np.zeros((n, width), np.float32)
+        cols = np.zeros((n, width), np.int32)
+        valid = np.zeros((n, width), bool)
+        for i in range(n):
+            js = np.nonzero(scrambled[i])[0]
+            vals[i, : js.size] = scrambled[i, js]
+            cols[i, : js.size] = js
+            valid[i, : js.size] = True
+        ell = EllMatrix(
+            vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+            valid=jnp.asarray(valid), total_nrow=n,
+        )
+        A, perm_out, report = auto_structure(ell, max_inflation=8.0)
+        assert report.format in ("ell", "dia+rcm")
+        if report.format == "ell":
+            assert A is ell and perm_out is None
+            assert "no gather-free structure" in report.reason
+
+
+def test_solve_in_permuted_basis_matches_direct():
+    """CG is basis-invariant: solving P A P^T y = P b and unpermuting gives
+    the direct solution (the mechanism read_hpc_row_structured relies on)."""
+    from hpccg_tpu.reorder import auto_structure
+    from hpccg_tpu.solver import make_cg
+
+    prob = generate_ell(ProblemConfig(5, 4, 6, dtype=jnp.float64))
+    rng = np.random.default_rng(11)
+    # scramble the generated problem
+    n = prob.total_nrow
+    dense = np.asarray(prob.A.to_dense(), np.float64)
+    p0 = rng.permutation(n)
+    scrambled = dense[np.ix_(p0, p0)]
+    b_s = np.asarray(prob.b)[p0]
+    width = int((scrambled != 0).sum(axis=1).max())
+    vals = np.zeros((n, width)); cols = np.zeros((n, width), np.int32)
+    valid = np.zeros((n, width), bool)
+    for i in range(n):
+        js = np.nonzero(scrambled[i])[0]
+        vals[i, : js.size] = scrambled[i, js]; cols[i, : js.size] = js
+        valid[i, : js.size] = True
+    ell = EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                    valid=jnp.asarray(valid), total_nrow=n)
+
+    A, perm, report = auto_structure(ell)
+    if perm is None:
+        perm = np.arange(n)
+    y = make_cg(A, max_iter=80, tolerance=0.0)(
+        jnp.asarray(b_s[perm]), jnp.zeros((n,), jnp.float64)
+    )
+    x = np.empty(n)
+    x[perm] = np.asarray(y.x)  # back to the scrambled basis
+    x_direct = np.linalg.solve(scrambled, b_s)
+    np.testing.assert_allclose(x, x_direct, rtol=1e-8, atol=1e-9)
