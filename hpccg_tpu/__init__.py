@@ -30,6 +30,7 @@ __version__ = "0.1.0"
 from hpccg_tpu.config import ProblemConfig, SolverConfig, Stencil
 from hpccg_tpu.operators import DiaMatrix, EllMatrix, StencilOperator
 from hpccg_tpu.models.stencil import generate_problem
+from hpccg_tpu.reorder import auto_structure, rcm_permutation
 from hpccg_tpu.solver import CGResult, cg_solve, cg_solve_refined, make_cg
 
 __all__ = [
@@ -40,6 +41,8 @@ __all__ = [
     "EllMatrix",
     "DiaMatrix",
     "generate_problem",
+    "auto_structure",
+    "rcm_permutation",
     "cg_solve",
     "cg_solve_refined",
     "make_cg",

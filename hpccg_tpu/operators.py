@@ -367,11 +367,17 @@ class DiaMatrix:
         if self.ndiag > 128 and jax.default_backend() == "tpu":
             from hpccg_tpu.ops.pallas.dia_kernel import (
                 dia_pallas_supported,
+                prepare_dia,
                 spmv_dia_pallas,
             )
 
             if dia_pallas_supported(self.offsets, n, x.dtype):
-                return spmv_dia_pallas(self, x)
+                if isinstance(self.data, jax.core.Tracer):
+                    # traced matrix: the layout pad becomes part of the
+                    # program (and may NOT be hoisted out of a solve loop —
+                    # convert to PreparedDia before jit, as make_cg does)
+                    return spmv_dia_pallas(self, x)
+                return prepare_dia(self).matvec(x)
         rows = jax.lax.iota(jnp.int32, n)
         y = jnp.zeros((n,), jnp.result_type(self.dtype, x.dtype))
         for d, off in enumerate(self.offsets):

@@ -43,7 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-RB_ROWS = 64  # sublane rows per y block: 64*128 = 8192 elements (32 KB f32)
+# swept on v5e (exp + PERF.md): RB=256/DG=8 streams diagonal data at
+# ~716 GB/s (~179 Gslots/s) vs 477 GB/s at RB=64 — bigger y blocks amortize
+# the per-diagonal shift work and the revisit pipeline
+RB_ROWS = 256  # sublane rows per y block: 256*128 elements (128 KB f32)
 DG = 8  # diagonals per data block
 DIA_VMEM_LIMIT = 100 << 20
 
@@ -205,3 +208,74 @@ def spmv_dia_pallas(A, x: jax.Array, *, interpret: bool | None = None) -> jax.Ar
 
     y = _spmv_dia_pallas(offsets, data2, xp, interpret)
     return y.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# PreparedDia — the solve-ready form
+# ---------------------------------------------------------------------------
+# A DiaMatrix whose data has been block-padded ONCE into the kernel layout.
+# Passing a raw DiaMatrix as a jit argument makes the padding part of the
+# traced program, and XLA does NOT reliably hoist the (potentially GB-scale)
+# copy out of the CG loop — measured 30 Gslots/s with the pad in-loop vs
+# 179 Gslots/s prepared. make_cg converts automatically.
+
+import dataclasses as _dc
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data2"],
+    meta_fields=["offsets", "n", "total_nrow", "nnz_count"],
+)
+@_dc.dataclass(frozen=True)
+class PreparedDia:
+    """Kernel-layout DIA operator: data2 is (ndiag_pad, nrows_pad, LANE)."""
+
+    data2: jax.Array
+    offsets: tuple
+    n: int
+    total_nrow: int
+    nnz_count: int
+
+    @property
+    def local_nrow(self) -> int:
+        return self.n
+
+    @property
+    def ndiag(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return self.data2.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_count
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        offsets = self.offsets
+        n = self.n
+        nrows, nrows_pad, pad_lo, pad_hi, ndiag_pad = _plan(offsets, n)
+        interpret = jax.default_backend() != "tpu"
+        xp = jnp.zeros(((pad_lo + nrows_pad + pad_hi) * LANE,), x.dtype)
+        xp = jax.lax.dynamic_update_slice(xp, x, (pad_lo * LANE,))
+        y = _spmv_dia_pallas(
+            offsets, self.data2.astype(x.dtype), xp.reshape(-1, LANE), interpret
+        )
+        return y.reshape(-1)[:n]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.matvec(x)
+
+
+def prepare_dia(A) -> PreparedDia:
+    """Eagerly convert a DiaMatrix into the kernel-ready PreparedDia."""
+    offsets = tuple(int(o) for o in A.offsets)
+    return PreparedDia(
+        data2=_prepared_data(A, A.dtype),
+        offsets=offsets,
+        n=A.local_nrow,
+        total_nrow=A.total_nrow or A.local_nrow,
+        nnz_count=int(A.nnz),
+    )

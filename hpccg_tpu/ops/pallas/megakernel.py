@@ -61,10 +61,12 @@ from hpccg_tpu.ops.pallas.stencil_v2 import (
 #   32-bit-only rotate in the deep fused expression).
 MEGA_TZ = 8
 SLAB_VMEM_LIMIT = 127 << 20  # compiler cap: all of the v5e's 128 MiB VMEM
-# fit model budget: leaves ~6 MB for the scoped-stack slack the Mosaic
-# register allocator takes beyond the 5 vectors + slab temporaries
-# (measured: 200^3 bf16 uses 122.1 MB against a 117 MB model estimate)
-SLAB_FIT_BUDGET = 121 << 20
+# fit model budget: leaves ~12 MB for the scoped-stack slack the Mosaic
+# register allocator takes beyond the 5 vectors + slab temporaries.
+# Pinned by exp/vmem_boundary_check.py on hardware: 200^3 bf16 (model
+# 111.9 MB) compiles, 208^3 bf16 (model 116.0 MB) OOMs; 144^3 f32 (model
+# 114.8 MB) compiles.
+SLAB_FIT_BUDGET = 115 << 20
 
 
 def _mega_mode(op: StencilOperator, dtype) -> str | None:

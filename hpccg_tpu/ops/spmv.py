@@ -18,7 +18,9 @@ from hpccg_tpu.operators import DiaMatrix, EllMatrix, StencilOperator
 def spmv(A, x: jax.Array, *, backend: str = "auto") -> jax.Array:
     """y = A @ x for any operator representation."""
     if backend in ("auto", "stencil", "ell", "dia"):
-        if isinstance(A, (StencilOperator, EllMatrix, DiaMatrix)):
+        from hpccg_tpu.ops.pallas.dia_kernel import PreparedDia
+
+        if isinstance(A, (StencilOperator, EllMatrix, DiaMatrix, PreparedDia)):
             return A.matvec(x)
         raise TypeError(f"unknown operator type {type(A)}")
     if backend == "pallas":

@@ -422,6 +422,20 @@ def make_cg(
 
     backend = resolve_backend(A, backend)
 
+    from hpccg_tpu.operators import DiaMatrix
+
+    if isinstance(A, DiaMatrix) and A.ndiag > 128 and jax.default_backend() == "tpu":
+        from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported, prepare_dia
+
+        if dia_pallas_supported(A.offsets, A.local_nrow, A.dtype) and not isinstance(
+            A.data, jax.core.Tracer
+        ):
+            # block-pad the diagonal data into the kernel layout ONCE, here:
+            # left inside the jitted solve, the (GB-scale) pad is not
+            # reliably hoisted out of the CG loop (30 vs 179 Gslots/s
+            # measured at 257 diagonals x 1M rows)
+            A = prepare_dia(A)
+
     if method in ("cg1", "pipecg"):
         solver_fn = (
             cg_solve_single_reduction if method == "cg1" else cg_solve_pipelined

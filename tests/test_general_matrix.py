@@ -83,13 +83,13 @@ class TestDiaPallasKernel:
         from hpccg_tpu.ops.pallas import dia_kernel
 
         called = {}
-        orig = dia_kernel.spmv_dia_pallas
+        orig = dia_kernel._spmv_dia_pallas
 
-        def spy(A_, x_, **kw):
+        def spy(offsets, data2, xp, interpret):
             called["yes"] = True
-            return orig(A_, x_, interpret=True)
+            return orig(offsets, data2, xp, True)  # force interpret off-TPU
 
-        monkeypatch.setattr(dia_kernel, "spmv_dia_pallas", spy)
+        monkeypatch.setattr(dia_kernel, "_spmv_dia_pallas", spy)
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         y_kernel = A.matvec(x)
         assert called.get("yes")

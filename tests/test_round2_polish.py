@@ -108,8 +108,10 @@ def test_fits_vmem_bf16_reach():
     assert not fits_vmem(op(160, "float32"), jnp.float32)
     # bf16 extends the whole-solve reach past 128^3 (VERDICT next-item 4)
     assert _mega_mode(op(160, "bfloat16"), jnp.bfloat16) == "slab"
-    assert _mega_mode(op(208, "bfloat16"), jnp.bfloat16) == "slab"
-    assert not fits_vmem(op(216, "bfloat16"), jnp.bfloat16)
+    assert _mega_mode(op(200, "bfloat16"), jnp.bfloat16) == "slab"
+    # 208^3 bf16 OOMs on hardware (exp/vmem_boundary_check.py) — the fit
+    # model must exclude it
+    assert not fits_vmem(op(208, "bfloat16"), jnp.bfloat16)
 
 
 def test_mega_slab_matches_whole_f32():
