@@ -344,6 +344,12 @@ def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None
         arrs["dia_data"] = np.asarray(A.data)
         arrs["dia_offsets"] = np.asarray(A.offsets, np.int64)
         arrs["dia_meta"] = np.asarray([A.total_nrow or -1])
+    elif type(A).__name__ == "GellMatrix":
+        arrs["gell_vals3"] = np.asarray(A.vals3)
+        arrs["gell_li3"] = np.asarray(A.li3)
+        arrs["gell_meta"] = np.asarray(
+            [A.n, A.width, A.k_chunks, A.pbl, A.total_nrow, A.nnz_count]
+        )
     else:
         arrs["vals"] = np.asarray(A.vals)
         arrs["cols"] = np.asarray(A.cols)
@@ -372,6 +378,16 @@ def load_problem(path: str) -> Tuple[Problem, dict]:
             data=jnp.asarray(z["dia_data"]),
             offsets=tuple(int(o) for o in z["dia_offsets"]),
             total_nrow=None if total < 0 else total,
+        )
+    elif "gell_vals3" in z:
+        from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
+
+        n_, w_, k_, pbl_, tot_, nnz_ = (int(v) for v in z["gell_meta"])
+        A = GellMatrix(
+            vals3=jnp.asarray(z["gell_vals3"]),
+            li3=jnp.asarray(z["gell_li3"]),
+            n=n_, width=w_, k_chunks=k_, pbl=pbl_,
+            total_nrow=tot_, nnz_count=nnz_,
         )
     else:
         start_row, total = (int(v) for v in z["ell_meta"])

@@ -1,0 +1,226 @@
+"""Windowed gather-ELL SpMV kernel — the scattered-narrow-band tier.
+
+Completes the general explicit-matrix coverage between DIA and raw ELL
+(ref HPC_sparsemv.cpp:68-87 runs any CSR at memory speed; on TPU each
+structure class needs its own mapping):
+
+- few distinct diagonals            -> DiaMatrix (roll fusion / dia_kernel)
+- many diagonals, dense             -> blocked-DIA Pallas kernel
+- *narrow band, scattered offsets*  -> THIS kernel: DIA storage would
+  inflate by ndiag/nnz-per-row (every stored slot streams from HBM), but
+  the matrix is still local — every nonzero of a 1024-row tile lives in a
+  small x window
+- wide scatter                      -> no gather-free mapping exists
+  (documented; XLA gather fallback)
+
+Mechanism (probed on v5e, exp/gather_probe.py + PERF.md): Mosaic lowers
+``jnp.take_along_axis(..., axis=1)`` to a vreg-local dynamic lane gather at
+~279 G elems/s. A full-window gather is a scan over the window's 128-lane
+chunks: for each ELL slot, gather from each chunk and select by the
+precomputed chunk id —
+
+    li = col + PBL - tile_base          (precomputed, streamed with vals)
+    g  = select(li >> 7 == k, lane_gather(window_chunk_k, li & 127), g)
+
+Cost: ~4 vector ops per (slot, chunk) per 1024-row tile + 8 B/nnz of
+streamed (val, index) traffic — effective rate ~ min(stream_rate / 8 B,
+VPU / 4K) where K = window chunks = (1024 + 2*bandwidth)/128. The
+auto_structure chooser picks gather-ELL over inflated DIA when this model
+wins (reorder.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUB = 8
+RT = SUB * LANE  # 1024 rows per tile
+GELL_VMEM_LIMIT = 100 << 20
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals3", "li3"],
+    meta_fields=["n", "width", "k_chunks", "pbl", "total_nrow", "nnz_count"],
+)
+@dataclasses.dataclass(frozen=True)
+class GellMatrix:
+    """Prepared windowed gather-ELL operator.
+
+    vals3/li3: (T, width, 8, 128) — tile-major ELL values and window-local
+    flat indices (row r of tile t sits at sublane (r%1024)//128, lane r%128).
+    Invalid slots carry val=0 with an in-window index.
+    """
+
+    vals3: jax.Array  # f32
+    li3: jax.Array  # i32 in [0, k_chunks*128)
+    n: int
+    width: int
+    k_chunks: int
+    pbl: int  # x zero-padding (elements) before row 0
+    total_nrow: int
+    nnz_count: int
+
+    @property
+    def local_nrow(self) -> int:
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.vals3.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_count
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return spmv_gell(self, x)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.matvec(x)
+
+    def to_coo(self):
+        """(rows, cols, vals) of stored nonzeros, row-major (zero-valued
+        slots — padding and invalid entries — are dropped, like DIA)."""
+        import numpy as np
+
+        T = self.vals3.shape[0]
+        vals = np.asarray(self.vals3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
+        li = np.asarray(self.li3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
+        rows2 = np.arange(T * RT)[:, None]
+        tile_base = (rows2 // RT) * RT
+        cols = li - self.pbl + tile_base
+        keep = (vals != 0) & (rows2 < self.n)
+        rr = np.broadcast_to(rows2, vals.shape)[keep]
+        order = np.argsort(rr, kind="stable")
+        return rr[order], cols[keep][order], vals[keep][order]
+
+
+def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
+    """Host-side preprocessing of an EllMatrix into tile-windowed form.
+
+    Returns None-equivalent failure by raising ValueError when a tile's
+    window exceeds ``max_k_chunks`` 128-lane chunks (bandwidth too wide)."""
+    import numpy as np
+
+    if ell.start_row != 0:
+        raise ValueError("prepare_gell needs the assembled matrix")
+    n = ell.local_nrow
+    vals = np.asarray(ell.vals, np.float32)
+    cols = np.asarray(ell.cols, np.int64)
+    valid = np.asarray(ell.valid)
+    width = max(ell.width, 1)
+    if vals.shape[1] == 0:
+        vals = np.zeros((n, 1), np.float32)
+        cols = np.zeros((n, 1), np.int64)
+        valid = np.zeros((n, 1), bool)
+
+    rows = np.arange(n)[:, None]
+    offs = np.where(valid, cols - rows, 0)
+    bw_lo = max(0, int(-offs.min()) if offs.size else 0)
+    bw_hi = max(0, int(offs.max()) if offs.size else 0)
+    pbl = _cdiv(bw_lo, LANE) * LANE
+    pbh = _cdiv(bw_hi, LANE) * LANE
+    k_chunks = (RT + pbl + pbh) // LANE
+    if k_chunks > max_k_chunks:
+        raise ValueError(
+            f"window of {k_chunks} chunks (bandwidth {bw_lo}/{bw_hi}) "
+            f"exceeds max_k_chunks={max_k_chunks}"
+        )
+
+    T = _cdiv(n, RT)
+    npad = T * RT
+    vp = np.zeros((npad, width), np.float32)
+    lp = np.zeros((npad, width), np.int64)
+    vp[:n, : vals.shape[1]] = np.where(valid, vals, 0.0)
+    tile_base = (np.arange(npad) // RT) * RT  # (npad,)
+    # window-local index; invalid slots -> the row's own (in-window) slot
+    li = np.where(
+        np.pad(valid, ((0, npad - n), (0, width - valid.shape[1]))),
+        np.pad(cols, ((0, npad - n), (0, width - cols.shape[1])))
+        + pbl
+        - tile_base[:, None],
+        (np.arange(npad) + pbl - tile_base)[:, None],
+    )
+    assert li.min() >= 0 and li.max() < k_chunks * LANE, (li.min(), li.max())
+    lp[:, :] = li
+
+    vals3 = vp.reshape(T, SUB, LANE, width).transpose(0, 3, 1, 2)
+    li3 = lp.reshape(T, SUB, LANE, width).transpose(0, 3, 1, 2)
+    return GellMatrix(
+        vals3=jnp.asarray(np.ascontiguousarray(vals3)),
+        li3=jnp.asarray(np.ascontiguousarray(li3), jnp.int32),
+        n=n,
+        width=width,
+        k_chunks=k_chunks,
+        pbl=pbl,
+        total_nrow=ell.total_nrow or n,
+        nnz_count=int(ell.nnz),
+    )
+
+
+def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int):
+    t = pl.program_id(0)
+    # this tile's x window: K chunks of 128, starting at padded chunk t*8
+    xw = xp_ref[pl.ds(t * SUB, k_chunks)]  # (K, 128)
+    acc = jnp.zeros((SUB, LANE), xp_ref.dtype)
+    for w in range(width):
+        li = li_ref[0, w]
+        ll = jnp.bitwise_and(li, LANE - 1)
+        ci = jnp.right_shift(li, 7)
+        g = jnp.zeros((SUB, LANE), xp_ref.dtype)
+        for k in range(k_chunks):
+            chunk = jnp.broadcast_to(xw[k : k + 1], (SUB, LANE))
+            gk = jnp.take_along_axis(chunk, ll, axis=1)
+            g = jnp.where(ci == k, gk, g)
+        acc = acc + vals_ref[0, w] * g
+    y_ref[0] = acc
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _spmv_gell(vals3, li3, xp2, width: int, k_chunks: int, interpret: bool):
+    T = vals3.shape[0]
+    return pl.pallas_call(
+        partial(_kernel, width=width, k_chunks=k_chunks),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp2 whole
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, SUB, LANE), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), vals3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=GELL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xp2, vals3, li3)
+
+
+def spmv_gell(A: GellMatrix, x: jax.Array, *, interpret: bool | None = None) -> jax.Array:
+    """y = A @ x. The x zero-extension is per-call XLA; everything heavy
+    (vals/index layout) was done once in prepare_gell."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T = A.vals3.shape[0]
+    npad = T * RT
+    # zero-pad x to [pbl | npad | window overhang] — f32 only (the lane
+    # gather and the stored values are 32-bit)
+    pbh_total = A.k_chunks * LANE - RT  # = pbl + pbh
+    xp = jnp.zeros((A.pbl + npad + pbh_total, ), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (A.pbl,))
+    xp2 = xp.reshape(-1, LANE)
+    y = _spmv_gell(A.vals3, A.li3, xp2, A.width, A.k_chunks, interpret)
+    return y.reshape(-1)[: A.n]

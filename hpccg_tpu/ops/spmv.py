@@ -19,8 +19,11 @@ def spmv(A, x: jax.Array, *, backend: str = "auto") -> jax.Array:
     """y = A @ x for any operator representation."""
     if backend in ("auto", "stencil", "ell", "dia"):
         from hpccg_tpu.ops.pallas.dia_kernel import PreparedDia
+        from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
 
-        if isinstance(A, (StencilOperator, EllMatrix, DiaMatrix, PreparedDia)):
+        if isinstance(
+            A, (StencilOperator, EllMatrix, DiaMatrix, PreparedDia, GellMatrix)
+        ):
             return A.matvec(x)
         raise TypeError(f"unknown operator type {type(A)}")
     if backend == "pallas":

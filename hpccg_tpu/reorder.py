@@ -119,12 +119,32 @@ def bandwidth(A: EllMatrix) -> int:
 class StructureReport:
     """What auto_structure decided and why (for logs/reports)."""
 
-    format: str  # "dia" | "dia+rcm" | "ell"
+    format: str  # "dia" | "dia+rcm" | "gell" | "gell+rcm" | "ell"
     ndiag: Optional[int]
     bandwidth_before: int
     bandwidth_after: Optional[int]
     inflation: Optional[float]  # stored diagonal slots / true nnz
     reason: str
+
+
+# Measured single-chip model rates (PERF.md round 2) used ONLY to choose
+# between representations — real performance comes from the benchmarks:
+# - blocked-DIA streams stored slots at ~180 Gslots/s, so its REAL-nnz rate
+#   divides by the slot inflation;
+# - windowed gather-ELL fits t/nnz ~= 0.034 + 0.0013*K ns on v5e (measured
+#   at K = 10/14/22/32: 22.5/18.7/16.7/13.3 Gnnz/s) — pipeline-bound at
+#   small windows, chunk-scan-bound at large ones.
+_DIA_SLOT_RATE = 180.0
+
+
+def _gell_chunks(bw_lo: int, bw_hi: int) -> int:
+    from hpccg_tpu.ops.pallas.gell_kernel import LANE, RT, _cdiv
+
+    return (RT + _cdiv(bw_lo, LANE) * LANE + _cdiv(bw_hi, LANE) * LANE) // LANE
+
+
+def _gell_rate(k_chunks: int) -> float:
+    return 1.0 / (0.0335 + 0.0013 * k_chunks)
 
 
 def auto_structure(
@@ -149,6 +169,7 @@ def auto_structure(
     n = A.local_nrow
     nnz = A.nnz
     bw0 = bandwidth(A)
+    width_avg = max(nnz / max(n, 1), 1e-9)
 
     def try_dia(mat: EllMatrix):
         rows, cols, _ = mat.to_coo()
@@ -163,9 +184,51 @@ def auto_structure(
         dia = mat.to_dia(max_diags=max_diags)
         return dia, ndiag, inflation
 
-    dia, ndiag, inflation = try_dia(A)
-    if dia is not None:
-        return dia, None, StructureReport(
+    def gell_info(mat: EllMatrix):
+        rows, cols, _ = mat.to_coo()
+        offs = cols.astype(np.int64) - rows.astype(np.int64)
+        bw_lo = max(0, int(-offs.min()) if offs.size else 0)
+        bw_hi = max(0, int(offs.max()) if offs.size else 0)
+        return _gell_chunks(bw_lo, bw_hi)
+
+    def candidates(mat: EllMatrix, tag: str):
+        """(rate_model_gnnz, kind, build_fn, detail) options for one basis."""
+        out = []
+        dia, ndiag, inflation = try_dia(mat)
+        if dia is not None:
+            out.append(
+                (
+                    _DIA_SLOT_RATE / max(inflation, 1.0),
+                    "dia" + tag,
+                    lambda dia=dia: dia,
+                    (ndiag, inflation, None),
+                )
+            )
+        k = gell_info(mat)
+        # the gather kernel is 32-bit only; f64 matrices (deep-convergence
+        # parity runs) keep the exact-arithmetic representations
+        if k <= 32 and np.asarray(mat.vals).dtype.itemsize == 4:
+            from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
+
+            out.append(
+                (
+                    _gell_rate(k),
+                    "gell" + tag,
+                    lambda mat=mat: prepare_gell(mat),
+                    (None, None, k),
+                )
+            )
+        return out
+
+    cands = [(r, kind, build, d, None) for r, kind, build, d in candidates(A, "")]
+    B = bw1 = None
+    # a direct DIA with negligible inflation (the banded-file fast path):
+    # take it immediately — skips the RCM work, and near-dense diagonals
+    # beat the gather window in practice regardless of the coarse models
+    direct = [c for c in cands if c[1] == "dia" and c[3][1] <= 4.0]
+    if direct:
+        rate, kind, build, (ndiag, inflation, _), _ = direct[0]
+        return build(), None, StructureReport(
             format="dia",
             ndiag=ndiag,
             bandwidth_before=bw0,
@@ -173,22 +236,32 @@ def auto_structure(
             inflation=inflation,
             reason=f"banded as loaded: {ndiag} diagonals",
         )
-
-    perm = rcm_permutation(A)
-    B = permute_ell(A, perm)
+    perm_try = rcm_permutation(A)
+    B = permute_ell(A, perm_try)
     bw1 = bandwidth(B)
-    dia, ndiag2, inflation2 = try_dia(B)
-    if dia is not None:
-        return dia, perm, StructureReport(
-            format="dia+rcm",
-            ndiag=ndiag2,
+    cands += [
+        (r, kind, build, d, perm_try)
+        for r, kind, build, d in candidates(B, "+rcm")
+    ]
+
+    if cands:
+        rate, kind, build, (ndiag, inflation, k), cperm = max(
+            cands, key=lambda c: c[0]
+        )
+        detail = (
+            f"{ndiag} diagonals at {inflation:.1f}x slot inflation"
+            if kind.startswith("dia")
+            else f"{k}-chunk gather window"
+        )
+        if kind.endswith("+rcm"):
+            detail = f"RCM reduced bandwidth {bw0} -> {bw1}; " + detail
+        return build(), cperm, StructureReport(
+            format=kind,
+            ndiag=ndiag,
             bandwidth_before=bw0,
-            bandwidth_after=bw1,
-            inflation=inflation2,
-            reason=(
-                f"RCM reduced bandwidth {bw0} -> {bw1}; "
-                f"{ndiag2} diagonals at {inflation2:.1f}x slot inflation"
-            ),
+            bandwidth_after=bw1 if kind.endswith("+rcm") else bw0,
+            inflation=inflation,
+            reason=f"{detail} (model ~{rate:.0f} Gnnz/s)",
         )
 
     return A, None, StructureReport(
@@ -198,9 +271,9 @@ def auto_structure(
         bandwidth_after=bw1,
         inflation=None,
         reason=(
-            f"no gather-free structure: {ndiag2} distinct diagonals even "
-            f"after RCM (bandwidth {bw0} -> {bw1}) exceeds the "
-            f"{max_diags}-diagonal / {max_inflation:.0f}x-inflation budget; "
+            f"no gather-free structure: bandwidth {bw0} -> {bw1} after RCM "
+            f"still exceeds every budget ({max_diags} diagonals / "
+            f"{max_inflation:.0f}x inflation / 32-chunk gather window); "
             "staying in ELL (slow gather path on TPU)"
         ),
     )

@@ -211,10 +211,33 @@ class TestReorder:
             valid=jnp.asarray(valid), total_nrow=n,
         )
         A, perm_out, report = auto_structure(ell, max_inflation=8.0)
-        assert report.format in ("ell", "dia+rcm")
-        if report.format == "ell":
-            assert A is ell and perm_out is None
-            assert "no gather-free structure" in report.reason
+        # at 512 rows the whole matrix fits a gather window, so the
+        # permuted stencil is now SERVED (gell) rather than ELL-fallback
+        assert report.format in ("gell", "gell+rcm", "dia+rcm"), report
+
+    def test_auto_structure_wide_scatter_stays_ell(self):
+        """Genuinely wide scatter — random columns across the whole range,
+        too wide for any window after RCM — must fall back to ELL with an
+        honest reason, not inflate storage."""
+        from hpccg_tpu.reorder import auto_structure
+
+        rng = np.random.default_rng(9)
+        n, width = 9000, 5
+        cols = np.zeros((n, width), np.int32)
+        vals = np.zeros((n, width), np.float32)
+        valid = np.ones((n, width), bool)
+        for i in range(n):
+            js = rng.choice(n, size=width - 1, replace=False)
+            cols[i] = np.r_[i, js]
+            vals[i] = np.r_[10.0, rng.uniform(-0.1, 0.1, width - 1)]
+        ell = EllMatrix(
+            vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+            valid=jnp.asarray(valid), total_nrow=n,
+        )
+        A, perm_out, report = auto_structure(ell, max_inflation=8.0)
+        assert report.format == "ell", report
+        assert A is ell and perm_out is None
+        assert "no gather-free structure" in report.reason
 
 
 def test_solve_in_permuted_basis_matches_direct():
@@ -251,3 +274,130 @@ def test_solve_in_permuted_basis_matches_direct():
     x[perm] = np.asarray(y.x)  # back to the scrambled basis
     x_direct = np.linalg.solve(scrambled, b_s)
     np.testing.assert_allclose(x, x_direct, rtol=1e-8, atol=1e-9)
+
+
+class TestGellKernel:
+    """Windowed gather-ELL: the scattered-narrow-band tier."""
+
+    def _scattered_band(self, n=3000, bw=200, per_row=9, seed=4):
+        """Random SPD matrix: narrow band, offsets scattered per row
+        (DIA would inflate ~2*bw/per_row, the gather-ELL sweet spot)."""
+        rng = np.random.default_rng(seed)
+        width = per_row
+        vals = np.zeros((n, width), np.float32)
+        cols = np.zeros((n, width), np.int32)
+        valid = np.zeros((n, width), bool)
+        # symmetric: build upper entries then mirror via dict
+        entries = {}
+        for i in range(n):
+            js = i + rng.choice(np.arange(1, bw), size=(per_row - 1) // 2, replace=False)
+            js = js[js < n]
+            for j in js:
+                entries[(i, int(j))] = entries[(int(j), i)] = float(
+                    rng.uniform(-1.0, -0.1)
+                )
+        for i in range(n):
+            entries[(i, i)] = 2.0 * per_row
+        rows_of = {}
+        for (i, j), v in entries.items():
+            rows_of.setdefault(i, []).append((j, v))
+        width = max(len(v) for v in rows_of.values())
+        vals = np.zeros((n, width), np.float32)
+        cols = np.zeros((n, width), np.int32)
+        valid = np.zeros((n, width), bool)
+        for i, lst in rows_of.items():
+            lst.sort()
+            for s, (j, v) in enumerate(lst):
+                cols[i, s] = j
+                vals[i, s] = v
+                valid[i, s] = True
+        return EllMatrix(
+            vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+            valid=jnp.asarray(valid), total_nrow=n,
+        )
+
+    def test_matches_ell_oracle(self):
+        from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell, spmv_gell
+
+        ell = self._scattered_band()
+        G = prepare_gell(ell)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(ell.local_nrow), jnp.float32)
+        y_g = spmv_gell(G, x, interpret=True)
+        y_o = ell.matvec(x)  # XLA gather oracle
+        np.testing.assert_allclose(
+            np.asarray(y_g, np.float64), np.asarray(y_o, np.float64),
+            rtol=3e-5, atol=1e-4,
+        )
+
+    def test_window_edges_and_negative_offsets(self):
+        from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell, spmv_gell
+
+        # rows referencing the extreme ends of their windows
+        n = 2200
+        width = 3
+        cols = np.zeros((n, width), np.int32)
+        vals = np.zeros((n, width), np.float32)
+        valid = np.ones((n, width), bool)
+        rng = np.random.default_rng(2)
+        for i in range(n):
+            lo, hi = max(0, i - 300), min(n - 1, i + 300)
+            cols[i] = [lo, i, hi]
+            vals[i] = rng.standard_normal(3)
+        ell = EllMatrix(
+            vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+            valid=jnp.asarray(valid), total_nrow=n,
+        )
+        G = prepare_gell(ell)
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(spmv_gell(G, x, interpret=True), np.float64),
+            np.asarray(ell.matvec(x), np.float64),
+            rtol=3e-5, atol=1e-4,
+        )
+
+    def test_cg_through_make_cg(self):
+        from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
+        from hpccg_tpu.solver import make_cg
+
+        ell = self._scattered_band(n=1500, bw=120, per_row=7)
+        G = prepare_gell(ell)
+        xex = jnp.ones((1500,), jnp.float32)
+        b = ell.matvec(xex)
+        res = make_cg(G, max_iter=40, tolerance=0.0)(b, jnp.zeros_like(b))
+        assert float(res.normr) < 1e-3 * float(res.trace[0])
+        assert np.max(np.abs(np.asarray(res.x) - 1.0)) < 1e-3
+
+    def test_auto_structure_picks_gell_for_scattered_band(self):
+        from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
+        from hpccg_tpu.reorder import auto_structure
+
+        ell = self._scattered_band(n=2000, bw=400, per_row=7)
+        A, perm, report = auto_structure(ell, max_inflation=16.0)
+        assert report.format.startswith("gell"), report
+        assert isinstance(A, GellMatrix)
+
+    def test_gell_to_coo_and_checkpoint_roundtrip(self, tmp_path):
+        from hpccg_tpu.io import load_problem, save_problem
+        from hpccg_tpu.models.stencil import Problem
+        from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
+
+        ell = self._scattered_band(n=600, bw=80, per_row=5)
+        G = prepare_gell(ell)
+        r0, c0, v0 = ell.to_coo()
+        rg, cg, vg = G.to_coo()
+        ref = {(int(r), int(c)): float(v) for r, c, v in zip(r0, c0, v0) if v != 0}
+        got = {(int(r), int(c)): float(v) for r, c, v in zip(rg, cg, vg)}
+        assert ref == got
+
+        b = ell.matvec(jnp.ones((600,), jnp.float32))
+        prob = Problem(A=G, b=b, x0=jnp.zeros_like(b),
+                       xexact=jnp.ones_like(b), total_nrow=600,
+                       total_nnz_model=G.nnz, total_nnz_exact=G.nnz)
+        path = str(tmp_path / "g.npz")
+        save_problem(path, prob)
+        prob2, _ = load_problem(path)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(600), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(prob2.A.matvec(x)), np.asarray(G.matvec(x)), rtol=1e-6
+        )
