@@ -160,7 +160,10 @@ def main(argv=None) -> int:
         from hpccg_tpu.io import pad_problem_rows, read_hpc_row_structured
 
         prob, perm, report = read_hpc_row_structured(
-            args.dims[0], dtype=dtype, reorder=not args.no_reorder
+            args.dims[0], dtype=dtype, reorder=not args.no_reorder,
+            # the gather-ELL tiles are single-device; distributed file mode
+            # needs a row-shardable operator (DIA halo or ELL all-gather)
+            allow_gell=args.mesh == 1,
         )
         print(f"# matrix structure: {report.format} — {report.reason}", file=sys.stderr)
         nx = ny = nz = 0

@@ -120,6 +120,7 @@ def read_hpc_row_structured(
     max_diags: int = 4096,
     max_inflation: float = 64.0,
     reorder: bool = True,
+    allow_gell: bool = True,
 ):
     """Load an HPC-row file and pick the fastest TPU representation.
 
@@ -154,7 +155,8 @@ def read_hpc_row_structured(
             )
     else:
         A, perm, report = auto_structure(
-            prob.A, max_diags=max_diags, max_inflation=max_inflation
+            prob.A, max_diags=max_diags, max_inflation=max_inflation,
+            allow_gell=allow_gell,
         )
     if perm is not None:
         p = np.asarray(perm)

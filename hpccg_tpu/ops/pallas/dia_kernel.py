@@ -269,13 +269,31 @@ class PreparedDia:
         return self.matvec(x)
 
 
+_prepared_ops: dict = {}
+
+
 def prepare_dia(A) -> PreparedDia:
-    """Eagerly convert a DiaMatrix into the kernel-ready PreparedDia."""
+    """Eagerly convert a DiaMatrix into the kernel-ready PreparedDia.
+
+    Cached per data buffer: besides the layout pad, the nnz count is a full
+    device pass — recomputing it on every eager matvec would dominate."""
+    import weakref
+
+    key = id(A.data)
+    hit = _prepared_ops.get(key)
+    if hit is not None:
+        ref, prepared = hit
+        if ref() is A.data:
+            return prepared
     offsets = tuple(int(o) for o in A.offsets)
-    return PreparedDia(
+    prepared = PreparedDia(
         data2=_prepared_data(A, A.dtype),
         offsets=offsets,
         n=A.local_nrow,
         total_nrow=A.total_nrow or A.local_nrow,
         nnz_count=int(A.nnz),
     )
+    if len(_prepared_ops) > 16:
+        _prepared_ops.clear()
+    _prepared_ops[key] = (weakref.ref(A.data), prepared)
+    return prepared

@@ -153,6 +153,7 @@ def auto_structure(
     max_diags: int = 4096,
     max_inflation: float = 64.0,
     max_storage_bytes: int = 8 << 30,
+    allow_gell: bool = True,
 ) -> Tuple[object, Optional[np.ndarray], StructureReport]:
     """Pick the fastest TPU representation for an explicit matrix.
 
@@ -169,7 +170,6 @@ def auto_structure(
     n = A.local_nrow
     nnz = A.nnz
     bw0 = bandwidth(A)
-    width_avg = max(nnz / max(n, 1), 1e-9)
 
     def try_dia(mat: EllMatrix):
         rows, cols, _ = mat.to_coo()
@@ -206,8 +206,10 @@ def auto_structure(
             )
         k = gell_info(mat)
         # the gather kernel is 32-bit only; f64 matrices (deep-convergence
-        # parity runs) keep the exact-arithmetic representations
-        if k <= 32 and np.asarray(mat.vals).dtype.itemsize == 4:
+        # parity runs) keep the exact-arithmetic representations. Callers
+        # that need a distributable operator (CLI --mesh file mode) pass
+        # allow_gell=False: the gather tiles are single-device-only.
+        if allow_gell and k <= 32 and np.asarray(mat.vals).dtype.itemsize == 4:
             from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
 
             out.append(

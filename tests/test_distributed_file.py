@@ -143,3 +143,56 @@ class TestCliFileMesh:
         r8 = self._run([path, "--mesh", "8"] + base)
         assert r8["Number of iterations"] == r1["Number of iterations"]
         assert r8["Final residual"] < 1e-12 and r1["Final residual"] < 1e-12
+
+
+def test_file_mesh_scattered_band_goes_allgather(tmp_path):
+    """A scattered-narrow-band file that auto_structure would map to
+    gather-ELL on one device must take a row-shardable representation under
+    --mesh (the gather tiles are single-device-only)."""
+    import contextlib
+    import io as _io
+
+    rng = np.random.default_rng(3)
+    n, width = 400, 5
+    cols = np.zeros((n, width), np.int32)
+    vals = np.zeros((n, width), np.float64)
+    entries = {}
+    for i in range(n):
+        for j in i + rng.choice(np.arange(1, 40), size=2, replace=False):
+            if j < n:
+                entries[(i, int(j))] = entries[(int(j), i)] = float(
+                    rng.uniform(-1, -0.1)
+                )
+    for i in range(n):
+        entries[(i, i)] = 12.0
+    rows_of = {}
+    for (i, j), v in entries.items():
+        rows_of.setdefault(i, []).append((j, v))
+    width = max(len(v) for v in rows_of.values())
+    vals = np.zeros((n, width)); cols = np.zeros((n, width), np.int32)
+    valid = np.zeros((n, width), bool)
+    for i, lst in rows_of.items():
+        for s, (j, v) in enumerate(sorted(lst)):
+            cols[i, s], vals[i, s], valid[i, s] = j, v, True
+    from hpccg_tpu.operators import EllMatrix as _Ell
+    from hpccg_tpu.models.stencil import Problem as _P
+
+    ell = _Ell(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+               valid=jnp.asarray(valid), total_nrow=n)
+    b = ell.matvec(jnp.ones((n,)))
+    prob = _P(A=ell, b=b, x0=jnp.zeros_like(b), xexact=jnp.ones_like(b),
+              total_nrow=n, total_nnz_model=int(ell.nnz),
+              total_nnz_exact=int(ell.nnz))
+    path = str(tmp_path / "scat.dat")
+    write_hpc_row(path, prob)
+
+    from hpccg_tpu.cli import main
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([path, "--mesh", "8", "--max-iter", "20",
+                   "--skip-kernel-bench", "--json", "--quiet"])
+    assert rc == 0
+    out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    assert out["Parallelism"]["Number of mesh devices"] == 8
+    assert out["Final residual"] < 1e-10
