@@ -64,7 +64,8 @@ class GellMatrix:
     """
 
     vals3: jax.Array  # f32
-    li3: jax.Array  # i32 in [0, k_chunks*128)
+    li3: jax.Array  # i16 in [0, k_chunks*128) — the window is <= 4096 wide,
+    # so 16-bit indices halve the index stream (8 -> 6 B/nnz of traffic)
     n: int
     width: int
     k_chunks: int
@@ -158,9 +159,10 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
 
     vals3 = vp.reshape(T, SUB, LANE, width).transpose(0, 3, 1, 2)
     li3 = lp.reshape(T, SUB, LANE, width).transpose(0, 3, 1, 2)
+    assert k_chunks * LANE <= 32767  # li fits int16
     return GellMatrix(
         vals3=jnp.asarray(np.ascontiguousarray(vals3)),
-        li3=jnp.asarray(np.ascontiguousarray(li3), jnp.int32),
+        li3=jnp.asarray(np.ascontiguousarray(li3), jnp.int16),
         n=n,
         width=width,
         k_chunks=k_chunks,
@@ -176,7 +178,7 @@ def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int):
     xw = xp_ref[pl.ds(t * SUB, k_chunks)]  # (K, 128)
     acc = jnp.zeros((SUB, LANE), xp_ref.dtype)
     for w in range(width):
-        li = li_ref[0, w]
+        li = li_ref[0, w].astype(jnp.int32)  # i16 stream, i32 compute
         ll = jnp.bitwise_and(li, LANE - 1)
         ci = jnp.right_shift(li, 7)
         g = jnp.zeros((SUB, LANE), xp_ref.dtype)

@@ -131,9 +131,9 @@ class StructureReport:
 # between representations — real performance comes from the benchmarks:
 # - blocked-DIA streams stored slots at ~180 Gslots/s, so its REAL-nnz rate
 #   divides by the slot inflation;
-# - windowed gather-ELL fits t/nnz ~= 0.034 + 0.0013*K ns on v5e (measured
-#   at K = 10/14/22/32: 22.5/18.7/16.7/13.3 Gnnz/s) — pipeline-bound at
-#   small windows, chunk-scan-bound at large ones.
+# - windowed gather-ELL (i16 indices) fits t/nnz ~= 0.027 + 0.0014*K ns on
+#   v5e (measured K=10: 24.7 Gnnz/s, K=22: 17.6) — pipeline-bound at small
+#   windows, chunk-scan-bound at large ones.
 _DIA_SLOT_RATE = 180.0
 
 
@@ -144,7 +144,7 @@ def _gell_chunks(bw_lo: int, bw_hi: int) -> int:
 
 
 def _gell_rate(k_chunks: int) -> float:
-    return 1.0 / (0.0335 + 0.0013 * k_chunks)
+    return 1.0 / (0.027 + 0.0014 * k_chunks)
 
 
 def auto_structure(
@@ -171,11 +171,17 @@ def auto_structure(
     nnz = A.nnz
     bw0 = bandwidth(A)
 
+    f64 = np.dtype(np.asarray(A.vals).dtype).itemsize == 8
+
     def try_dia(mat: EllMatrix):
         rows, cols, _ = mat.to_coo()
         offs = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
         ndiag = int(offs.size)
-        if ndiag > max_diags:
+        # f64 has no Pallas kernel: past ~128 diagonals the XLA roll loop's
+        # compile time scales with ndiag — cap rather than build a
+        # thousand-roll program
+        cap = min(max_diags, 256) if f64 else max_diags
+        if ndiag > cap:
             return None, ndiag, np.inf
         storage = ndiag * n * np.dtype(np.asarray(mat.vals).dtype).itemsize
         inflation = (ndiag * n) / max(nnz, 1)
