@@ -11,8 +11,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE, RB = 128, 512
-NR = 65536  # 65536*128*4 = 32 MB... use bigger: 
-NR = 262144  # 262144 rows x 128 lanes x 4B = 128 MB output
+NR = 262144  # 262144 rows x 128 lanes x 4 B = 128 MB output
 
 def wkernel(seed_ref, o_ref):
     o_ref[:] = seed_ref[:] * 1.00001

@@ -183,6 +183,13 @@ def main(argv=None) -> int:
 
             import dataclasses as _dc
 
+            if args.method != "cg" or args.backend != "auto":
+                print(
+                    "# distributed file mode implements the reference cg "
+                    "recurrence on the dia-halo/all-gather paths; ignoring "
+                    f"--method {args.method} / --backend {args.backend}",
+                    file=sys.stderr,
+                )
             mesh = make_mesh(args.mesh)
             prob = pad_problem_rows(prob, args.mesh)
             A = prob.A
@@ -312,7 +319,7 @@ def main(argv=None) -> int:
     if args.dump_matlab:
         from hpccg_tpu.io import dump_matlab
 
-        if args.mesh > 1:
+        if args.mesh > 1 and not file_mode:
             # per-shard dumps mat0..mat3, exactly the reference's per-rank
             # files (dump_matlab_matrix.cpp:59-82; ranks > 3 are no-ops)
             from hpccg_tpu.parallel.cg import local_operator

@@ -162,9 +162,20 @@ def _pad_data(data, offsets: tuple, n: int):
 _prepared: dict = {}
 
 
-def _prepared_data(A, dtype):
+def _cache_put(cache: dict, key, ref_obj, value):
+    """Insert with eviction: entries whose source array died are dropped
+    FIRST (their cached device buffers can be GB-scale), then a size
+    backstop clears everything."""
     import weakref
 
+    for k in [k for k, (r, _) in cache.items() if r() is None]:
+        del cache[k]
+    if len(cache) > 16:
+        cache.clear()
+    cache[key] = (weakref.ref(ref_obj), value)
+
+
+def _prepared_data(A, dtype):
     key = (id(A.data), jnp.dtype(dtype).name)
     hit = _prepared.get(key)
     if hit is not None:
@@ -176,9 +187,7 @@ def _prepared_data(A, dtype):
         A.data.astype(dtype), offsets, A.local_nrow
     )
     data2 = jax.block_until_ready(data2)
-    if len(_prepared) > 16:
-        _prepared.clear()
-    _prepared[key] = (weakref.ref(A.data), data2)
+    _cache_put(_prepared, key, A.data, data2)
     return data2
 
 
@@ -277,8 +286,6 @@ def prepare_dia(A) -> PreparedDia:
 
     Cached per data buffer: besides the layout pad, the nnz count is a full
     device pass — recomputing it on every eager matvec would dominate."""
-    import weakref
-
     key = id(A.data)
     hit = _prepared_ops.get(key)
     if hit is not None:
@@ -293,7 +300,5 @@ def prepare_dia(A) -> PreparedDia:
         total_nrow=A.total_nrow or A.local_nrow,
         nnz_count=int(A.nnz),
     )
-    if len(_prepared_ops) > 16:
-        _prepared_ops.clear()
-    _prepared_ops[key] = (weakref.ref(A.data), prepared)
+    _cache_put(_prepared_ops, key, A.data, prepared)
     return prepared

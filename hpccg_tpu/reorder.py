@@ -169,48 +169,41 @@ def auto_structure(
     """
     n = A.local_nrow
     nnz = A.nnz
-    bw0 = bandwidth(A)
-
     f64 = np.dtype(np.asarray(A.vals).dtype).itemsize == 8
 
-    def try_dia(mat: EllMatrix):
-        rows, cols, _ = mat.to_coo()
-        offs = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
-        ndiag = int(offs.size)
+    def candidates(mat: EllMatrix, tag: str):
+        """((rate_model_gnnz, kind, build_fn, detail) options, bandwidth)
+        for one basis. ONE to_coo pass; the winning representation is built
+        lazily (a rejected multi-GB DIA array is never materialized)."""
+        rows, cols, vals = mat.to_coo()
+        offs = cols.astype(np.int64) - rows.astype(np.int64)
+        bw_lo = max(0, int(-offs.min()) if offs.size else 0)
+        bw_hi = max(0, int(offs.max()) if offs.size else 0)
+        bw = max(bw_lo, bw_hi)
+        ndiag = int(np.unique(offs).size)
+        out = []
         # f64 has no Pallas kernel: past ~128 diagonals the XLA roll loop's
         # compile time scales with ndiag — cap rather than build a
         # thousand-roll program
         cap = min(max_diags, 256) if f64 else max_diags
-        if ndiag > cap:
-            return None, ndiag, np.inf
         storage = ndiag * n * np.dtype(np.asarray(mat.vals).dtype).itemsize
         inflation = (ndiag * n) / max(nnz, 1)
-        if inflation > max_inflation or storage > max_storage_bytes:
-            return None, ndiag, inflation
-        dia = mat.to_dia(max_diags=max_diags)
-        return dia, ndiag, inflation
-
-    def gell_info(mat: EllMatrix):
-        rows, cols, _ = mat.to_coo()
-        offs = cols.astype(np.int64) - rows.astype(np.int64)
-        bw_lo = max(0, int(-offs.min()) if offs.size else 0)
-        bw_hi = max(0, int(offs.max()) if offs.size else 0)
-        return _gell_chunks(bw_lo, bw_hi)
-
-    def candidates(mat: EllMatrix, tag: str):
-        """(rate_model_gnnz, kind, build_fn, detail) options for one basis."""
-        out = []
-        dia, ndiag, inflation = try_dia(mat)
-        if dia is not None:
+        dia_ok = (
+            ndiag <= cap
+            and inflation <= max_inflation
+            and storage <= max_storage_bytes
+            and not np.any(vals == 0)  # to_dia treats stored zeros as gaps
+        )
+        if dia_ok:
             out.append(
                 (
                     _DIA_SLOT_RATE / max(inflation, 1.0),
                     "dia" + tag,
-                    lambda dia=dia: dia,
+                    lambda mat=mat: mat.to_dia(max_diags=max_diags),
                     (ndiag, inflation, None),
                 )
             )
-        k = gell_info(mat)
+        k = _gell_chunks(bw_lo, bw_hi)
         # the gather kernel is 32-bit only; f64 matrices (deep-convergence
         # parity runs) keep the exact-arithmetic representations. Callers
         # that need a distributable operator (CLI --mesh file mode) pass
@@ -226,9 +219,10 @@ def auto_structure(
                     (None, None, k),
                 )
             )
-        return out
+        return out, bw
 
-    cands = [(r, kind, build, d, None) for r, kind, build, d in candidates(A, "")]
+    cands0, bw0 = candidates(A, "")
+    cands = [(r, kind, build, d, None) for r, kind, build, d in cands0]
     B = bw1 = None
     # a direct DIA with negligible inflation (the banded-file fast path):
     # take it immediately — skips the RCM work, and near-dense diagonals
@@ -246,11 +240,8 @@ def auto_structure(
         )
     perm_try = rcm_permutation(A)
     B = permute_ell(A, perm_try)
-    bw1 = bandwidth(B)
-    cands += [
-        (r, kind, build, d, perm_try)
-        for r, kind, build, d in candidates(B, "+rcm")
-    ]
+    cands1, bw1 = candidates(B, "+rcm")
+    cands += [(r, kind, build, d, perm_try) for r, kind, build, d in cands1]
 
     if cands:
         rate, kind, build, (ndiag, inflation, k), cperm = max(

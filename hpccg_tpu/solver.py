@@ -364,8 +364,8 @@ def resolve_backend(A, backend: str = "auto") -> str:
             warnings.warn(
                 f"ELL gather SpMV at {A.local_nrow} rows on TPU is orders of "
                 "magnitude off the memory roofline (no hardware gather); "
-                "convert the matrix with to_dia()/to_blocked_dia() or "
-                "hpccg_tpu.reorder.auto_structure() for a fast banded path",
+                "convert with to_dia() or hpccg_tpu.auto_structure() "
+                "for a gather-free representation",
                 stacklevel=3,
             )
         return "auto"

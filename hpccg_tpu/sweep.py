@@ -104,11 +104,17 @@ def main(argv=None) -> int:
         backend = args.backend
         # the collective kernel's in-kernel allreduce is the cg1 recurrence
         method = "cg1" if backend == "collective" else "cg"
+        backend_used = backend
         if remainder:
             from hpccg_tpu.parallel.cg import (
                 generate_problem_sharded_masked,
                 make_distributed_cg_masked,
             )
+
+            # the masked remainder solve has one implementation (XLA
+            # stencil halo); record the substitution in the point so mixed
+            # curves are not read as one backend
+            backend_used = "stencil-halo-masked"
 
             prob = generate_problem_sharded_masked(
                 cfg, mesh, nz_global=args.global_nz
@@ -132,6 +138,7 @@ def main(argv=None) -> int:
             "mode": args.mode,
             "mesh": nd,
             "local_dims": [cfg.nx, cfg.ny, cfg.nz],
+            "backend": backend_used,
             **({"global_nz": args.global_nz, "remainder_masked": True} if remainder else {}),
             "global_nrow": prob.total_nrow,
             # None = below timer resolution (cf. the reference golden run's

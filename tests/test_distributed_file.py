@@ -196,3 +196,25 @@ def test_file_mesh_scattered_band_goes_allgather(tmp_path):
     out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     assert out["Parallelism"]["Number of mesh devices"] == 8
     assert out["Final residual"] < 1e-10
+
+
+def test_file_mesh_dump_matlab_no_crash(tmp_path):
+    """--dump-matlab in distributed file mode dumps the loaded matrix
+    (regression: the per-shard stencil dump branch used an unbound cfg)."""
+    import contextlib
+    import io as _io
+
+    from hpccg_tpu.cli import main
+
+    prob = generate_ell(ProblemConfig(5, 4, 16))
+    path = str(tmp_path / "p.dat")
+    write_hpc_row(path, prob)
+    prefix = str(tmp_path / "mat")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([path, "--mesh", "4", "--max-iter", "5",
+                   "--skip-kernel-bench", "--quiet", "--json",
+                   "--dump-matlab", prefix])
+    assert rc == 0
+    import os
+    assert os.path.exists(prefix + "0.dat")
