@@ -31,20 +31,25 @@ A = DiaMatrix(data=data, offsets=offs, total_nrow=n)
 nnz_slots = noffs * n
 log("built on device; ndiag", noffs)
 
-# standalone SpMV slope loop, data passed as ARG
+# standalone SpMV slope loop. The operator goes in PREPARED (layout pad
+# done once) and as a jit ARGUMENT (a closure-captured GB matrix would be
+# serialized into the HLO as a literal) — both pitfalls measured in PERF.md.
+from hpccg_tpu.ops.pallas.dia_kernel import prepare_dia
+
+G = prepare_dia(A)
+
 @partial(jax.jit, static_argnums=(2,))
-def loop(data_, x, k):
-    A_ = DiaMatrix(data=data_, offsets=offs, total_nrow=n)
-    return jax.lax.fori_loop(0, k, lambda i, c: spmv_dia_pallas(A_, c) * (1.0/140.0), x)
+def loop(G_, x, k):
+    return jax.lax.fori_loop(0, k, lambda i, c: G_.matvec(c) * (1.0/140.0), x)
 
 x = build_data(offs, n)[0] + 1.0  # arbitrary device vector, no transfer
 def fence(v): float(v[0] if v.ndim else v); return v
 k1, k2 = 8, 64
-fence(loop(data, x, k1)); fence(loop(data, x, k2))
+fence(loop(G, x, k1)); fence(loop(G, x, k2))
 log("spmv loops compiled")
 sl = []
 for _ in range(3):
-    t0=time.perf_counter(); fence(loop(data, x, k1)); t1=time.perf_counter(); fence(loop(data, x, k2)); t2=time.perf_counter()
+    t0=time.perf_counter(); fence(loop(G, x, k1)); t1=time.perf_counter(); fence(loop(G, x, k2)); t2=time.perf_counter()
     sl.append(((t2-t1)-(t1-t0))/(k2-k1))
 t = statistics.median(sl)
 log("spmv us", round(t*1e6,1), " Gslots/s", round(nnz_slots/t/1e9,1), " GB/s(data)", round(nnz_slots*4/t/1e9,1))

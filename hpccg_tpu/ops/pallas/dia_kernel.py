@@ -27,9 +27,11 @@ no masking is needed (DiaMatrix stores zeros outside each diagonal's valid
 range by construction).
 
 Cost model: traffic = 4 B per stored diagonal slot (value only; no column
-indices — the reference CSR format pays >= 12 B/nnz), so the streaming
-ceiling on a v5e is ~330 GB/s / 4 B = ~80 Gnnz/s for dense diagonals,
-independent of ndiag.
+indices — the reference CSR format pays >= 12 B/nnz), and the stream is
+read-dominated, which on a v5e runs at ~716 GB/s (not the ~330 GB/s mixed
+read+write rate — see PERF.md's direction-asymmetry probes): measured
+~179 Gslots/s standalone and ~188 Gslots/s inside end-to-end CG at 257
+diagonals x 1M rows, independent of ndiag.
 """
 
 from __future__ import annotations

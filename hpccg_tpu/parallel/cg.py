@@ -211,12 +211,13 @@ def make_distributed_cg(
             stacklevel=2,
         )
 
-    if backend == "collective" and isinstance(axis, tuple):
-        raise ValueError(
-            "backend='collective' computes in-kernel RDMA device ids over a "
-            "single flat mesh axis; build the mesh with make_mesh (1-D "
-            "host-major) instead of make_mesh2d"
-        )
+    # backend='collective' over a 2-D ('host','z') mesh: the kernels compute
+    # partners on the FLATTENED logical index (lax.axis_index of the axis
+    # tuple) and address RDMA by scalar LOGICAL device id, which Mosaic
+    # linearizes over the mesh — verified trace-equal to the 1-D mesh on the
+    # virtual-device interpreter (tests/test_mesh2d.py); pod hardware
+    # lowering is untested here (one chip), like the rest of the collective
+    # kernels' multi-chip claims.
     if backend == "collective":
         # the whole multi-chip solve is ONE Pallas call per shard: in-kernel
         # RDMA halo exchange + in-kernel scalar allreduce, zero XLA dispatch

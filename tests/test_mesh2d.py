@@ -138,3 +138,24 @@ def test_mesh2d_ragged_host_rejected():
     devs = jax.devices()[:6]
     with pytest.raises(ValueError, match="available"):
         make_mesh2d(2, 4, devices=devs)
+
+
+def test_mesh2d_collective_matches_1d():
+    """The collective whole-solve kernel on the 2-D mesh: flat logical
+    partner ids over the ('host','z') product axis, trace-equal to the
+    1-D mesh run (interpreter-verified; see parallel/cg.py note)."""
+    cfg = ProblemConfig(4, 3, 2)
+    mesh2 = make_mesh2d(HOSTS, CHIPS)
+    ax = row_axis(mesh2)
+    prob2 = generate_problem_sharded(cfg, mesh2, axis=ax)
+    r2 = make_distributed_cg(
+        cfg, mesh2, max_iter=8, axis=ax, backend="collective", method="cg1"
+    )(prob2.b, prob2.x0)
+
+    mesh1 = make_mesh(8)
+    prob1 = generate_problem_sharded(cfg, mesh1)
+    r1 = make_distributed_cg(
+        cfg, mesh1, max_iter=8, backend="collective", method="cg1"
+    )(prob1.b, prob1.x0)
+    np.testing.assert_array_equal(np.asarray(r2.trace), np.asarray(r1.trace))
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r1.x))
