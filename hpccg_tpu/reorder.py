@@ -211,9 +211,14 @@ def auto_structure(
         if allow_gell and k <= 32 and np.asarray(mat.vals).dtype.itemsize == 4:
             from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
 
+            # the kernel streams every PADDED slot (width * n), so skewed
+            # row lengths inflate its cost exactly like DIA's empty slots
+            # (measured: a width-240 / 17-nnz-per-row matrix ran at 2.2
+            # real-Gnnz/s — the slot rate divided by ~14)
+            slot_inflation = (max(mat.width, 1) * n) / max(nnz, 1)
             out.append(
                 (
-                    _gell_rate(k),
+                    _gell_rate(k) / max(slot_inflation, 1.0),
                     "gell" + tag,
                     lambda mat=mat: prepare_gell(mat),
                     (None, None, k),
