@@ -352,6 +352,7 @@ def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None
         arrs["gell_meta"] = np.asarray(
             [A.n, A.width, A.k_chunks, A.pbl, A.total_nrow, A.nnz_count]
         )
+        arrs["gell_bounds"] = np.asarray(A.slot_bounds or [], np.int32).reshape(-1, 2)
     else:
         arrs["vals"] = np.asarray(A.vals)
         arrs["cols"] = np.asarray(A.cols)
@@ -385,11 +386,14 @@ def load_problem(path: str) -> Tuple[Problem, dict]:
         from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
 
         n_, w_, k_, pbl_, tot_, nnz_ = (int(v) for v in z["gell_meta"])
+        bounds = tuple(
+            (int(a), int(b)) for a, b in z.get("gell_bounds", np.zeros((0, 2)))
+        )
         A = GellMatrix(
             vals3=jnp.asarray(z["gell_vals3"]),
             li3=jnp.asarray(z["gell_li3"]),
             n=n_, width=w_, k_chunks=k_, pbl=pbl_,
-            total_nrow=tot_, nnz_count=nnz_,
+            total_nrow=tot_, nnz_count=nnz_, slot_bounds=bounds,
         )
     else:
         start_row, total = (int(v) for v in z["ell_meta"])

@@ -52,7 +52,7 @@ def _cdiv(a: int, b: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals3", "li3"],
-    meta_fields=["n", "width", "k_chunks", "pbl", "total_nrow", "nnz_count"],
+    meta_fields=["n", "width", "k_chunks", "pbl", "total_nrow", "nnz_count", "slot_bounds"],
 )
 @dataclasses.dataclass(frozen=True)
 class GellMatrix:
@@ -72,6 +72,11 @@ class GellMatrix:
     pbl: int  # x zero-padding (elements) before row 0
     total_nrow: int
     nnz_count: int
+    # per-slot STATIC chunk bounds (lo, hi) over all tiles: rows store
+    # columns sorted, so slot w's window-local chunk ids concentrate around
+    # the w-th offset quantile — the chunk scan only visits [lo, hi]
+    # instead of all k_chunks (pure win, zero runtime cost)
+    slot_bounds: tuple = ()
 
     @property
     def local_nrow(self) -> int:
@@ -127,6 +132,16 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
         cols = np.zeros((n, 1), np.int64)
         valid = np.zeros((n, 1), bool)
 
+    # sort each row's slots by column: slot w then holds the w-th smallest
+    # column of its row, so window-local chunk ids concentrate per slot
+    # (the per-slot static bounds below) no matter how the input ELL
+    # ordered its entries. Invalid slots sort to the back (col key inf).
+    sort_key = np.where(valid, cols, np.iinfo(np.int64).max)
+    order = np.argsort(sort_key, axis=1, kind="stable")
+    vals = np.take_along_axis(vals, order, axis=1)
+    cols = np.take_along_axis(cols, order, axis=1)
+    valid = np.take_along_axis(valid, order, axis=1)
+
     rows = np.arange(n)[:, None]
     offs = np.where(valid, cols - rows, 0)
     bw_lo = max(0, int(-offs.min()) if offs.size else 0)
@@ -146,14 +161,24 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
     lp = np.zeros((npad, width), np.int64)
     vp[:n, : vals.shape[1]] = np.where(valid, vals, 0.0)
     tile_base = (np.arange(npad) // RT) * RT  # (npad,)
-    # window-local index; invalid slots -> the row's own (in-window) slot
-    li = np.where(
-        np.pad(valid, ((0, npad - n), (0, width - valid.shape[1]))),
+    validp = np.pad(valid, ((0, npad - n), (0, width - valid.shape[1])))
+    li_valid = (
         np.pad(cols, ((0, npad - n), (0, width - cols.shape[1])))
         + pbl
-        - tile_base[:, None],
-        (np.arange(npad) + pbl - tile_base)[:, None],
+        - tile_base[:, None]
     )
+    # per-slot static chunk bounds over VALID entries (then park invalid
+    # slots at their slot's lo chunk so they cannot widen the bounds)
+    ci = li_valid >> 7
+    slot_bounds = []
+    for w in range(width):
+        sel = validp[:, w]
+        if sel.any():
+            slot_bounds.append((int(ci[sel, w].min()), int(ci[sel, w].max())))
+        else:
+            slot_bounds.append((0, 0))
+    fallback = np.asarray([lo * LANE for lo, _ in slot_bounds])[None, :]
+    li = np.where(validp, li_valid, fallback)
     assert li.min() >= 0 and li.max() < k_chunks * LANE, (li.min(), li.max())
     lp[:, :] = li
 
@@ -169,10 +194,11 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
         pbl=pbl,
         total_nrow=ell.total_nrow or n,
         nnz_count=int(ell.nnz),
+        slot_bounds=tuple(slot_bounds),
     )
 
 
-def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int):
+def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int, slot_bounds: tuple):
     t = pl.program_id(0)
     # this tile's x window: K chunks of 128, starting at padded chunk t*8
     xw = xp_ref[pl.ds(t * SUB, k_chunks)]  # (K, 128)
@@ -182,7 +208,8 @@ def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int):
         ll = jnp.bitwise_and(li, LANE - 1)
         ci = jnp.right_shift(li, 7)
         g = jnp.zeros((SUB, LANE), xp_ref.dtype)
-        for k in range(k_chunks):
+        lo, hi = slot_bounds[w] if slot_bounds else (0, k_chunks - 1)
+        for k in range(lo, hi + 1):
             chunk = jnp.broadcast_to(xw[k : k + 1], (SUB, LANE))
             gk = jnp.take_along_axis(chunk, ll, axis=1)
             g = jnp.where(ci == k, gk, g)
@@ -190,11 +217,11 @@ def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int):
     y_ref[0] = acc
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _spmv_gell(vals3, li3, xp2, width: int, k_chunks: int, interpret: bool):
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _spmv_gell(vals3, li3, xp2, width: int, k_chunks: int, interpret: bool, slot_bounds: tuple = ()):
     T = vals3.shape[0]
     return pl.pallas_call(
-        partial(_kernel, width=width, k_chunks=k_chunks),
+        partial(_kernel, width=width, k_chunks=k_chunks, slot_bounds=slot_bounds),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # xp2 whole
@@ -224,5 +251,7 @@ def spmv_gell(A: GellMatrix, x: jax.Array, *, interpret: bool | None = None) -> 
     xp = jnp.zeros((A.pbl + npad + pbh_total, ), jnp.float32)
     xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (A.pbl,))
     xp2 = xp.reshape(-1, LANE)
-    y = _spmv_gell(A.vals3, A.li3, xp2, A.width, A.k_chunks, interpret)
+    y = _spmv_gell(
+        A.vals3, A.li3, xp2, A.width, A.k_chunks, interpret, A.slot_bounds
+    )
     return y.reshape(-1)[: A.n]
