@@ -195,13 +195,17 @@ def main(argv=None) -> int:
             A = prob.A
             L = prob.total_nrow // args.mesh
             if isinstance(A, DiaMatrix) and not (
-                max(0, -min(A.offsets)) <= L and max(0, max(A.offsets)) <= L
+                len(A.offsets) <= 256
+                and max(0, -min(A.offsets)) <= L
+                and max(0, max(A.offsets)) <= L
             ):
-                # band wider than one shard: neighbor halo insufficient —
+                # band wider than one shard (or too many diagonals for the
+                # per-diagonal unroll): neighbor halo path unavailable —
                 # take the general all-gather path instead
                 print(
-                    f"# bandwidth exceeds the {L}-row shard; using the "
-                    "all-gather ELL path",
+                    f"# band does not fit the {L}-row-shard halo path "
+                    "(bandwidth or >256 diagonals); using the all-gather "
+                    "ELL path",
                     file=sys.stderr,
                 )
                 prob = _dc.replace(prob, A=A.to_ell())
@@ -321,15 +325,15 @@ def main(argv=None) -> int:
 
         if args.mesh > 1 and not file_mode:
             # per-shard dumps mat0..mat3, exactly the reference's per-rank
-            # files (dump_matlab_matrix.cpp:59-82; ranks > 3 are no-ops)
-            from hpccg_tpu.parallel.cg import local_operator
+            # files (dump_matlab_matrix.cpp:59-82; ranks > 3 are no-ops).
+            # generate_ell(cfg, rank, size) emits each shard's rows WITH the
+            # cross-shard z-couplings and global column ids — the clipped
+            # local operator would describe a block-diagonal matrix
+            from hpccg_tpu.models.stencil import generate_ell
 
-            op_local = local_operator(cfg)
             for r in range(min(args.mesh, 4)):
-                path = dump_matlab(
-                    args.dump_matlab, op_local, rank=r,
-                    start_row=r * op_local.local_nrow,
-                )
+                shard = generate_ell(cfg, r, args.mesh).A
+                path = dump_matlab(args.dump_matlab, shard, rank=r)
                 print(f"# wrote {path}", file=sys.stderr)
         else:
             path = dump_matlab(args.dump_matlab, prob.A)

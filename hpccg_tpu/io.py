@@ -138,7 +138,10 @@ def read_hpc_row_structured(
 
     prob, _ = read_hpc_row(path, dtype=dtype, to_dia=False)
     if not reorder:
-        dia = prob.A.to_dia(max_diags=128)
+        # --no-reorder only disables RCM, not the banded->DIA conversion;
+        # f64 keeps the XLA-roll-loop compile-time cap (cf. auto_structure)
+        cap = min(max_diags, 256) if jnp.dtype(dtype).itemsize == 8 else max_diags
+        dia = prob.A.to_dia(max_diags=cap)
         if dia is not None:
             A, perm = dia, None
             report = StructureReport(

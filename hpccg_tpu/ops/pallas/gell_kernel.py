@@ -49,6 +49,16 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def gell_supported(n: int, k_chunks: int) -> bool:
+    """True when the padded x window state fits the kernel VMEM budget
+    (x stays fully VMEM-resident) and the chunk scan is bounded."""
+    if k_chunks > 32:
+        return False
+    xp_bytes = 4 * (_cdiv(n, RT) * RT + 2 * k_chunks * LANE)
+    blocks = 4 * 64 * SUB * LANE  # double-buffered vals/li/y blocks, approx
+    return xp_bytes + blocks + (4 << 20) <= GELL_VMEM_LIMIT
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals3", "li3"],
@@ -153,6 +163,11 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
         raise ValueError(
             f"window of {k_chunks} chunks (bandwidth {bw_lo}/{bw_hi}) "
             f"exceeds max_k_chunks={max_k_chunks}"
+        )
+    if not gell_supported(n, k_chunks):
+        raise ValueError(
+            f"{n} rows: the VMEM-resident x window exceeds the kernel "
+            "budget (gell_supported); use DIA or the distributed paths"
         )
 
     T = _cdiv(n, RT)

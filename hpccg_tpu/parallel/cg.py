@@ -545,7 +545,16 @@ def generate_problem_sharded_masked(
 ) -> Problem:
     """Sharded problem generation for the masked (remainder) decomposition:
     b = M A (M 1), xexact = M 1 — the true global problem's data on real
-    planes, zeros on padding."""
+    planes, zeros on padding.
+
+    The returned Problem describes the PADDED enclosure: vectors span
+    ceil(nz/np)*np planes and ``A`` is the padded-extent StencilOperator
+    (shape-consistent with the vectors), while the operator actually solved
+    by :func:`make_distributed_cg_masked` is its masked restriction M A M.
+    ``total_nrow``/``total_nnz_*`` carry the TRUE nz_global counts (what
+    sweeps should report). ``b != A @ xexact`` on padded planes by
+    construction — validate against make_distributed_cg_masked, not
+    validate_problem."""
     size = axis_size(mesh, axis)
     op_local = local_operator(cfg_local)
     n_local = cfg_local.local_nrow
@@ -569,18 +578,22 @@ def generate_problem_sharded_masked(
         return b, jnp.zeros((n_local,), dtype), ones
 
     b, x0, xexact = build()
-    op_global = StencilOperator(
+    op_true = StencilOperator(
         nx=cfg_local.nx, ny=cfg_local.ny, nz=nz_global,
         stencil=cfg_local.stencil, dtype_name=jnp.dtype(dtype).name,
     )
+    op_padded = StencilOperator(
+        nx=cfg_local.nx, ny=cfg_local.ny, nz=nz_l * size,
+        stencil=cfg_local.stencil, dtype_name=jnp.dtype(dtype).name,
+    )
     return Problem(
-        A=op_global,
+        A=op_padded,
         b=b,
         x0=x0,
         xexact=xexact,
-        total_nrow=n_local * size,
+        total_nrow=plane * nz_global,
         total_nnz_model=cfg_local.stencil.value * plane * nz_global,
-        total_nnz_exact=op_global.nnz,
+        total_nnz_exact=op_true.nnz,
     )
 
 
@@ -622,6 +635,14 @@ def make_distributed_dia_cg(
             )
         L = n // ndev
         offs = A.offsets
+        if len(offs) > 256:
+            # this path unrolls one slice-multiply-add per diagonal inside
+            # the shard_mapped loop; past a few hundred the XLA compile
+            # time blows up (same cap as the single-device roll loop)
+            raise ValueError(
+                f"{len(offs)} diagonals exceed the distributed DIA path's "
+                "256-diagonal unroll cap — use make_distributed_ell_cg"
+            )
         bw_lo = max(0, -min(offs)) if offs else 0
         bw_hi = max(0, max(offs)) if offs else 0
         if bw_lo > L or bw_hi > L:

@@ -188,11 +188,15 @@ def auto_structure(
         cap = min(max_diags, 256) if f64 else max_diags
         storage = ndiag * n * np.dtype(np.asarray(mat.vals).dtype).itemsize
         inflation = (ndiag * n) / max(nnz, 1)
+        # both compressed formats (DIA and gather-ELL) drop stored zeros,
+        # which would make dumps/round-trips lossy — exclude such matrices
+        # (cf. operators.EllMatrix.to_dia)
+        no_stored_zeros = not np.any(vals == 0)
         dia_ok = (
             ndiag <= cap
             and inflation <= max_inflation
             and storage <= max_storage_bytes
-            and not np.any(vals == 0)  # to_dia treats stored zeros as gaps
+            and no_stored_zeros
         )
         if dia_ok:
             out.append(
@@ -208,8 +212,14 @@ def auto_structure(
         # parity runs) keep the exact-arithmetic representations. Callers
         # that need a distributable operator (CLI --mesh file mode) pass
         # allow_gell=False: the gather tiles are single-device-only.
-        if allow_gell and k <= 32 and np.asarray(mat.vals).dtype.itemsize == 4:
-            from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
+        from hpccg_tpu.ops.pallas.gell_kernel import gell_supported, prepare_gell
+
+        if (
+            allow_gell
+            and np.asarray(mat.vals).dtype.itemsize == 4
+            and no_stored_zeros
+            and gell_supported(n, k)
+        ):
 
             # the kernel streams every PADDED slot (width * n), so skewed
             # row lengths inflate its cost exactly like DIA's empty slots
