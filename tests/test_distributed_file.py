@@ -218,3 +218,55 @@ def test_file_mesh_dump_matlab_no_crash(tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(prefix + "0.dat")
+
+
+def test_distributed_dia_rejects_many_diagonals():
+    n = 600
+    offs = tuple(range(-150, 151))  # 301 diagonals
+    rng = np.random.default_rng(1)
+    data = np.zeros((len(offs), n))
+    for d, off in enumerate(offs):
+        lo, hi = max(0, -off), min(n, n - off)
+        data[d, lo:hi] = 400.0 if off == 0 else rng.uniform(-1, -0.1, hi - lo)
+    A = DiaMatrix(data=jnp.asarray(data), offsets=offs, total_nrow=n)
+    b = A.matvec(jnp.ones((n,)))
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="256-diagonal"):
+        make_distributed_dia_cg(mesh, max_iter=5)(A, b, jnp.zeros_like(b))
+
+
+def test_file_mesh_many_diagonals_falls_to_allgather(tmp_path, capsys):
+    """A 301-diagonal banded file under --mesh takes the all-gather path
+    (the per-diagonal unroll cap), still distributed, still converging."""
+    import contextlib
+    import io as _io
+
+    from hpccg_tpu.cli import main
+    from hpccg_tpu.models.stencil import Problem as _P
+
+    n = 600
+    offs = tuple(range(-150, 151))
+    rng = np.random.default_rng(2)
+    data = np.zeros((len(offs), n))
+    for d, off in enumerate(offs):
+        lo, hi = max(0, -off), min(n, n - off)
+        data[d, lo:hi] = 400.0 if off == 0 else rng.uniform(-1, -0.1, hi - lo)
+    A = DiaMatrix(data=jnp.asarray(data), offsets=offs, total_nrow=n)
+    b = A.matvec(jnp.ones((n,)))
+    prob = _P(A=A, b=b, x0=jnp.zeros_like(b), xexact=jnp.ones_like(b),
+              total_nrow=n, total_nnz_model=int(A.nnz), total_nnz_exact=int(A.nnz))
+    path = str(tmp_path / "wide.dat")
+    write_hpc_row(path, prob)
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # f32: auto_structure keeps the 301-diagonal DIA (f64 would cap at
+        # 256 upstream); the CLI's mesh branch must then detour to allgather
+        rc = main([path, "--dtype", "float32", "--mesh", "4", "--max-iter",
+                   "15", "--skip-kernel-bench", "--quiet", "--json"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "all-gather" in err
+    out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    assert out["Parallelism"]["Number of mesh devices"] == 4
+    assert out["Final residual"] < 1e-4 * 400.0
