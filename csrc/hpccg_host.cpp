@@ -7,11 +7,13 @@
 // Written from the format/problem *specification* in SURVEY.md — not a copy
 // of the reference sources.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cerrno>
+#include <vector>
 
 extern "C" {
 
@@ -149,6 +151,67 @@ int32_t hpccg_write_hpc_row(const char* path, int64_t nrow, int32_t width,
     std::fprintf(f, "%.17g %.17g %.17g\n", x[r], b[r], xexact[r]);
   }
   std::fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering (the setup-phase index-relabeling tier —
+// the role of make_local_matrix.cpp's renumbering pass, aimed at the TPU
+// kernels' banded formats). BFS from minimum-degree seeds with
+// degree-sorted neighbor expansion; output reversed. Graph = symmetric
+// union of the given (row, col) edges; duplicates are harmless (visited
+// flags). Returns 0, or -1 on bad input.
+int32_t hpccg_rcm(int64_t n, int64_t nnz, const int64_t* rows,
+                  const int64_t* cols, int64_t* perm_out) {
+  if (n < 0 || nnz < 0) return -1;
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t r = rows[i], c = cols[i];
+    if (r < 0 || r >= n || c < 0 || c >= n) return -1;
+    if (r != c) {
+      deg[r]++;
+      deg[c]++;
+    }
+  }
+  std::vector<int64_t> indptr(n + 1, 0);
+  for (int64_t v = 0; v < n; ++v) indptr[v + 1] = indptr[v] + deg[v];
+  std::vector<int64_t> adj(indptr[n]);
+  std::vector<int64_t> fill(indptr.begin(), indptr.end() - 1);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t r = rows[i], c = cols[i];
+    if (r != c) {
+      adj[fill[r]++] = c;
+      adj[fill[c]++] = r;
+    }
+  }
+  std::vector<int64_t> seeds(n);
+  for (int64_t v = 0; v < n; ++v) seeds[v] = v;
+  std::stable_sort(seeds.begin(), seeds.end(),
+                   [&](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+  std::vector<char> visited(n, 0);
+  int64_t head = 0, tail = 0;
+  std::vector<int64_t> nbrs;
+  for (int64_t s : seeds) {
+    if (visited[s]) continue;
+    visited[s] = 1;
+    perm_out[tail++] = s;
+    while (head < tail) {
+      const int64_t u = perm_out[head++];
+      nbrs.clear();
+      for (int64_t j = indptr[u]; j < indptr[u + 1]; ++j) {
+        const int64_t v = adj[j];
+        if (!visited[v]) {
+          visited[v] = 1;  // mark now: dedups repeated edges in-place
+          nbrs.push_back(v);
+        }
+      }
+      std::stable_sort(nbrs.begin(), nbrs.end(), [&](int64_t a, int64_t b) {
+        return deg[a] != deg[b] ? deg[a] < deg[b] : a < b;
+      });
+      for (int64_t v : nbrs) perm_out[tail++] = v;
+    }
+  }
+  std::reverse(perm_out, perm_out + n);
   return 0;
 }
 

@@ -64,6 +64,14 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.hpccg_rcm.restype = ctypes.c_int32
+    lib.hpccg_rcm.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.hpccg_write_hpc_row.restype = ctypes.c_int32
     lib.hpccg_write_hpc_row.argtypes = [
         ctypes.c_char_p,
@@ -159,3 +167,22 @@ def write_hpc_row_native(path, vals, cols, valid, x, b, xexact) -> bool:
         _ptr(xexact, ctypes.c_double),
     )
     return rc == 0
+
+
+def rcm(n: int, rows: np.ndarray, cols: np.ndarray) -> Optional[np.ndarray]:
+    """Native reverse Cuthill-McKee over the symmetric union of (rows, cols)
+    edges. Returns the permutation (new row i = old row perm[i]), or None if
+    the library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    perm = np.empty(n, np.int64)
+    rc = lib.hpccg_rcm(
+        n, len(rows), _ptr(rows, ctypes.c_int64), _ptr(cols, ctypes.c_int64),
+        _ptr(perm, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError("hpccg_rcm: bad input (indices out of range)")
+    return perm

@@ -71,6 +71,16 @@ def rcm_permutation(A: EllMatrix) -> np.ndarray:
     n = A.local_nrow
     rows, cols, _ = A.to_coo()
     try:
+        # native host tier first (csrc/hpccg_host.cpp — the setup-phase
+        # index-relabeling role of make_local_matrix.cpp)
+        from hpccg_tpu import native
+
+        perm = native.rcm(n, rows, cols)
+        if perm is not None:
+            return perm
+    except ImportError:
+        pass
+    try:
         from scipy.sparse import csr_matrix
         from scipy.sparse.csgraph import reverse_cuthill_mckee
 

@@ -44,3 +44,47 @@ def test_native_writer_roundtrips(tmp_path):
     for got, want in zip(loaded.A.to_coo(), prob.A.to_coo()):
         np.testing.assert_array_equal(got, want)
     np.testing.assert_allclose(np.asarray(loaded.b), np.asarray(prob.b))
+
+
+def test_native_rcm_matches_quality():
+    """Native RCM produces a valid permutation that recovers a hidden band
+    about as well as scipy's (exact orders may differ — any proper RCM
+    qualifies; the chooser only needs the bandwidth reduction)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hpccg_tpu import native
+    from hpccg_tpu.operators import DiaMatrix, EllMatrix
+    from hpccg_tpu.reorder import bandwidth, permute_ell
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    n = 300
+    rng = np.random.default_rng(0)
+    data = np.zeros((5, n))
+    for d, off in enumerate((-7, -2, 0, 2, 7)):
+        lo, hi = max(0, -off), min(n, n - off)
+        data[d, lo:hi] = 10.0 if off == 0 else -1.0
+    dia = DiaMatrix(data=jnp.asarray(data), offsets=(-7, -2, 0, 2, 7), total_nrow=n)
+    dense = np.asarray(dia.to_dense())
+    scramble = rng.permutation(n)
+    sc = dense[np.ix_(scramble, scramble)]
+    width = int((sc != 0).sum(axis=1).max())
+    vals = np.zeros((n, width), np.float32)
+    cols = np.zeros((n, width), np.int32)
+    valid = np.zeros((n, width), bool)
+    for i in range(n):
+        js = np.nonzero(sc[i])[0]
+        vals[i, : js.size] = sc[i, js]
+        cols[i, : js.size] = js
+        valid[i, : js.size] = True
+    ell = EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                    valid=jnp.asarray(valid), total_nrow=n)
+    rows_c, cols_c, _ = ell.to_coo()
+    perm = native.rcm(n, rows_c, cols_c)
+    assert sorted(perm) == list(range(n))  # a permutation
+    B = permute_ell(ell, perm)
+    assert bandwidth(B) <= 4 * 7  # recovered a narrow band (orig bw 7)
