@@ -194,18 +194,24 @@ def main(argv=None) -> int:
             prob = pad_problem_rows(prob, args.mesh)
             A = prob.A
             L = prob.total_nrow // args.mesh
-            if isinstance(A, DiaMatrix) and not (
-                len(A.offsets) <= 256
-                and max(0, -min(A.offsets)) <= L
-                and max(0, max(A.offsets)) <= L
-            ):
-                # band wider than one shard (or too many diagonals for the
-                # per-diagonal unroll): neighbor halo path unavailable —
-                # take the general all-gather path instead
+            if isinstance(A, DiaMatrix):
+                from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported
+
+                offs_ = A.offsets
+                ok_band = (
+                    max(0, -min(offs_)) <= L and max(0, max(offs_)) <= L
+                )
+                # mirror make_distributed_dia_cg: >256 diagonals need the
+                # per-shard Pallas kernel (f32, VMEM fit)
+                ok_count = len(offs_) <= 256 or dia_pallas_supported(
+                    offs_, L, A.dtype
+                )
+            if isinstance(A, DiaMatrix) and not (ok_band and ok_count):
+                # band wider than one shard, or too many diagonals for both
+                # dia paths: take the general all-gather path instead
                 print(
-                    f"# band does not fit the {L}-row-shard halo path "
-                    "(bandwidth or >256 diagonals); using the all-gather "
-                    "ELL path",
+                    f"# band does not fit the {L}-row-shard halo path; "
+                    "using the all-gather ELL path",
                     file=sys.stderr,
                 )
                 prob = _dc.replace(prob, A=A.to_ell())

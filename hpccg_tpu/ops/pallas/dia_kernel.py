@@ -193,6 +193,64 @@ def _prepared_data(A, dtype):
     return data2
 
 
+def spmv_dia_prepared(
+    offsets: tuple,
+    data2: jax.Array,
+    x: jax.Array,
+    n: int,
+    halo_lo: jax.Array | None = None,
+    halo_hi: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """y = A @ x from pre-padded diagonal data (see _pad_data), with the
+    bandwidth padding optionally FILLED with neighbor halo values.
+
+    This is the distributed entry point: a row shard's matrix references
+    x values up to bw_lo below and bw_hi above its range — exactly the
+    region the kernel's xp padding already reserves for boundary-clipping
+    zeros. Writing the ppermuted halo strips there makes the same kernel
+    compute the shard's rows of the GLOBAL matvec (zeros at true global
+    edges arrive naturally as ppermute's zero fill)."""
+    nrows, nrows_pad, pad_lo, pad_hi, ndiag_pad = _plan(offsets, n)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = x.dtype
+    xp = jnp.zeros(((pad_lo + nrows_pad + pad_hi) * LANE,), dtype)
+    base = pad_lo * LANE
+    xp = jax.lax.dynamic_update_slice(xp, x, (base,))
+    if halo_lo is not None and halo_lo.shape[0]:
+        xp = jax.lax.dynamic_update_slice(
+            xp, halo_lo.astype(dtype), (base - halo_lo.shape[0],)
+        )
+    if halo_hi is not None and halo_hi.shape[0]:
+        xp = jax.lax.dynamic_update_slice(xp, halo_hi.astype(dtype), (base + n,))
+    y = _spmv_dia_pallas(offsets, data2, xp.reshape(-1, LANE), interpret)
+    return y.reshape(-1)[:n]
+
+
+def prepare_dia_shards(A, ndev: int):
+    """Per-shard pre-padded diagonal data for the distributed pallas path:
+    (ndev, ndiag_pad, nrows_pad, LANE), to be sharded on axis 0. Eager —
+    never trace this into a solve (see _prepared_data's literal hazard)."""
+    import numpy as np
+
+    n = A.local_nrow
+    if n % ndev:
+        raise ValueError(f"{n} rows do not divide {ndev} shards")
+    L = n // ndev
+    offsets = tuple(int(o) for o in A.offsets)
+    data = np.asarray(A.data)
+    shards = [
+        np.asarray(
+            jax.jit(_pad_data, static_argnums=(1, 2))(
+                jnp.asarray(data[:, r * L : (r + 1) * L]), offsets, L
+            )
+        )
+        for r in range(ndev)
+    ]
+    return jnp.asarray(np.stack(shards))
+
+
 def spmv_dia_pallas(A, x: jax.Array, *, interpret: bool | None = None) -> jax.Array:
     """y = A @ x for a DiaMatrix with any number of diagonals.
 

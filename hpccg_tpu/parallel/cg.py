@@ -633,15 +633,21 @@ def make_distributed_dia_cg(
                 f"{n} rows do not divide a {ndev}-device mesh; pad with "
                 "hpccg_tpu.io.pad_problem_rows(prob, ndev)"
             )
+        from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported
+
         L = n // ndev
-        offs = A.offsets
-        if len(offs) > 256:
-            # this path unrolls one slice-multiply-add per diagonal inside
-            # the shard_mapped loop; past a few hundred the XLA compile
-            # time blows up (same cap as the single-device roll loop)
+        offs = tuple(int(o) for o in A.offsets)
+        # many-diagonal shards run the blocked-DIA Pallas kernel with the
+        # halo strips written into its bandwidth padding (spmv_dia_prepared)
+        # — same per-shard speed as the single-device kernel. The unrolled
+        # slice path (one op per diagonal) stays for small counts and f64,
+        # capped where its compile time blows up.
+        use_pallas = len(offs) > 128 and dia_pallas_supported(offs, L, A.dtype)
+        if len(offs) > 256 and not use_pallas:
             raise ValueError(
-                f"{len(offs)} diagonals exceed the distributed DIA path's "
-                "256-diagonal unroll cap — use make_distributed_ell_cg"
+                f"{len(offs)} diagonals exceed the distributed DIA unroll "
+                "cap and the Pallas kernel does not support this "
+                "shard/dtype — use make_distributed_ell_cg"
             )
         bw_lo = max(0, -min(offs)) if offs else 0
         bw_hi = max(0, max(offs)) if offs else 0
@@ -652,11 +658,54 @@ def make_distributed_dia_cg(
             )
         fwd = [(i, i + 1) for i in range(ndev - 1)]
         bwd = [(i + 1, i) for i in range(ndev - 1)]
-
-        data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
         vec_sh = NamedSharding(mesh, P(axis))
         b = jax.device_put(b, vec_sh)
         x0 = jax.device_put(x0, vec_sh)
+
+        if use_pallas:
+            from hpccg_tpu.ops.pallas.dia_kernel import (
+                prepare_dia_shards,
+                spmv_dia_prepared,
+            )
+
+            data2s = jax.device_put(
+                prepare_dia_shards(A, ndev), NamedSharding(mesh, P(axis))
+            )
+
+            @jax.jit
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=_result_specs(P(axis)),
+                check_vma=False,
+            )
+            def _solve_pallas(d2, b_l, x0_l):
+                def matvec(v):
+                    lo = (
+                        jax.lax.ppermute(v[L - bw_lo :], axis, fwd)
+                        if bw_lo
+                        else None
+                    )
+                    hi = (
+                        jax.lax.ppermute(v[:bw_hi], axis, bwd)
+                        if bw_hi
+                        else None
+                    )
+                    return spmv_dia_prepared(offs, d2[0], v, L, lo, hi)
+
+                return cg_solve(
+                    matvec,
+                    b_l,
+                    x0_l,
+                    max_iter=max_iter,
+                    tolerance=tolerance,
+                    dot=lambda u, w: ddot(u, w, axis_name=axis),
+                )
+
+            return _solve_pallas(data2s, b, x0)
+
+        data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
 
         @jax.jit
         @partial(

@@ -231,13 +231,15 @@ def test_distributed_dia_rejects_many_diagonals():
     A = DiaMatrix(data=jnp.asarray(data), offsets=offs, total_nrow=n)
     b = A.matvec(jnp.ones((n,)))
     mesh = make_mesh(2)
-    with pytest.raises(ValueError, match="256-diagonal"):
+    with pytest.raises(ValueError, match="unroll cap"):
         make_distributed_dia_cg(mesh, max_iter=5)(A, b, jnp.zeros_like(b))
 
 
-def test_file_mesh_many_diagonals_falls_to_allgather(tmp_path, capsys):
-    """A 301-diagonal banded file under --mesh takes the all-gather path
-    (the per-diagonal unroll cap), still distributed, still converging."""
+def test_file_mesh_many_diagonals(tmp_path, capsys):
+    """A 301-diagonal banded file under --mesh: f32 rides the per-shard
+    Pallas DIA kernel (halo-filled padding); f64 — no Pallas kernel, past
+    the unroll cap — detours to all-gather. Both distributed, both
+    converging."""
     import contextlib
     import io as _io
 
@@ -260,13 +262,24 @@ def test_file_mesh_many_diagonals_falls_to_allgather(tmp_path, capsys):
 
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
-        # f32: auto_structure keeps the 301-diagonal DIA (f64 would cap at
-        # 256 upstream); the CLI's mesh branch must then detour to allgather
+        # f32: auto_structure keeps the 301-diagonal DIA and the CLI mesh
+        # branch uses the per-shard Pallas dia-halo path
         rc = main([path, "--dtype", "float32", "--mesh", "4", "--max-iter",
                    "15", "--skip-kernel-bench", "--quiet", "--json"])
     assert rc == 0
     err = capsys.readouterr().err
-    assert "all-gather" in err
+    assert "all-gather" not in err
     out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     assert out["Parallelism"]["Number of mesh devices"] == 4
     assert out["Final residual"] < 1e-4 * 400.0
+
+    # f64: no Pallas kernel and past the unroll cap -> all-gather detour
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([path, "--no-reorder", "--mesh", "4", "--max-iter", "15",
+                   "--skip-kernel-bench", "--quiet", "--json"])
+    assert rc == 0
+    capsys.readouterr()
+    out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    assert out["Parallelism"]["Number of mesh devices"] == 4
+    assert "ell-allgather" in json.dumps(out)  # Time Summary names the path
