@@ -410,8 +410,8 @@ def test_distributed_dia_pallas_many_diagonals_matches_single():
     from hpccg_tpu.solver import make_cg
 
     rng = np.random.default_rng(8)
-    n = 2048
-    A = random_banded_dia(n, 161, rng, span=300, diag_scale=0.8)
+    n = 1024
+    A = random_banded_dia(n, 133, rng, span=220, diag_scale=0.8)
     A = DiaMatrix(data=A.data.astype(jnp.float32), offsets=A.offsets, total_nrow=n)
     xex = jnp.ones((n,), jnp.float32)
     b = A.matvec(xex)
