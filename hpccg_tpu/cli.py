@@ -194,19 +194,25 @@ def main(argv=None) -> int:
             prob = pad_problem_rows(prob, args.mesh)
             A = prob.A
             L = prob.total_nrow // args.mesh
+            dia_halo_ok = True
             if isinstance(A, DiaMatrix):
                 from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported
 
                 offs_ = A.offsets
-                ok_band = (
-                    max(0, -min(offs_)) <= L and max(0, max(offs_)) <= L
+                bw_lo_ = max(0, -min(offs_)) if offs_ else 0
+                bw_hi_ = max(0, max(offs_)) if offs_ else 0
+                # mirror make_distributed_dia_cg: bandwidth within one
+                # shard, and >256 diagonals need the per-shard Pallas
+                # kernel (f32, VMEM fit)
+                dia_halo_ok = (
+                    bw_lo_ <= L
+                    and bw_hi_ <= L
+                    and (
+                        len(offs_) <= 256
+                        or dia_pallas_supported(offs_, L, A.dtype)
+                    )
                 )
-                # mirror make_distributed_dia_cg: >256 diagonals need the
-                # per-shard Pallas kernel (f32, VMEM fit)
-                ok_count = len(offs_) <= 256 or dia_pallas_supported(
-                    offs_, L, A.dtype
-                )
-            if isinstance(A, DiaMatrix) and not (ok_band and ok_count):
+            if isinstance(A, DiaMatrix) and not dia_halo_ok:
                 # band wider than one shard, or too many diagonals for both
                 # dia paths: take the general all-gather path instead
                 print(

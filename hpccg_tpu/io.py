@@ -138,10 +138,22 @@ def read_hpc_row_structured(
 
     prob, _ = read_hpc_row(path, dtype=dtype, to_dia=False)
     if not reorder:
-        # --no-reorder only disables RCM, not the banded->DIA conversion;
-        # f64 keeps the XLA-roll-loop compile-time cap (cf. auto_structure)
+        # --no-reorder only disables RCM, not the banded->DIA conversion —
+        # but the conversion keeps auto_structure's guards: the f64
+        # roll-loop compile cap, the slot-inflation bound, and the storage
+        # cap (a 4096-offset scattered matrix must NOT materialize a
+        # multi-GB mostly-zero DIA array here)
+        rows_c, cols_c, _ = prob.A.to_coo()
+        ndiag = int(np.unique(cols_c.astype(np.int64) - rows_c.astype(np.int64)).size)
+        n_ = prob.A.local_nrow
         cap = min(max_diags, 256) if jnp.dtype(dtype).itemsize == 8 else max_diags
-        dia = prob.A.to_dia(max_diags=cap)
+        inflation = (ndiag * n_) / max(prob.A.nnz, 1)
+        storage_ok = ndiag * n_ * jnp.dtype(dtype).itemsize <= (8 << 30)
+        dia = (
+            prob.A.to_dia(max_diags=cap)
+            if ndiag <= cap and inflation <= max_inflation and storage_ok
+            else None
+        )
         if dia is not None:
             A, perm = dia, None
             report = StructureReport(

@@ -27,13 +27,13 @@ _build_failed = False
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    src = os.path.join(_SRC, "hpccg_host.cpp")
-    if not os.path.exists(src):
+    src_path = os.path.join(_SRC, "hpccg_host.cpp")
+    if not os.path.exists(src_path):
         _build_failed = True
         return None
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", _SO]
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src_path):
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src_path, "-o", _SO]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except Exception:
@@ -45,6 +45,24 @@ def _build() -> Optional[ctypes.CDLL]:
         _build_failed = True
         return None
 
+    try:
+        return _bind(lib)
+    except AttributeError:
+        # stale prebuilt .so missing newer symbols (e.g. extracted with
+        # preserved mtimes): force one rebuild, then give up cleanly
+        try:
+            os.remove(_SO)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", src_path, "-o", _SO],
+                check=True, capture_output=True, timeout=120,
+            )
+            return _bind(ctypes.CDLL(_SO))
+        except Exception:
+            _build_failed = True
+            return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hpccg_tokenize_file.restype = ctypes.c_int64
     lib.hpccg_tokenize_file.argtypes = [
         ctypes.c_char_p,

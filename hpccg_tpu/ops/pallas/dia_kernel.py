@@ -240,15 +240,13 @@ def prepare_dia_shards(A, ndev: int):
     L = n // ndev
     offsets = tuple(int(o) for o in A.offsets)
     data = np.asarray(A.data)
-    shards = [
-        np.asarray(
-            jax.jit(_pad_data, static_argnums=(1, 2))(
-                jnp.asarray(data[:, r * L : (r + 1) * L]), offsets, L
-            )
-        )
-        for r in range(ndev)
-    ]
-    return jnp.asarray(np.stack(shards))
+    ndiag = data.shape[0]
+    _, nrows_pad, _, _, ndiag_pad = _plan(offsets, L)
+    # plain NumPy pad (the same layout _pad_data builds), ONE device upload
+    out = np.zeros((ndev, ndiag_pad, nrows_pad * LANE), data.dtype)
+    for r in range(ndev):
+        out[r, :ndiag, :L] = data[:, r * L : (r + 1) * L]
+    return jnp.asarray(out.reshape(ndev, ndiag_pad, nrows_pad, LANE))
 
 
 def spmv_dia_pallas(A, x: jax.Array, *, interpret: bool | None = None) -> jax.Array:

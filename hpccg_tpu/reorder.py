@@ -244,9 +244,9 @@ def auto_structure(
                     (None, None, k),
                 )
             )
-        return out, bw
+        return out, bw, no_stored_zeros
 
-    cands0, bw0 = candidates(A, "")
+    cands0, bw0, zeros_ok0 = candidates(A, "")
     cands = [(r, kind, build, d, None) for r, kind, build, d in cands0]
     B = bw1 = None
     # a direct DIA with negligible inflation (the banded-file fast path):
@@ -265,7 +265,7 @@ def auto_structure(
         )
     perm_try = rcm_permutation(A)
     B = permute_ell(A, perm_try)
-    cands1, bw1 = candidates(B, "+rcm")
+    cands1, bw1, _ = candidates(B, "+rcm")
     cands += [(r, kind, build, d, perm_try) for r, kind, build, d in cands1]
 
     if cands:
@@ -288,16 +288,25 @@ def auto_structure(
             reason=f"{detail} (model ~{rate:.0f} Gnnz/s)",
         )
 
+    if not zeros_ok0:
+        reason = (
+            "matrix stores explicit zero entries, which the compressed "
+            "formats (DIA/gather-ELL) would drop — dumps and round trips "
+            "would be lossy; staying in ELL (slow gather path on TPU). "
+            "Strip the zeros to enable the fast formats"
+        )
+    else:
+        reason = (
+            f"no gather-free structure: bandwidth {bw0} -> {bw1} after RCM "
+            f"still exceeds every budget ({max_diags} diagonals / "
+            f"{max_inflation:.0f}x inflation / 32-chunk gather window); "
+            "staying in ELL (slow gather path on TPU)"
+        )
     return A, None, StructureReport(
         format="ell",
         ndiag=None,
         bandwidth_before=bw0,
         bandwidth_after=bw1,
         inflation=None,
-        reason=(
-            f"no gather-free structure: bandwidth {bw0} -> {bw1} after RCM "
-            f"still exceeds every budget ({max_diags} diagonals / "
-            f"{max_inflation:.0f}x inflation / 32-chunk gather window); "
-            "staying in ELL (slow gather path on TPU)"
-        ),
+        reason=reason,
     )
