@@ -5,9 +5,10 @@ host-side q->wait() between each (HPCCG.cpp:186-265). The jitted-while_loop
 solver (solver.py) already removes the host from the loop; this kernel removes
 XLA from the loop too: b/x/r/p/Ap all live in VMEM for the whole solve, every
 iteration is pure VPU work with zero HBM traffic and zero kernel-launch
-boundaries. Applicable when ~8 padded vector-equivalents (5 vectors +
-stencil temporaries) fit the VMEM budget — up to ~128^3 at f32 given lane
-padding; above that the streaming backends take over.
+boundaries. Two matvec strategies share the solve structure (see the mode
+comment below): the fused whole-grid kernel to ~128^3 f32, and the
+slab-looped variant to ~144^3 f32 / ~200^3 bf16; past those the streaming
+backends take over.
 
 Measured at the VPU roofline: one iteration is ~24 ops/element (stencil ~17
 + axpys/dots ~7), so 100^3 (1.39M padded elements) costs ~8.7 us/iter on a
