@@ -283,3 +283,28 @@ def test_file_mesh_many_diagonals(tmp_path, capsys):
     out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     assert out["Parallelism"]["Number of mesh devices"] == 4
     assert "ell-allgather" in json.dumps(out)  # Time Summary names the path
+
+
+def test_file_mesh_degenerate_diagonal_matrix(tmp_path):
+    """An identity-like file (offsets == (0,)) under --mesh must not crash
+    the dia-halo viability check (regression: empty/min-max guards)."""
+    import contextlib
+    import io as _io
+
+    from hpccg_tpu.cli import main
+    from hpccg_tpu.models.stencil import Problem as _P
+
+    n = 64
+    A = _banded(n, (0,), seed=0)
+    b = A.matvec(jnp.ones((n,)))
+    prob = _P(A=A, b=b, x0=jnp.zeros_like(b), xexact=jnp.ones_like(b),
+              total_nrow=n, total_nnz_model=int(A.nnz), total_nnz_exact=int(A.nnz))
+    path = str(tmp_path / "diag.dat")
+    write_hpc_row(path, prob)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([path, "--mesh", "4", "--max-iter", "5",
+                   "--skip-kernel-bench", "--quiet", "--json"])
+    assert rc == 0
+    out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    assert out["Parallelism"]["Number of mesh devices"] == 4

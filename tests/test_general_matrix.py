@@ -426,3 +426,24 @@ def test_distributed_dia_pallas_many_diagonals_matches_single():
     np.testing.assert_allclose(
         np.asarray(dist.x), np.asarray(single.x), rtol=2e-4, atol=1e-5
     )
+
+
+def test_auto_structure_stored_zero_reason():
+    """A banded matrix carrying one explicit 0.0 entry falls to ELL with a
+    reason that names the stored zero (not a bogus bandwidth claim)."""
+    from hpccg_tpu.reorder import auto_structure
+
+    n = 60
+    vals = np.zeros((n, 3), np.float32)
+    cols = np.zeros((n, 3), np.int32)
+    valid = np.zeros((n, 3), bool)
+    for i in range(n):
+        cols[i, 0], vals[i, 0], valid[i, 0] = i, 4.0, True
+        if i + 1 < n:
+            cols[i, 1], vals[i, 1], valid[i, 1] = i + 1, -1.0, True
+    vals[10, 1] = 0.0  # explicit stored zero
+    ell = EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                    valid=jnp.asarray(valid), total_nrow=n)
+    A, perm, report = auto_structure(ell)
+    assert report.format == "ell"
+    assert "zero" in report.reason
