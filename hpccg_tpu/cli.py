@@ -161,11 +161,9 @@ def main(argv=None) -> int:
 
         prob, perm, report = read_hpc_row_structured(
             args.dims[0], dtype=dtype, reorder=not args.no_reorder,
-            # the gather-ELL tiles are single-device; distributed file mode
-            # needs a row-shardable operator (DIA halo or ELL all-gather)
-            allow_gell=args.mesh == 1,
         )
         print(f"# matrix structure: {report.format} — {report.reason}", file=sys.stderr)
+        file_nrow = prob.total_nrow  # before any --mesh row padding
         nx = ny = nz = 0
         solve = None
         backend_used = None
@@ -194,30 +192,42 @@ def main(argv=None) -> int:
             prob = pad_problem_rows(prob, args.mesh)
             A = prob.A
             L = prob.total_nrow // args.mesh
+            from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
+
+            if isinstance(A, GellMatrix):
+                # scattered-narrow-band tier at --mesh > 1: shard the tiles
+                # and ppermute the bandwidth strips into the window padding
+                from hpccg_tpu.ops.pallas.gell_kernel import (
+                    gell_to_ell,
+                    prepare_gell_shards,
+                )
+                from hpccg_tpu.parallel import make_distributed_gell_cg
+
+                try:
+                    shards = prepare_gell_shards(A, args.mesh)
+                except ValueError as e:
+                    print(
+                        f"# {e}; using the all-gather ELL path",
+                        file=sys.stderr,
+                    )
+                    prob = _dc.replace(prob, A=gell_to_ell(A))
+                    A = prob.A
+                else:
+                    _gsolve = make_distributed_gell_cg(
+                        mesh, max_iter=args.max_iter, tolerance=args.tolerance
+                    )
+                    solve = partial(_gsolve, shards)
+                    backend_used = "distributed:gell-halo"
             dia_halo_ok = True
             if isinstance(A, DiaMatrix):
-                from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported
+                from hpccg_tpu.parallel.cg import dia_halo_plan
 
-                offs_ = A.offsets
-                bw_lo_ = max(0, -min(offs_)) if offs_ else 0
-                bw_hi_ = max(0, max(offs_)) if offs_ else 0
-                # mirror make_distributed_dia_cg: bandwidth within one
-                # shard, and >256 diagonals need the per-shard Pallas
-                # kernel (f32, VMEM fit)
-                dia_halo_ok = (
-                    bw_lo_ <= L
-                    and bw_hi_ <= L
-                    and (
-                        len(offs_) <= 256
-                        or dia_pallas_supported(offs_, L, A.dtype)
-                    )
-                )
+                dia_halo_ok, _, dia_reason = dia_halo_plan(A, L)
             if isinstance(A, DiaMatrix) and not dia_halo_ok:
                 # band wider than one shard, or too many diagonals for both
                 # dia paths: take the general all-gather path instead
                 print(
-                    f"# band does not fit the {L}-row-shard halo path; "
-                    "using the all-gather ELL path",
+                    f"# {dia_reason}; using the all-gather ELL path",
                     file=sys.stderr,
                 )
                 prob = _dc.replace(prob, A=A.to_ell())
@@ -228,7 +238,7 @@ def main(argv=None) -> int:
                 )
                 solve = partial(_dsolve, A)
                 backend_used = "distributed:dia-halo"
-            else:
+            elif solve is None:
                 prob = shard_problem(prob, mesh)
                 _esolve = make_distributed_ell_cg(
                     mesh, max_iter=args.max_iter, tolerance=args.tolerance
@@ -347,6 +357,19 @@ def main(argv=None) -> int:
                 shard = generate_ell(cfg, r, args.mesh).A
                 path = dump_matlab(args.dump_matlab, shard, rank=r)
                 print(f"# wrote {path}", file=sys.stderr)
+        elif file_mode:
+            # dump in the FILE's basis (ref dump_matlab_matrix reflects the
+            # input ordering): unpermute RCM, strip --mesh pad rows
+            path = dump_matlab(
+                args.dump_matlab, prob.A, perm=perm, true_nrow=file_nrow
+            )
+            if perm is not None:
+                print(
+                    "# dump is in the loaded file's original row order "
+                    "(RCM solve basis unpermuted)",
+                    file=sys.stderr,
+                )
+            print(f"# wrote {path}", file=sys.stderr)
         else:
             path = dump_matlab(args.dump_matlab, prob.A)
             print(f"# wrote {path}", file=sys.stderr)

@@ -143,15 +143,17 @@ def read_hpc_row_structured(
         # roll-loop compile cap, the slot-inflation bound, and the storage
         # cap (a 4096-offset scattered matrix must NOT materialize a
         # multi-GB mostly-zero DIA array here)
-        rows_c, cols_c, _ = prob.A.to_coo()
+        rows_c, cols_c, vals_c = prob.A.to_coo()
         ndiag = int(np.unique(cols_c.astype(np.int64) - rows_c.astype(np.int64)).size)
         n_ = prob.A.local_nrow
         cap = min(max_diags, 256) if jnp.dtype(dtype).itemsize == 8 else max_diags
         inflation = (ndiag * n_) / max(prob.A.nnz, 1)
         storage_ok = ndiag * n_ * jnp.dtype(dtype).itemsize <= (8 << 30)
+        has_stored_zeros = bool(np.any(vals_c == 0))
         dia = (
             prob.A.to_dia(max_diags=cap)
             if ndiag <= cap and inflation <= max_inflation and storage_ok
+            and not has_stored_zeros
             else None
         )
         if dia is not None:
@@ -163,10 +165,18 @@ def read_hpc_row_structured(
             )
         else:
             A, perm = prob.A, None
+            # same honest stored-zero reason the auto_structure path gives:
+            # DIA would drop explicit zeros, making dumps/round-trips lossy
+            reason = (
+                "reorder disabled; matrix stores explicit zero entries, "
+                "which DIA would drop — ELL gather path"
+                if has_stored_zeros
+                else "reorder disabled; not directly banded — ELL gather path"
+            )
             report = StructureReport(
                 format="ell", ndiag=None, bandwidth_before=0,
                 bandwidth_after=None, inflation=None,
-                reason="reorder disabled; not directly banded — ELL gather path",
+                reason=reason,
             )
     else:
         A, perm, report = auto_structure(
@@ -207,6 +217,16 @@ def pad_problem_rows(prob: Problem, multiple: int) -> Problem:
         return prob
     extra = npad - n
     A = prob.A
+    if type(A).__name__ == "GellMatrix":
+        # round-trip through ELL (lossless: gell never stores zeros), pad,
+        # and re-prepare — the identity pad rows only touch offset 0, so the
+        # window cannot widen
+        from hpccg_tpu.ops.pallas.gell_kernel import gell_to_ell, prepare_gell
+
+        ell_padded = pad_problem_rows(
+            dataclasses.replace(prob, A=gell_to_ell(A)), multiple
+        )
+        return dataclasses.replace(ell_padded, A=prepare_gell(ell_padded.A))
     if isinstance(A, EllMatrix):
         width = max(A.width, 1)
         vals = np.zeros((npad, width), np.asarray(A.vals).dtype)
@@ -304,13 +324,25 @@ def write_hpc_row(path: str, prob: Problem, x: Optional[np.ndarray] = None) -> N
             f.write(f"{x[i]:.17g} {b[i]:.17g} {xexact[i]:.17g}\n")
 
 
-def dump_matlab(prefix: str, A, rank: int = 0, start_row: int = 0) -> Optional[str]:
+def dump_matlab(
+    prefix: str,
+    A,
+    rank: int = 0,
+    start_row: int = 0,
+    perm=None,
+    true_nrow: Optional[int] = None,
+) -> Optional[str]:
     """Write 1-indexed (row, col, val) triplets to <prefix><rank>.dat for
     Matlab spconvert (ref dump_matlab_matrix.cpp:59-82; ranks > 3 are no-ops).
 
     ``start_row`` offsets the row (and, for a z-stacked stencil shard, the
     column) numbering — pass ``rank * local_nrow`` to dump one shard of a
     distributed problem exactly as the reference's per-rank dumps do.
+
+    ``perm``/``true_nrow`` map a solve-basis matrix back to the loaded
+    file's basis (the reference dump reflects the actual input ordering):
+    pad rows >= true_nrow are stripped, then rows/cols are relabeled via
+    ``perm`` (solve row i = original row perm[i]) and re-sorted row-major.
     """
     if rank > 3:
         return None
@@ -336,6 +368,17 @@ def dump_matlab(prefix: str, A, rank: int = 0, start_row: int = 0) -> Optional[s
             "their own partition metadata (EllMatrix.start_row)"
         )
     rows, cols, vals = A.to_coo()
+    if true_nrow is not None:
+        keep = (np.asarray(rows) < true_nrow) & (np.asarray(cols) < true_nrow)
+        rows, cols, vals = (
+            np.asarray(rows)[keep], np.asarray(cols)[keep], np.asarray(vals)[keep]
+        )
+    if perm is not None:
+        p = np.asarray(perm)
+        rows = p[np.asarray(rows, np.int64)]
+        cols = p[np.asarray(cols, np.int64)]
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], np.asarray(vals)[order]
     path = f"{prefix}{rank}.dat"
     with open(path, "w") as f:
         for r, c, v in zip(rows, cols, vals):

@@ -213,6 +213,232 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
     )
 
 
+def gell_to_ell(g: GellMatrix):
+    """Reconstruct the padded-ELL form of a GellMatrix (lossless: gell
+    matrices never store zero entries — auto_structure excludes them)."""
+    import numpy as np
+
+    from hpccg_tpu.operators import EllMatrix
+
+    rows, cols, vals = g.to_coo()
+    n = g.n
+    counts = np.bincount(rows, minlength=n) if len(rows) else np.zeros(n, np.int64)
+    width = max(int(counts.max()) if counts.size else 0, 1)
+    ev = np.zeros((n, width))
+    ec = np.zeros((n, width), np.int32)
+    evalid = np.zeros((n, width), bool)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(rows)) - offs[rows]
+    ev[rows, slot] = vals
+    ec[rows, slot] = cols
+    evalid[rows, slot] = True
+    return EllMatrix(
+        vals=jnp.asarray(ev, g.dtype),
+        cols=jnp.asarray(ec),
+        valid=jnp.asarray(evalid),
+        start_row=0,
+        total_nrow=g.total_nrow or n,
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals4", "li4"],
+    meta_fields=[
+        "ndev", "L", "width", "k_chunks", "pbl", "bw_lo", "bw_hi",
+        "total_nrow", "nnz_count", "slot_bounds",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class GellShards:
+    """Row-sharded windowed gather-ELL operator (the distributed tier).
+
+    vals4/li4: (ndev, T, width, 8, 128) — shard-major stacks of the
+    single-device layout, to be sharded on axis 0. li values are SHARD-LOCAL
+    window indices: shard r's tile t holds li = col - r*L + pbl - t*RT, so
+    boundary tiles map out-of-shard columns into the xp buffer's bandwidth
+    padding — where spmv_gell_shard writes the ppermuted neighbor strips
+    (the windowed analog of dia_kernel.spmv_dia_prepared's halo fill;
+    ref exchange_externals.cpp:51-131 + HPC_sparsemv.cpp:68-87).
+    """
+
+    vals4: jax.Array
+    li4: jax.Array
+    ndev: int
+    L: int  # rows per shard
+    width: int
+    k_chunks: int
+    pbl: int
+    bw_lo: int  # halo rows needed from the lower neighbor
+    bw_hi: int  # ... and the upper neighbor
+    total_nrow: int
+    nnz_count: int
+    slot_bounds: tuple = ()
+
+    @property
+    def local_nrow(self) -> int:
+        return self.ndev * self.L
+
+    @property
+    def dtype(self):
+        return self.vals4.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_count
+
+
+def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards:
+    """Host-side prep of an assembled EllMatrix (or GellMatrix) into ndev
+    row shards of tile-windowed form with a UNIFORM window (one shard_map
+    program serves every shard).
+
+    Raises ValueError when the matrix cannot ride this path: bandwidth
+    wider than one shard (halo would need non-neighbor ppermutes — use the
+    all-gather path), window over ``max_k_chunks`` chunks, or per-shard
+    VMEM budget exceeded."""
+    import numpy as np
+
+    if isinstance(ell, GellMatrix):
+        ell = gell_to_ell(ell)
+    if ell.start_row != 0:
+        raise ValueError("prepare_gell_shards needs the assembled matrix")
+    n = ell.local_nrow
+    if n % ndev:
+        raise ValueError(
+            f"{n} rows do not divide {ndev} shards; pad with "
+            "hpccg_tpu.io.pad_problem_rows(prob, ndev)"
+        )
+    L = n // ndev
+    vals = np.asarray(ell.vals, np.float32)
+    cols = np.asarray(ell.cols, np.int64)
+    valid = np.asarray(ell.valid)
+    width = max(ell.width, 1)
+    if vals.shape[1] == 0:
+        vals = np.zeros((n, 1), np.float32)
+        cols = np.zeros((n, 1), np.int64)
+        valid = np.zeros((n, 1), bool)
+
+    # per-row column sort (slot w = w-th smallest column), as prepare_gell
+    sort_key = np.where(valid, cols, np.iinfo(np.int64).max)
+    order = np.argsort(sort_key, axis=1, kind="stable")
+    vals = np.take_along_axis(vals, order, axis=1)
+    cols = np.take_along_axis(cols, order, axis=1)
+    valid = np.take_along_axis(valid, order, axis=1)
+
+    rows = np.arange(n)[:, None]
+    offs = np.where(valid, cols - rows, 0)
+    bw_lo = max(0, int(-offs.min()) if offs.size else 0)
+    bw_hi = max(0, int(offs.max()) if offs.size else 0)
+    if bw_lo > L or bw_hi > L:
+        raise ValueError(
+            f"bandwidth ({bw_lo}/{bw_hi}) exceeds the {L}-row shard: "
+            "neighbor halo insufficient — use the all-gather ELL path"
+        )
+    pbl = _cdiv(bw_lo, LANE) * LANE
+    pbh = _cdiv(bw_hi, LANE) * LANE
+    k_chunks = (RT + pbl + pbh) // LANE
+    if k_chunks > max_k_chunks:
+        raise ValueError(
+            f"window of {k_chunks} chunks (bandwidth {bw_lo}/{bw_hi}) "
+            f"exceeds max_k_chunks={max_k_chunks}"
+        )
+    if not gell_supported(L, k_chunks):
+        raise ValueError(
+            f"{L}-row shards: the VMEM-resident x window exceeds the "
+            "kernel budget (gell_supported)"
+        )
+
+    T = _cdiv(L, RT)
+    npad = T * RT
+    # shard-local window index: row i lives in shard r = i//L at local row
+    # i%L, tile base (i%L)//RT*RT. Bounds (valid entries): cols of row i
+    # span [i-bw_lo, i+bw_hi] => li in [pbl-bw_lo, RT-1+pbl+bw_hi], i.e.
+    # [0, k_chunks*LANE) — out-of-shard columns land in the halo padding.
+    shard = rows // L
+    tile_base = ((rows % L) // RT) * RT
+    li_valid = cols + pbl - shard * L - tile_base
+    ci = np.where(valid, li_valid >> 7, 0)
+    slot_bounds = []
+    for w in range(width):
+        sel = valid[:, w]
+        if sel.any():
+            slot_bounds.append((int(ci[sel, w].min()), int(ci[sel, w].max())))
+        else:
+            slot_bounds.append((0, 0))
+    fallback = np.asarray([lo * LANE for lo, _ in slot_bounds])[None, :]
+    li = np.where(valid, li_valid, fallback)
+    assert li.min() >= 0 and li.max() < k_chunks * LANE, (li.min(), li.max())
+    assert k_chunks * LANE <= 32767  # li fits int16
+
+    # (ndev, L, width) -> per-shard tile padding to (ndev, npad, width)
+    v4 = np.zeros((ndev, npad, width), np.float32)
+    l4 = np.zeros((ndev, npad, width), np.int64)
+    v4[:, :L] = np.where(valid, vals, 0.0).reshape(ndev, L, width)
+    l4[:, :L] = li.reshape(ndev, L, width)
+    # pad rows (invalid everywhere) park at each slot's lo chunk
+    l4[:, L:] = fallback[None]
+
+    vals4 = v4.reshape(ndev, T, SUB, LANE, width).transpose(0, 1, 4, 2, 3)
+    li4 = l4.reshape(ndev, T, SUB, LANE, width).transpose(0, 1, 4, 2, 3)
+    return GellShards(
+        vals4=jnp.asarray(np.ascontiguousarray(vals4)),
+        li4=jnp.asarray(np.ascontiguousarray(li4), jnp.int16),
+        ndev=ndev,
+        L=L,
+        width=width,
+        k_chunks=k_chunks,
+        pbl=pbl,
+        bw_lo=bw_lo,
+        bw_hi=bw_hi,
+        total_nrow=ell.total_nrow or n,
+        nnz_count=int(ell.nnz),
+        slot_bounds=tuple(slot_bounds),
+    )
+
+
+def spmv_gell_shard(
+    vals3: jax.Array,
+    li3: jax.Array,
+    x_local: jax.Array,
+    halo_lo: jax.Array | None,
+    halo_hi: jax.Array | None,
+    *,
+    L: int,
+    width: int,
+    k_chunks: int,
+    pbl: int,
+    bw_lo: int,
+    slot_bounds: tuple,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One shard's rows of the GLOBAL matvec: the ppermuted neighbor strips
+    are written into the xp window's bandwidth padding (zeros at true global
+    edges arrive naturally as ppermute's zero fill)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T = vals3.shape[0]
+    npad = T * RT
+    pbh_total = k_chunks * LANE - RT  # = pbl + pbh
+    xp = jnp.zeros((pbl + npad + pbh_total,), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, x_local.astype(jnp.float32), (pbl,))
+    if halo_lo is not None and halo_lo.shape[0]:
+        xp = jax.lax.dynamic_update_slice(
+            xp, halo_lo.astype(jnp.float32), (pbl - bw_lo,)
+        )
+    if halo_hi is not None and halo_hi.shape[0]:
+        # the upper neighbor's first bw_hi values sit right after the REAL
+        # L rows (the shard's [L, npad) tile-pad positions are never
+        # referenced by valid slots)
+        xp = jax.lax.dynamic_update_slice(
+            xp, halo_hi.astype(jnp.float32), (pbl + L,)
+        )
+    y = _spmv_gell(
+        vals3, li3, xp.reshape(-1, LANE), width, k_chunks, interpret, slot_bounds
+    )
+    return y.reshape(-1)[:L]
+
+
 def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int, slot_bounds: tuple):
     t = pl.program_id(0)
     # this tile's x window: K chunks of 128, starting at padded chunk t*8

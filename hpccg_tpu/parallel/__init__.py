@@ -7,21 +7,25 @@ exchange_externals.cpp, MPI collectives) rebuilt on jax.sharding.
            and the all-gather fallback path for general ELL matrices
 """
 
-from hpccg_tpu.parallel.mesh import make_mesh
+from hpccg_tpu.parallel.mesh import make_mesh, make_mesh2d, row_axis
 from hpccg_tpu.parallel.halo import exchange_halo, stencil_matvec_halo
 from hpccg_tpu.parallel.cg import (
     generate_problem_sharded,
     make_distributed_cg,
     make_distributed_dia_cg,
     make_distributed_ell_cg,
+    make_distributed_gell_cg,
 )
 
 __all__ = [
     "make_mesh",
+    "make_mesh2d",
+    "row_axis",
     "exchange_halo",
     "stencil_matvec_halo",
     "generate_problem_sharded",
     "make_distributed_cg",
     "make_distributed_dia_cg",
     "make_distributed_ell_cg",
+    "make_distributed_gell_cg",
 ]

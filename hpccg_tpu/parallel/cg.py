@@ -114,10 +114,12 @@ def make_distributed_cg(
     if (
         backend == "auto"
         and jax.default_backend() == "tpu"
-        and jnp.dtype(cfg_local.dtype).itemsize == 4
+        and jnp.dtype(cfg_local.dtype).itemsize in (2, 4)
     ):
         # per-shard native kernel + ppermuted halo planes; XLA keeps each
-        # shard's CG state VMEM-resident around it (cf. resolve_backend)
+        # shard's CG state VMEM-resident around it (cf. resolve_backend).
+        # bf16 shards ride the same v2 kernel (f32 in-kernel compute, bf16
+        # HBM traffic — stencil_v2._kernel).
         backend = "pallas"
 
     if method in ("cg1", "pipecg") and backend != "collective":
@@ -473,6 +475,24 @@ def make_distributed_ell_cg(
     def solve(A: EllMatrix, b, x0):
         if A.start_row != 0:
             raise ValueError("pass the assembled global EllMatrix (start_row=0)")
+        if jax.default_backend() == "tpu" and A.local_nrow >= 100_000:
+            # strictly worse than the single-device gather warning
+            # (solver.resolve_backend): a full-x all_gather every iteration
+            # PLUS the same jnp.take gather. Measured 0.139 Gnnz/s vs the
+            # kernel tiers' 13-188 — say so loudly before a benchmark user
+            # burns hours.
+            import warnings
+
+            warnings.warn(
+                f"distributed all-gather ELL at {A.local_nrow} rows on TPU "
+                "runs ORDERS OF MAGNITUDE below the kernel tiers (measured "
+                "~0.14 Gnnz/s: per-iteration full-x all_gather + no-hardware-"
+                "gather jnp.take); this path exists for correctness on "
+                "matrices with no gather-free structure — if the matrix is "
+                "banded or narrow-band use the DIA-halo or windowed "
+                "gather-ELL distributed paths (auto via the CLI file mode)",
+                stacklevel=2,
+            )
         return _solve(A.vals, A.cols, A.valid, b, x0)
 
     return solve
@@ -597,6 +617,121 @@ def generate_problem_sharded_masked(
     )
 
 
+def make_distributed_gell_cg(
+    mesh: Mesh,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: Axis = Z_AXIS,
+):
+    """Distributed CG for scattered-narrow-band explicit matrices: rows
+    block-sharded, each shard running the windowed gather-ELL Pallas kernel
+    with the bandwidth-wide boundary strips ppermuted into its window
+    padding (closing round-2 missing #1 — the reference runs this class
+    distributed at memory speed, exchange_externals.cpp:51-131 +
+    HPC_sparsemv.cpp:68-87; the all-gather ELL fallback is ~100x slower).
+
+    Returns solve(A, b, x0) with A an assembled EllMatrix/GellMatrix (rows
+    must divide the mesh — pad with ``hpccg_tpu.io.pad_problem_rows``) or a
+    ready GellShards. The kernel is f32-only (the vreg lane gather and the
+    stored values are 32-bit)."""
+    from hpccg_tpu.ops.pallas.gell_kernel import (
+        GellShards,
+        prepare_gell_shards,
+        spmv_gell_shard,
+    )
+
+    ndev = axis_size(mesh, axis)
+
+    def solve(A, b, x0):
+        shards = (
+            A if isinstance(A, GellShards) else prepare_gell_shards(A, ndev)
+        )
+        if shards.ndev != ndev:
+            raise ValueError(
+                f"GellShards prepared for {shards.ndev} shards, mesh has {ndev}"
+            )
+        L, bw_lo, bw_hi = shards.L, shards.bw_lo, shards.bw_hi
+        fwd = [(i, i + 1) for i in range(ndev - 1)]
+        bwd = [(i + 1, i) for i in range(ndev - 1)]
+        vec_sh = NamedSharding(mesh, P(axis))
+        b = jax.device_put(b, vec_sh)
+        x0 = jax.device_put(x0, vec_sh)
+        mat_sh = NamedSharding(mesh, P(axis))
+        vals4 = jax.device_put(shards.vals4, mat_sh)
+        li4 = jax.device_put(shards.li4, mat_sh)
+        kw = dict(
+            L=L,
+            width=shards.width,
+            k_chunks=shards.k_chunks,
+            pbl=shards.pbl,
+            bw_lo=bw_lo,
+            slot_bounds=shards.slot_bounds,
+        )
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            check_vma=False,
+        )
+        def _solve(v4, l4, b_l, x0_l):
+            def matvec(v):
+                lo = (
+                    jax.lax.ppermute(v[L - bw_lo :], axis, fwd)
+                    if bw_lo
+                    else None
+                )
+                hi = jax.lax.ppermute(v[:bw_hi], axis, bwd) if bw_hi else None
+                return spmv_gell_shard(v4[0], l4[0], v, lo, hi, **kw)
+
+            return cg_solve(
+                matvec,
+                b_l,
+                x0_l,
+                max_iter=max_iter,
+                tolerance=tolerance,
+                dot=lambda u, w: ddot(u, w, axis_name=axis),
+            )
+
+        return _solve(vals4, li4, b, x0)
+
+    return solve
+
+
+def dia_halo_plan(A, L: int):
+    """(ok, use_pallas, reason): can this DiaMatrix ride the ppermute
+    banded-halo path on L-row shards, and on which per-shard kernel tier?
+
+    The single source of truth for the viability predicate — the CLI's
+    fallback decision and make_distributed_dia_cg's errors both call this,
+    so they cannot drift (a drift would turn the CLI's graceful all-gather
+    fallback into an uncaught solver ValueError)."""
+    from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported
+
+    offs = tuple(int(o) for o in A.offsets)
+    # many-diagonal shards need the blocked-DIA Pallas kernel (halo strips
+    # written into its bandwidth padding); the unrolled slice path (one op
+    # per diagonal) covers small counts and f64, capped where its compile
+    # time blows up
+    use_pallas = len(offs) > 128 and dia_pallas_supported(offs, L, A.dtype)
+    if len(offs) > 256 and not use_pallas:
+        return False, False, (
+            f"{len(offs)} diagonals exceed the distributed DIA unroll cap "
+            "and the Pallas kernel does not support this shard/dtype"
+        )
+    bw_lo = max(0, -min(offs)) if offs else 0
+    bw_hi = max(0, max(offs)) if offs else 0
+    if bw_lo > L or bw_hi > L:
+        return False, use_pallas, (
+            f"bandwidth ({bw_lo}/{bw_hi}) exceeds the {L}-row shard: "
+            "neighbor halo insufficient"
+        )
+    return True, use_pallas, ""
+
+
 def make_distributed_dia_cg(
     mesh: Mesh,
     *,
@@ -633,29 +768,13 @@ def make_distributed_dia_cg(
                 f"{n} rows do not divide a {ndev}-device mesh; pad with "
                 "hpccg_tpu.io.pad_problem_rows(prob, ndev)"
             )
-        from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported
-
         L = n // ndev
         offs = tuple(int(o) for o in A.offsets)
-        # many-diagonal shards run the blocked-DIA Pallas kernel with the
-        # halo strips written into its bandwidth padding (spmv_dia_prepared)
-        # — same per-shard speed as the single-device kernel. The unrolled
-        # slice path (one op per diagonal) stays for small counts and f64,
-        # capped where its compile time blows up.
-        use_pallas = len(offs) > 128 and dia_pallas_supported(offs, L, A.dtype)
-        if len(offs) > 256 and not use_pallas:
-            raise ValueError(
-                f"{len(offs)} diagonals exceed the distributed DIA unroll "
-                "cap and the Pallas kernel does not support this "
-                "shard/dtype — use make_distributed_ell_cg"
-            )
+        ok, use_pallas, reason = dia_halo_plan(A, L)
+        if not ok:
+            raise ValueError(f"{reason} — use make_distributed_ell_cg")
         bw_lo = max(0, -min(offs)) if offs else 0
         bw_hi = max(0, max(offs)) if offs else 0
-        if bw_lo > L or bw_hi > L:
-            raise ValueError(
-                f"bandwidth ({bw_lo}/{bw_hi}) exceeds the {L}-row shard: "
-                "neighbor halo insufficient — use make_distributed_ell_cg"
-            )
         fwd = [(i, i + 1) for i in range(ndev - 1)]
         bwd = [(i + 1, i) for i in range(ndev - 1)]
         vec_sh = NamedSharding(mesh, P(axis))

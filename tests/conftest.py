@@ -19,3 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # the axon sitecustomize forces tpu otherwise
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """quick = everything not marked slow: `pytest -m quick` is the fast
+    iteration tier (VERDICT round-2 weak #7 — the full suite's interpreter-
+    heavy distributed tail passed the 10-minute mark)."""
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.quick)

@@ -5,6 +5,8 @@ shared memory), including its data-race detector."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-TPU-interpreter collective kernels
+
 from hpccg_tpu import ProblemConfig
 from hpccg_tpu.ops.vector import compute_residual
 from hpccg_tpu.parallel import make_mesh

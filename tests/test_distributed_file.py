@@ -146,9 +146,10 @@ class TestCliFileMesh:
 
 
 def test_file_mesh_scattered_band_goes_allgather(tmp_path):
-    """A scattered-narrow-band file that auto_structure would map to
-    gather-ELL on one device must take a row-shardable representation under
-    --mesh (the gather tiles are single-device-only)."""
+    """An f64 scattered-narrow-band file under --mesh: the gather kernel is
+    32-bit-only, so no gell tier is offered and the solve falls through to
+    the all-gather ELL path (f32 loads of the same class ride the
+    distributed gell-halo path — test_distributed_gell.py)."""
     import contextlib
     import io as _io
 

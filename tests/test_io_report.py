@@ -104,6 +104,7 @@ def test_report_get_creates_on_miss():
     assert "Missing" in doc.generate_yaml()
 
 
+@pytest.mark.slow
 def test_dia_conversion_and_matvec():
     """DIA (gather-free TPU-native general format) matches ELL exactly."""
     import jax.numpy as jnp
@@ -137,6 +138,7 @@ def test_dia_conversion_and_matvec():
     )
 
 
+@pytest.mark.slow
 def test_read_hpc_row_converts_to_dia(tmp_path):
     import numpy as np
 

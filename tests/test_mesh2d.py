@@ -13,6 +13,8 @@ boundary at exactly the hosts-1 slice boundaries.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpreter-heavy 2-D mesh structural checks
+
 import jax
 import jax.numpy as jnp
 

@@ -112,6 +112,7 @@ def test_distributed_trace_is_replicated():
     assert np.isfinite(np.asarray(res.trace)[:10]).all()
 
 
+@pytest.mark.slow
 def test_distributed_single_reduction_cg():
     import numpy as np
 
@@ -135,6 +136,7 @@ def test_distributed_single_reduction_cg():
         assert float(compute_residual(r1.x, prob.xexact)) < 1e-10
 
 
+@pytest.mark.slow
 def test_distributed_pipelined_cg():
     import numpy as np
 
@@ -158,6 +160,7 @@ def test_distributed_pipelined_cg():
         assert float(compute_residual(r1.x, prob.xexact)) < 1e-9
 
 
+@pytest.mark.slow
 def test_pallas_halo_overlap_variant_matches():
     """The overlapped pallas matvec (zero-halo kernel + boundary-plane
     corrections, ppermute schedulable concurrently) must match the
