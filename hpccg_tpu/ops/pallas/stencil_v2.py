@@ -48,7 +48,9 @@ def padded_dims(op: StencilOperator, dtype=None, tz: int | None = None):
     dtype = jnp.dtype(dtype or op.dtype)
     nx_pad = _round_up(op.nx, LANE)
     ny_pad = _round_up(op.ny, SUBLANE * 2 if dtype.itemsize == 2 else SUBLANE)
-    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, dtype.itemsize)
+    # 16-bit storage computes in f32 in-kernel (see _kernel): the live slab
+    # temporaries are f32, so the tz budget uses itemsize 4 there too
+    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, max(dtype.itemsize, 4))
     nzp = _round_up(op.nz, tz)
     return nzp, ny_pad, nx_pad
 
@@ -129,20 +131,33 @@ def _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stenc
     i = pl.program_id(0)
     nzb = pl.num_programs(0)
     dtype = mid_ref.dtype
+    # 16-bit storage computes in f32 in-kernel: Mosaic's bf16 legalization
+    # rejects the halo-concat arithmetic (round-2 PERF.md), and f32 compute
+    # also restores the 32-bit lane rotate — loads upcast, the store
+    # downcasts, HBM traffic stays 2 B/element (the whole point of bf16 in
+    # the bandwidth-bound HBM regime)
+    cdt = jnp.float32 if jnp.dtype(dtype).itemsize == 2 else dtype
     ny_pad, nx_pad = mid_ref.shape[-2], mid_ref.shape[-1]
 
     # z-halo planes: clamped single-plane neighbor blocks, predicated off at
     # the domain edges; external (distributed) halo overrides rows 0 / nz+...
-    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(dtype)
-    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(dtype)
-    u = jnp.concatenate([lo_ref[:] * sel_lo, mid_ref[:], hi_ref[:] * sel_hi], axis=0)
+    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(cdt)
+    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(cdt)
+    u = jnp.concatenate(
+        [
+            lo_ref[:].astype(cdt) * sel_lo,
+            mid_ref[:].astype(cdt),
+            hi_ref[:].astype(cdt) * sel_hi,
+        ],
+        axis=0,
+    )
 
     zrow = jax.lax.broadcasted_iota(jnp.int32, (tz + 2, 1, 1), 0) + i * tz - 1
     # global z of each concatenated plane is zrow; external halo planes sit at
     # z == -1 (below) and z == nz (above). z == nz is either the top block's
     # (clamped, zeroed) hi plane or a zero z-padding plane — both overridden.
-    u = jnp.where(zrow == -1, halo_ref[0:1], u)
-    u = jnp.where(zrow == nz, halo_ref[1:2], u)
+    u = jnp.where(zrow == -1, halo_ref[0:1].astype(cdt), u)
+    u = jnp.where(zrow == nz, halo_ref[1:2].astype(cdt), u)
 
     if stencil == Stencil.S27:
         xy = _sum3_y(_sum3_x(u, nx), ny)
@@ -157,8 +172,8 @@ def _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stenc
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad, 1), 1)
     iz = jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) + i * tz
-    valid = (ix < nx).astype(dtype) * (iy < ny).astype(dtype) * (iz < nz).astype(dtype)
-    out_ref[:] = y * valid
+    valid = (ix < nx).astype(cdt) * (iy < ny).astype(cdt) * (iz < nz).astype(cdt)
+    out_ref[:] = (y * valid).astype(dtype)
 
 
 def _v2_in_specs(tz: int, nzb: int, ny_pad: int, nx_pad: int):
@@ -216,7 +231,7 @@ def spmv_padded_v2(
     nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
     dtype = u.dtype
     assert u.shape == (nzp, ny_pad, nx_pad), (u.shape, (nzp, ny_pad, nx_pad))
-    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, dtype.itemsize)
+    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, max(jnp.dtype(dtype).itemsize, 4))
     nzb = nzp // tz
     if halo is None:
         halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
@@ -245,15 +260,18 @@ def spmv_padded_v2(
 def _kernel_pap(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, pap_ref, *, tz, nx, ny, nz, stencil):
     """Stencil kernel + in-flight p.Ap partial: the reduction accumulates in
     SMEM across (sequential) grid steps while the blocks are in VMEM — the
-    standalone pAp dot at HBM-resident sizes would re-read both vectors."""
+    standalone pAp dot at HBM-resident sizes would re-read both vectors.
+    The accumulator is always f32 (16-bit storage accumulates upcast)."""
     i = pl.program_id(0)
     _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, tz=tz, nx=nx, ny=ny, nz=nz, stencil=stencil)
 
     @pl.when(i == 0)
     def _():
-        pap_ref[0, 0] = jnp.asarray(0.0, mid_ref.dtype)
+        pap_ref[0, 0] = jnp.asarray(0.0, jnp.float32)
 
-    pap_ref[0, 0] += jnp.sum(mid_ref[:] * out_ref[:])
+    pap_ref[0, 0] += jnp.sum(
+        mid_ref[:].astype(jnp.float32) * out_ref[:].astype(jnp.float32)
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
@@ -273,7 +291,7 @@ def spmv_padded_v2_pap(
     nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
     dtype = u.dtype
     assert u.shape == (nzp, ny_pad, nx_pad), (u.shape, (nzp, ny_pad, nx_pad))
-    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, dtype.itemsize)
+    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, max(jnp.dtype(dtype).itemsize, 4))
     nzb = nzp // tz
     if halo is None:
         halo = jnp.zeros((2, ny_pad, nx_pad), dtype)
@@ -290,7 +308,7 @@ def spmv_padded_v2_pap(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (op.stencil.value + 1) * op.local_nrow,
@@ -303,7 +321,9 @@ def spmv_padded_v2_pap(
         ),
         interpret=interpret,
     )(halo, u, u, u)
-    return y, pap[0, 0]
+    # scalar dtype follows the vectors (bf16 solves keep a bf16 recurrence,
+    # like the non-fused dot path) — the in-kernel accumulation was f32
+    return y, pap[0, 0].astype(dtype)
 
 
 def spmv_stencil_pallas_v2(

@@ -322,14 +322,15 @@ def cg_solve_fused(
 def resolve_backend(A, backend: str = "auto") -> str:
     """Map backend="auto" to the fastest measured backend for this problem.
 
-    Measured on v5e (f32, PERF.md): the whole-solve megakernel wins while
-    the 5 solve vectors fit VMEM (~<=128^3); the streaming whole-solve
-    kernel (r/p pinned, x DMA-streamed) wins while 2 vectors fit
-    (~<=200^3: 207 us/iter vs 790 XLA / 1003 pallas); the XLA stencil path
-    covers the remaining band where it keeps most state VMEM-resident; the
-    streaming Pallas kernel wins once truly HBM-resident (256^3: 1390 vs
-    2311 us/iter). On CPU (tests/parity) and for f64 (no Mosaic f64) auto
-    stays on the XLA stencil path.
+    Measured on v5e (PERF.md): the whole-solve megakernel wins while the 5
+    solve vectors fit VMEM (f32 ~<=128^3 whole / 144^3 slab; bf16 slab to
+    ~200^3); the f32 streaming whole-solve kernel (r/p pinned, x
+    DMA-streamed) wins while 2 vectors fit (~<=200^3: 207 us/iter vs 790
+    XLA / 1003 pallas); the XLA stencil path covers the remaining band up
+    to ~10.5M rows where it keeps most state VMEM-resident; the streaming
+    pallas-v2 kernel wins once truly HBM-resident (f32 256^3: 1259 vs 2311;
+    bf16 256^3: 596 vs 791 us/iter). On CPU (tests/parity) and for f64 (no
+    Mosaic f64) auto stays on the XLA stencil path.
     """
     from hpccg_tpu.operators import StencilOperator
 
@@ -378,14 +379,19 @@ def resolve_backend(A, backend: str = "auto") -> str:
 
     if fits_vmem(A, A.dtype):
         return "megakernel"
-    if jnp.dtype(A.dtype).itemsize == 2:
-        # 16-bit state beyond the megakernel's (extended, ~160^3) reach:
-        # stay on the XLA stencil path — the streaming kernels are f32-tuned
-        return "stencil"
-    if fits_stream_vmem(A, A.dtype):
+    if jnp.dtype(A.dtype).itemsize == 4 and fits_stream_vmem(A, A.dtype):
+        # the r/p-pinned streaming kernel is f32-only (16-bit state rides
+        # the megakernel's extended bf16 slab reach instead)
         return "streamkernel"
-    if A.local_nrow * jnp.dtype(A.dtype).itemsize <= (40 << 20):
+    if A.local_nrow <= 10_500_000:
+        # XLA keeps most CG state effectively VMEM-resident up to ~10.5M
+        # rows and beats the streaming kernel there — measured for f32
+        # (40 MB/vector) AND bf16 (208^3: XLA 291 vs pallas 330 us/iter;
+        # the crossover is a row count, not a byte count, round 3)
         return "stencil"
+    # truly HBM-resident: the one-pass pallas-v2 streaming tier (f32 256^3:
+    # 1259 vs 2311; bf16 256^3: 596 vs 791 us/iter — bf16 computes f32
+    # in-kernel with 2 B/element HBM traffic)
     return "pallas"
 
 

@@ -148,6 +148,7 @@ def test_pallas_external_halo():
     np.testing.assert_allclose(np.asarray(y), want, rtol=2e-6, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 @pytest.mark.parametrize("backend", ["pallas", "pallas_v1"])
 def test_distributed_pallas_cg(ndev, backend):
@@ -174,6 +175,7 @@ def test_fused_cg_matches_reference_path():
     np.testing.assert_allclose(tf[good], ts[good], rtol=1e-7)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_distributed_fused_cg(ndev):
     cfg = ProblemConfig(6, 5, 4, dtype=jnp.float64)
@@ -239,6 +241,7 @@ def test_fused_cg_early_exit_tolerance():
     assert int(res.niters) < 499
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dims,stencil", CASES)
 def test_streamkernel_matches_stencil(dims, stencil):
     """Streaming whole-loop kernel (r/p pinned, x DMA-streamed): trajectory
@@ -300,6 +303,7 @@ def test_streamkernel_dma_pipeline_race_free(monkeypatch):
     assert not _ipc.races.races_found
 
 
+@pytest.mark.slow
 def test_fused_k1_halo_parity_z_padding_edge():
     """Regression: with nz < nzp and the fused kernel's block depth dividing
     nz, the z == nz plane appears both as one block's hi concat row and the
@@ -330,6 +334,7 @@ def test_fused_k1_halo_parity_z_padding_edge():
     # kernels' padding and slab-boundary logic
     [(7, 11, 3), (13, 8, 21), (3, 17, 5), (24, 6, 10), (9, 9, 16)],
 )
+@pytest.mark.slow
 def test_wholesolve_kernels_random_shapes(dims):
     from hpccg_tpu.ops.pallas.streamkernel import cg_stream_padded, _stream_tz
     from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3
@@ -349,3 +354,61 @@ def test_wholesolve_kernels_random_shapes(dims):
         20, 0.0,
     )
     np.testing.assert_allclose(np.asarray(trace[:, 0])[good], ts[good], rtol=1e-7)
+
+
+def test_pallas_v2_bf16_parity():
+    """round-3: 16-bit storage computes f32 in-kernel (the Mosaic bf16
+    legalization workaround) — matvec and fused pAp match the XLA stencil
+    at the bf16 storage floor."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import (
+        pad_plane3,
+        spmv_padded_v2_pap,
+        spmv_stencil_pallas_v2,
+    )
+    from hpccg_tpu.ops.spmv import spmv
+
+    for st in (27, 7):
+        cfg = ProblemConfig(20, 12, 9, stencil=st, dtype=jnp.bfloat16)
+        prob = generate_problem(cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(prob.total_nrow), jnp.bfloat16)
+        y_ref = spmv(prob.A, x, backend="stencil").astype(jnp.float32)
+        y_k = spmv_stencil_pallas_v2(prob.A, x).astype(jnp.float32)
+        assert float(jnp.max(jnp.abs(y_ref - y_k))) < 0.6  # bf16 ulp at ~50
+        u = pad_plane3(prob.A, x)
+        y2, pap = spmv_padded_v2_pap(prob.A, u, None, True)
+        assert pap.dtype == jnp.bfloat16  # scalar recurrence stays bf16
+        pap_ref = float(jnp.vdot(x.astype(jnp.float32), y_ref))
+        assert abs(float(pap) - pap_ref) < 0.05 * abs(pap_ref) + 1.0
+
+
+def test_cg_pallas_bf16_matches_stencil():
+    cfg = ProblemConfig(12, 10, 9, dtype=jnp.bfloat16)
+    prob = generate_problem(cfg)
+    rp = make_cg(prob.A, max_iter=25, backend="pallas")(prob.b, prob.x0)
+    rs = make_cg(prob.A, max_iter=25, backend="stencil")(prob.b, prob.x0)
+    # both converge to the bf16 storage floor (max|x-1| ~ 0.04-0.05)
+    assert float(compute_residual(rp.x, prob.xexact)) < 0.08
+    assert float(compute_residual(rs.x, prob.xexact)) < 0.08
+    tp, ts = np.asarray(rp.trace, np.float32), np.asarray(rs.trace, np.float32)
+    good = np.isfinite(ts) & (ts > 0.05 * ts[0])
+    np.testing.assert_allclose(tp[good], ts[good], rtol=0.15)
+
+
+@pytest.mark.slow
+def test_distributed_pallas_bf16(ndev=4):
+    """bf16 shards ride the same v2 kernel + ppermute halo (round-2
+    missing #2: make_distributed_cg now picks pallas for itemsize 2)."""
+    cfg = ProblemConfig(6, 5, 4, dtype=jnp.bfloat16)
+    mesh = make_mesh(ndev)
+    prob = generate_problem_sharded(cfg, mesh)
+    rp = make_distributed_cg(cfg, mesh, max_iter=20, backend="pallas")(
+        prob.b, prob.x0
+    )
+    rs = make_distributed_cg(cfg, mesh, max_iter=20, backend="stencil")(
+        prob.b, prob.x0
+    )
+    assert float(compute_residual(rp.x, prob.xexact)) < 0.1
+    tp, ts = np.asarray(rp.trace, np.float32), np.asarray(rs.trace, np.float32)
+    good = np.isfinite(ts) & (ts > 0.05 * ts[0])
+    np.testing.assert_allclose(tp[good], ts[good], rtol=0.15)
