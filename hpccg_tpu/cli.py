@@ -45,7 +45,15 @@ def build_argparser() -> argparse.ArgumentParser:
         "max_iter 150 (main_old.cpp:166). Overrides --max-iter/--tolerance",
     )
     ap.add_argument("--dtype", default="float64", choices=["float64", "float32", "bfloat16"])
-    ap.add_argument("--mesh", type=int, default=1, metavar="N", help="devices on the 1-D z mesh")
+    ap.add_argument(
+        "--mesh",
+        default="1",
+        metavar="N|HxZ",
+        help="device mesh: a plain integer N builds the 1-D z mesh; HxZ "
+        "(e.g. 2x4) builds the explicit 2-D ('host','z') mesh — same row "
+        "layout, but XLA lowers within-host halo pairs to ICI and exactly "
+        "hosts-1 slice-boundary pairs to DCN (parallel/mesh.py)",
+    )
     ap.add_argument(
         "--backend",
         default="auto",
@@ -117,11 +125,29 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
+def parse_mesh(spec) -> tuple:
+    """'N' -> (N, None); 'HxZ' -> (H*Z, (H, Z))."""
+    spec = str(spec)
+    if "x" in spec:
+        try:
+            h, z = (int(p) for p in spec.split("x"))
+        except ValueError:
+            raise SystemExit(f"error: --mesh {spec!r} is not N or HxZ")
+        if h < 1 or z < 1:
+            raise SystemExit(f"error: --mesh {spec!r} needs positive factors")
+        return h * z, (h, z)
+    try:
+        return int(spec), None
+    except ValueError:
+        raise SystemExit(f"error: --mesh {spec!r} is not N or HxZ")
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if args.preset:
         args.max_iter = {"ref500": 500, "ref150": 150}[args.preset]
         args.tolerance = 0.0
+    args.mesh, mesh2d_shape = parse_mesh(args.mesh)
 
     import jax
 
@@ -154,8 +180,18 @@ def main(argv=None) -> int:
 
     dtype = jnp.dtype(args.dtype)
 
+    def build_mesh():
+        """(mesh, row axis) for --mesh: 1-D 'z' or 2-D ('host','z')."""
+        from hpccg_tpu.parallel import make_mesh, make_mesh2d, row_axis
+
+        if mesh2d_shape is not None:
+            m = make_mesh2d(*mesh2d_shape)
+            return m, row_axis(m)
+        return make_mesh(args.mesh), "z"
+
     file_mode = len(args.dims) == 1 and not args.dims[0].isdigit()
     mesh = None
+    axis = "z"
     if file_mode:
         from hpccg_tpu.io import pad_problem_rows, read_hpc_row_structured
 
@@ -188,7 +224,7 @@ def main(argv=None) -> int:
                     f"--method {args.method} / --backend {args.backend}",
                     file=sys.stderr,
                 )
-            mesh = make_mesh(args.mesh)
+            mesh, axis = build_mesh()
             prob = pad_problem_rows(prob, args.mesh)
             A = prob.A
             L = prob.total_nrow // args.mesh
@@ -214,7 +250,8 @@ def main(argv=None) -> int:
                     A = prob.A
                 else:
                     _gsolve = make_distributed_gell_cg(
-                        mesh, max_iter=args.max_iter, tolerance=args.tolerance
+                        mesh, max_iter=args.max_iter,
+                        tolerance=args.tolerance, axis=axis,
                     )
                     solve = partial(_gsolve, shards)
                     backend_used = "distributed:gell-halo"
@@ -234,14 +271,16 @@ def main(argv=None) -> int:
                 A = prob.A
             if isinstance(A, DiaMatrix):
                 _dsolve = make_distributed_dia_cg(
-                    mesh, max_iter=args.max_iter, tolerance=args.tolerance
+                    mesh, max_iter=args.max_iter,
+                    tolerance=args.tolerance, axis=axis,
                 )
                 solve = partial(_dsolve, A)
                 backend_used = "distributed:dia-halo"
             elif solve is None:
-                prob = shard_problem(prob, mesh)
+                prob = shard_problem(prob, mesh, axis=axis)
                 _esolve = make_distributed_ell_cg(
-                    mesh, max_iter=args.max_iter, tolerance=args.tolerance
+                    mesh, max_iter=args.max_iter,
+                    tolerance=args.tolerance, axis=axis,
                 )
                 solve = partial(_esolve, prob.A)
                 backend_used = "distributed:ell-allgather"
@@ -261,8 +300,8 @@ def main(argv=None) -> int:
                 make_mesh,
             )
 
-            mesh = make_mesh(args.mesh)
-            prob = generate_problem_sharded(cfg, mesh)
+            mesh, axis = build_mesh()
+            prob = generate_problem_sharded(cfg, mesh, axis=axis)
             dist_backend = args.backend
             if dist_backend in ("megakernel", "streamkernel", "ell", "dia"):
                 # whole-solve kernels are single-shard-only (no in-kernel
@@ -273,11 +312,15 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 dist_backend = "auto"
+            from hpccg_tpu.parallel.cg import resolve_distributed_backend
+
+            dist_backend = resolve_distributed_backend(cfg, dist_backend)
             solve = make_distributed_cg(
                 cfg,
                 mesh,
                 max_iter=args.max_iter,
                 tolerance=args.tolerance,
+                axis=axis,
                 backend=dist_backend,
                 method=args.method,
             )
@@ -474,18 +517,55 @@ def main(argv=None) -> int:
 
             from hpccg_tpu.utils.timing import time_loop_slope
 
-            def spmv_once(v):
-                return stencil_matvec_halo(op_local, v, "z") * (1.0 / 54.0)
-
-            def make_spmv_loop(k):
-                return jax.jit(
-                    jax.shard_map(
-                        lambda v: jax.lax.fori_loop(0, k, lambda i, c: spmv_once(c), v),
-                        mesh=mesh,
-                        in_specs=P("z"),
-                        out_specs=P("z"),
-                    )
+            if backend_used == "distributed:pallas":
+                # bench the tier the solve actually ran (round-2 weak #2):
+                # the overlapped pallas-v2 halo matvec in the padded layout
+                from hpccg_tpu.ops.pallas.stencil_v2 import (
+                    pad_plane3,
+                    unpad_plane3,
                 )
+                from hpccg_tpu.parallel.halo import (
+                    stencil_matvec_halo_pallas_v2_overlap,
+                )
+
+                def make_spmv_loop(k):
+                    def f(v):
+                        u = pad_plane3(op_local, v)
+                        u = jax.lax.fori_loop(
+                            0,
+                            k,
+                            lambda i, c: stencil_matvec_halo_pallas_v2_overlap(
+                                op_local, c, axis
+                            )
+                            * (1.0 / 54.0),
+                            u,
+                        )
+                        return unpad_plane3(op_local, u)
+
+                    return jax.jit(
+                        jax.shard_map(
+                            f,
+                            mesh=mesh,
+                            in_specs=P(axis),
+                            out_specs=P(axis),
+                            check_vma=False,
+                        )
+                    )
+
+            else:
+
+                def spmv_once(v):
+                    return stencil_matvec_halo(op_local, v, axis) * (1.0 / 54.0)
+
+                def make_spmv_loop(k):
+                    return jax.jit(
+                        jax.shard_map(
+                            lambda v: jax.lax.fori_loop(0, k, lambda i, c: spmv_once(c), v),
+                            mesh=mesh,
+                            in_specs=P(axis),
+                            out_specs=P(axis),
+                        )
+                    )
 
             t_spmv1 = time_loop_slope(make_spmv_loop, prob.x0)
         else:
@@ -511,7 +591,12 @@ def main(argv=None) -> int:
     par = doc.add("Parallelism")
     ndev = args.mesh
     par.add("Number of mesh devices", ndev)
-    par.add("Mesh axes", "z" if ndev > 1 else "(single device)")
+    par.add(
+        "Mesh axes",
+        ("(single device)" if ndev <= 1
+         else repr(tuple(mesh.axis_names)) if mesh2d_shape is not None
+         else "z"),
+    )
     par.add("Device kind", getattr(jax.devices()[0], "device_kind", "unknown"))
     par.add("Platform", jax.default_backend())
     par.add("MPI not enabled (ICI/DCN collectives via XLA)", "")
@@ -569,18 +654,25 @@ def main(argv=None) -> int:
         from hpccg_tpu.utils.timing import time_loop_slope
 
         def make_psum_loop(k):
-            return jax.jit(
-                jax.shard_map(
-                    lambda v: jax.lax.fori_loop(
-                        0,
-                        k,
-                        lambda i, s: jax.lax.psum(s, "z") * (1.0 / ndev),
-                        jnp.vdot(v, v),
+            # pcast re-varies the psum'd carry so the fori_loop carry types
+            # match on multi-axis meshes (psum over the full tuple makes the
+            # scalar invariant, but the initial vdot is varying)
+            def loop(v):
+                s = jax.lax.fori_loop(
+                    0,
+                    k,
+                    lambda i, s: jax.lax.pcast(
+                        jax.lax.psum(s, axis) * (1.0 / ndev),
+                        axis,
+                        to="varying",
                     ),
-                    mesh=mesh,
-                    in_specs=P("z"),
-                    out_specs=P(),
+                    jnp.vdot(v, v),
                 )
+                # one final psum makes the P() output invariant again
+                return jax.lax.psum(s, axis) * (1.0 / ndev)
+
+            return jax.jit(
+                jax.shard_map(loop, mesh=mesh, in_specs=P(axis), out_specs=P())
             )
 
         t_psum = time_loop_slope(make_psum_loop, prob.b) * 2 * fniters

@@ -257,21 +257,25 @@ def spmv_padded_v2(
     )(halo, u, u, u)
 
 
+def _pap_acc_dtype(dtype):
+    return jnp.float32 if jnp.dtype(dtype).itemsize == 2 else jnp.dtype(dtype)
+
+
 def _kernel_pap(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, pap_ref, *, tz, nx, ny, nz, stencil):
     """Stencil kernel + in-flight p.Ap partial: the reduction accumulates in
     SMEM across (sequential) grid steps while the blocks are in VMEM — the
     standalone pAp dot at HBM-resident sizes would re-read both vectors.
-    The accumulator is always f32 (16-bit storage accumulates upcast)."""
+    16-bit storage accumulates upcast in an f32 accumulator; wider dtypes
+    accumulate at their own precision (f64 interpret parity)."""
     i = pl.program_id(0)
     _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, tz=tz, nx=nx, ny=ny, nz=nz, stencil=stencil)
+    adt = _pap_acc_dtype(mid_ref.dtype)
 
     @pl.when(i == 0)
     def _():
-        pap_ref[0, 0] = jnp.asarray(0.0, jnp.float32)
+        pap_ref[0, 0] = jnp.asarray(0.0, adt)
 
-    pap_ref[0, 0] += jnp.sum(
-        mid_ref[:].astype(jnp.float32) * out_ref[:].astype(jnp.float32)
-    )
+    pap_ref[0, 0] += jnp.sum(mid_ref[:].astype(adt) * out_ref[:].astype(adt))
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
@@ -308,7 +312,7 @@ def spmv_padded_v2_pap(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), _pap_acc_dtype(dtype)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (op.stencil.value + 1) * op.local_nrow,

@@ -91,6 +91,21 @@ def generate_problem_sharded(
     )
 
 
+def resolve_distributed_backend(cfg_local: ProblemConfig, backend: str = "auto") -> str:
+    """The auto rule for the distributed stencil solve, exposed so the CLI's
+    Time-Summary micro-benchmarks measure the tier that actually ran
+    (round-2 weak #2): per-shard pallas kernel + ppermuted halo planes on
+    TPU for 32- and 16-bit state (bf16 rides the same v2 kernel — f32
+    in-kernel compute, bf16 HBM traffic), XLA stencil elsewhere."""
+    if (
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(cfg_local.dtype).itemsize in (2, 4)
+    ):
+        return "pallas"
+    return backend
+
+
 def make_distributed_cg(
     cfg_local: ProblemConfig,
     mesh: Mesh,
@@ -111,16 +126,7 @@ def make_distributed_cg(
     op_local = local_operator(cfg_local)
     pdot = lambda u, v: ddot(u, v, axis_name=axis)  # noqa: E731
 
-    if (
-        backend == "auto"
-        and jax.default_backend() == "tpu"
-        and jnp.dtype(cfg_local.dtype).itemsize in (2, 4)
-    ):
-        # per-shard native kernel + ppermuted halo planes; XLA keeps each
-        # shard's CG state VMEM-resident around it (cf. resolve_backend).
-        # bf16 shards ride the same v2 kernel (f32 in-kernel compute, bf16
-        # HBM traffic — stencil_v2._kernel).
-        backend = "pallas"
+    backend = resolve_distributed_backend(cfg_local, backend)
 
     if method in ("cg1", "pipecg") and backend != "collective":
         # one-reduction CG variants: the iteration's two allreduces collapse
@@ -504,6 +510,22 @@ def _z_mask(op_local: StencilOperator, shard_idx, nz_global: int, dtype):
     return (z < nz_global).astype(dtype)[:, None]
 
 
+def masked_backend(cfg_local: ProblemConfig, backend: str = "auto") -> str:
+    """Resolve the masked (remainder-shard) solver's kernel tier — shared by
+    make_distributed_cg_masked and sweep.py so reported backends match what
+    actually ran."""
+    if backend == "auto":
+        if (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(cfg_local.dtype).itemsize in (2, 4)
+        ):
+            return "pallas"
+        return "stencil"
+    if backend not in ("stencil", "pallas"):
+        raise ValueError(f"masked solver backends: auto|stencil|pallas, got {backend!r}")
+    return backend
+
+
 def make_distributed_cg_masked(
     cfg_local: ProblemConfig,
     mesh: Mesh,
@@ -512,6 +534,7 @@ def make_distributed_cg_masked(
     max_iter: int,
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
+    backend: str = "auto",
 ):
     """Distributed stencil CG for a global nz that does NOT divide the mesh.
 
@@ -525,12 +548,82 @@ def make_distributed_cg_masked(
     M A M restricted to real rows IS the true global operator — and with
     b = x0 = 0 on padding, the padded residuals are identically zero, so the
     CG trajectory equals the unpadded problem's exactly.
+
+    backend="pallas" (auto on TPU, round-2 missing #3) runs the same masked
+    operator around the overlapped pallas-v2 halo SpMV: the z-plane mask is
+    two cheap XLA elementwise multiplies fused around the kernel, so
+    remainder points in the strong-scaling sweep keep kernel speed instead
+    of dropping to the XLA tier.
     """
     op_local = local_operator(cfg_local)
     nz_l = cfg_local.nz
     plane = cfg_local.nx * cfg_local.ny
     if nz_l * axis_size(mesh, axis) < nz_global:
         raise ValueError("local nz too small to cover the global domain")
+    backend = masked_backend(cfg_local, backend)
+
+    if backend == "pallas":
+        from hpccg_tpu.ops.pallas.stencil_v2 import (
+            pad_plane3,
+            padded_dims,
+            unpad_plane3,
+        )
+        from hpccg_tpu.parallel.halo import (
+            stencil_matvec_halo_pallas_v2_overlap,
+        )
+
+        nzp, _, _ = padded_dims(op_local, cfg_local.dtype)
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            check_vma=False,
+        )
+        def solve_pallas(b, x0):
+            idx = jax.lax.axis_index(axis)
+            # plane mask in the padded layout; tile-pad planes (>= nz_l) are
+            # zeroed by the kernel's own valid mask either way
+            m3 = (
+                (jnp.arange(nzp) + idx * nz_l) < nz_global
+            ).astype(b.dtype)[:, None, None]
+
+            def matvec(u):
+                um = u * m3
+                y = stencil_matvec_halo_pallas_v2_overlap(op_local, um, axis)
+                return y * m3
+
+            def matvec_pap(u):
+                # p stays masked through the iteration (b/x0 masked, matvec
+                # output masked), so um . (A um) == um . (M A um): the
+                # kernel's fused partial is already the masked p.Ap
+                um = u * m3
+                y, pap = stencil_matvec_halo_pallas_v2_overlap(
+                    op_local, um, axis, with_pap=True
+                )
+                return y * m3, pap
+
+            res = cg_solve(
+                matvec,
+                pad_plane3(op_local, b),
+                pad_plane3(op_local, x0),
+                max_iter=max_iter,
+                tolerance=tolerance,
+                dot=lambda u, w: ddot(u, w, axis_name=axis),
+                matvec_pap=matvec_pap,
+                pap_reduce=lambda s: jax.lax.psum(s, axis),
+            )
+            return CGResult(
+                x=unpad_plane3(op_local, res.x),
+                niters=res.niters,
+                normr=res.normr,
+                rtrans=res.rtrans,
+                trace=res.trace,
+            )
+
+        return solve_pallas
 
     @jax.jit
     @partial(
@@ -754,7 +847,16 @@ def make_distributed_dia_cg(
     Returns solve(A_global, b, x0); A's row count must divide the mesh
     (pad with ``hpccg_tpu.io.pad_problem_rows``) and its bandwidth must fit
     one shard (else fall back to the all-gather ELL path).
+
+    HALO/COMPUTE OVERLAP (round-2 next #6): the main SpMV runs with a ZERO
+    halo — correct everywhere except the first bw_lo and last bw_hi rows —
+    so it carries no data dependency on the ppermutes; the exchanged strips
+    land as two tiny boundary corrections afterwards (XLA's latency-hiding
+    scheduler is then free to fly the exchange during the interior kernel,
+    the same structure as stencil_matvec_halo_pallas_v2_overlap).
     """
+    import numpy as np
+
     from hpccg_tpu.operators import DiaMatrix
 
     ndev = axis_size(mesh, axis)
@@ -781,6 +883,43 @@ def make_distributed_dia_cg(
         b = jax.device_put(b, vec_sh)
         x0 = jax.device_put(x0, vec_sh)
 
+        ndiag = len(offs)
+        # static gather maps for the boundary corrections: row i of the low
+        # strip reads hl[i + off + bw_lo] with hl = [halo_lo | zeros] (zeros
+        # where the position was already covered by the zero-halo kernel);
+        # row L-bw_hi+t of the high strip reads hh[t + off + bw_lo] with
+        # hh = [zeros | halo_hi]
+        idx_lo = (
+            jnp.asarray(np.asarray(offs)[:, None] + np.arange(bw_lo)[None, :] + bw_lo)
+            if bw_lo
+            else None
+        )
+        idx_hi = (
+            jnp.asarray(np.asarray(offs)[:, None] + np.arange(bw_hi)[None, :] + bw_lo)
+            if bw_hi
+            else None
+        )
+
+        def _corrections(y, strip_lo, strip_hi, lo, hi):
+            """Add the halo strips' contributions to the boundary rows.
+            O(ndiag * bw) work against the kernel's O(ndiag * L)."""
+            if bw_lo:
+                hl = jnp.concatenate([lo, jnp.zeros((bw_lo + bw_hi,), y.dtype)])
+                y = y.at[:bw_lo].add(
+                    jnp.sum(strip_lo.astype(y.dtype) * hl[idx_lo], axis=0)
+                )
+            if bw_hi:
+                hh = jnp.concatenate([jnp.zeros((bw_lo + bw_hi,), y.dtype), hi])
+                y = y.at[L - bw_hi :].add(
+                    jnp.sum(strip_hi.astype(y.dtype) * hh[idx_hi], axis=0)
+                )
+            return y
+
+        def _exchange(v):
+            lo = jax.lax.ppermute(v[L - bw_lo :], axis, fwd) if bw_lo else None
+            hi = jax.lax.ppermute(v[:bw_hi], axis, bwd) if bw_hi else None
+            return lo, hi
+
         if use_pallas:
             from hpccg_tpu.ops.pallas.dia_kernel import (
                 prepare_dia_shards,
@@ -800,18 +939,18 @@ def make_distributed_dia_cg(
                 check_vma=False,
             )
             def _solve_pallas(d2, b_l, x0_l):
+                # boundary strips of the diagonal data, recovered from the
+                # kernel layout (tiny slices; d2[d].reshape flattens the
+                # (nrows_pad, LANE) row blocks back to column order)
+                flat = d2[0].reshape(d2[0].shape[0], -1)
+                strip_lo = flat[:ndiag, :bw_lo] if bw_lo else None
+                strip_hi = flat[:ndiag, L - bw_hi : L] if bw_hi else None
+
                 def matvec(v):
-                    lo = (
-                        jax.lax.ppermute(v[L - bw_lo :], axis, fwd)
-                        if bw_lo
-                        else None
-                    )
-                    hi = (
-                        jax.lax.ppermute(v[:bw_hi], axis, bwd)
-                        if bw_hi
-                        else None
-                    )
-                    return spmv_dia_prepared(offs, d2[0], v, L, lo, hi)
+                    lo, hi = _exchange(v)
+                    # zero-halo kernel: no data dependency on the ppermutes
+                    y = spmv_dia_prepared(offs, d2[0], v, L, None, None)
+                    return _corrections(y, strip_lo, strip_hi, lo, hi)
 
                 return cg_solve(
                     matvec,
@@ -834,20 +973,20 @@ def make_distributed_dia_cg(
             out_specs=_result_specs(P(axis)),
         )
         def _solve(data_l, b_l, x0_l):
+            strip_lo = data_l[:, :bw_lo] if bw_lo else None
+            strip_hi = data_l[:, L - bw_hi :] if bw_hi else None
+
             def matvec(v):
-                parts = []
-                if bw_lo:
-                    parts.append(jax.lax.ppermute(v[L - bw_lo :], axis, fwd))
-                parts.append(v)
-                if bw_hi:
-                    parts.append(jax.lax.ppermute(v[:bw_hi], axis, bwd))
-                x_ext = jnp.concatenate(parts) if len(parts) > 1 else v
+                lo, hi = _exchange(v)
+                # interior sweep over a zero-extended LOCAL v only — the
+                # unrolled slices carry no ppermute dependency either
+                x_ext = jnp.pad(v, (bw_lo, bw_hi))
                 y = jnp.zeros((L,), v.dtype)
                 for d, off in enumerate(offs):
                     y = y + data_l[d] * jax.lax.slice_in_dim(
                         x_ext, bw_lo + off, bw_lo + off + L
                     )
-                return y
+                return _corrections(y, strip_lo, strip_hi, lo, hi)
 
             return cg_solve(
                 matvec,

@@ -24,7 +24,12 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="hpccg_tpu.sweep")
     ap.add_argument("mode", choices=["weak", "strong"])
-    ap.add_argument("--meshes", default="1,2,4,8")
+    ap.add_argument(
+        "--meshes",
+        default="1,2,4,8",
+        help="comma-separated mesh specs: N (1-D z mesh) or HxZ (explicit "
+        "2-D ('host','z') mesh, e.g. 2x4)",
+    )
     ap.add_argument("--per-chip", type=int, default=100, help="weak: nx=ny=nz per shard")
     ap.add_argument("--nx", type=int, default=64)
     ap.add_argument("--ny", type=int, default=64)
@@ -43,8 +48,11 @@ def main(argv=None) -> int:
 
     import os
 
+    from hpccg_tpu.cli import parse_mesh
+
+    mesh_specs = [parse_mesh(m) for m in args.meshes.split(",")]
     if args.platform == "cpu":
-        want = max(int(m) for m in args.meshes.split(","))
+        want = max(nd for nd, _ in mesh_specs)
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={want}"
@@ -67,6 +75,8 @@ def main(argv=None) -> int:
         generate_problem_sharded,
         make_distributed_cg,
         make_mesh,
+        make_mesh2d,
+        row_axis,
     )
     from hpccg_tpu.utils.timing import time_fn
 
@@ -76,10 +86,9 @@ def main(argv=None) -> int:
         if lead:
             print(json.dumps(obj), flush=True)
 
-    meshes = [int(m) for m in args.meshes.split(",")]
     dtype = jnp.dtype(args.dtype)
     results = []
-    for nd in meshes:
+    for nd, shape2d in mesh_specs:
         if nd > len(jax.devices()):
             emit({"mesh": nd, "skipped": f"only {len(jax.devices())} devices"})
             continue
@@ -99,7 +108,12 @@ def main(argv=None) -> int:
                 args.nx, args.ny, nz_local,
                 stencil=args.stencil, dtype=dtype,
             )
-        mesh = make_mesh(nd)
+        if shape2d is not None:
+            mesh = make_mesh2d(*shape2d)
+            axis = row_axis(mesh)
+        else:
+            mesh = make_mesh(nd)
+            axis = "z"
         k1, k2 = args.iters + 1, 8 * args.iters + 1
         backend = args.backend
         # the collective kernel's in-kernel allreduce is the cg1 recurrence
@@ -109,26 +123,32 @@ def main(argv=None) -> int:
             from hpccg_tpu.parallel.cg import (
                 generate_problem_sharded_masked,
                 make_distributed_cg_masked,
+                masked_backend,
             )
 
-            # the masked remainder solve has one implementation (XLA
-            # stencil halo); record the substitution in the point so mixed
-            # curves are not read as one backend
-            backend_used = "stencil-halo-masked"
+            # the masked remainder solve rides the same kernel tier as the
+            # divisible points (pallas on TPU): resolve through the shared
+            # helper so the reported backend is what actually ran
+            mb = masked_backend(
+                cfg, args.backend if args.backend in ("auto", "pallas") else "auto"
+            )
+            backend_used = f"{mb}-halo-masked"
 
             prob = generate_problem_sharded_masked(
-                cfg, mesh, nz_global=args.global_nz
+                cfg, mesh, nz_global=args.global_nz, axis=axis
             )
             s1 = make_distributed_cg_masked(
-                cfg, mesh, nz_global=args.global_nz, max_iter=k1
+                cfg, mesh, nz_global=args.global_nz, max_iter=k1,
+                backend=mb, axis=axis,
             )
             s2 = make_distributed_cg_masked(
-                cfg, mesh, nz_global=args.global_nz, max_iter=k2
+                cfg, mesh, nz_global=args.global_nz, max_iter=k2,
+                backend=mb, axis=axis,
             )
         else:
-            prob = generate_problem_sharded(cfg, mesh)
-            s1 = make_distributed_cg(cfg, mesh, max_iter=k1, backend=backend, method=method)
-            s2 = make_distributed_cg(cfg, mesh, max_iter=k2, backend=backend, method=method)
+            prob = generate_problem_sharded(cfg, mesh, axis=axis)
+            s1 = make_distributed_cg(cfg, mesh, max_iter=k1, backend=backend, method=method, axis=axis)
+            s2 = make_distributed_cg(cfg, mesh, max_iter=k2, backend=backend, method=method, axis=axis)
         t1 = time_fn(s1, prob.b, prob.x0, reps=3)
         t2 = time_fn(s2, prob.b, prob.x0, reps=3)
         below_res = (t2 - t1) <= 0
@@ -137,6 +157,7 @@ def main(argv=None) -> int:
         point = {
             "mode": args.mode,
             "mesh": nd,
+            **({"mesh_axes": list(mesh.axis_names)} if shape2d else {}),
             "local_dims": [cfg.nx, cfg.ny, cfg.nz],
             "backend": backend_used,
             **({"global_nz": args.global_nz, "remainder_masked": True} if remainder else {}),

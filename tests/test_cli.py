@@ -142,3 +142,27 @@ def test_refine_flag():
 def test_refine_requires_f64():
     rc, _ = run_cli(["8", "8", "8", "--refine", "2", "--dtype", "float32"])
     assert rc == 2
+
+
+def test_mesh_report_benches_solved_tier(run_cli=None):
+    """round-2 weak #2: in mesh mode the SPARSEMV Time-Summary row
+    micro-benchmarks the tier the solve ran — with --backend pallas the
+    bench loop runs the overlapped pallas-v2 halo matvec (interpret mode
+    off-chip) and the disclaimer names that backend."""
+    import contextlib
+    import io as _io
+    import json
+
+    from hpccg_tpu.cli import main
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["6", "5", "4", "--dtype", "float32", "--max-iter", "10",
+                   "--mesh", "2", "--backend", "pallas", "--json", "--quiet"])
+    assert rc == 0
+    out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    ts = json.dumps(out["Time Summary"])
+    assert "backend=distributed:pallas" in ts
+    # the SPARSEMV row was actually measured (not NaN)
+    spmv_t = out["Time Summary"]["SPARSEMV"]
+    assert spmv_t == spmv_t and spmv_t > 0

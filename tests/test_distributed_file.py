@@ -309,3 +309,104 @@ def test_file_mesh_degenerate_diagonal_matrix(tmp_path):
     assert rc == 0
     out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     assert out["Parallelism"]["Number of mesh devices"] == 4
+
+
+def _subjaxprs_of(v):
+    if hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+        return [v.jaxpr]
+    if hasattr(v, "eqns"):
+        return [v]
+    if isinstance(v, (list, tuple)):
+        out = []
+        for item in v:
+            out.extend(_subjaxprs_of(item))
+        return out
+    return []
+
+
+def _eqn_subjaxprs(eqn):
+    out = []
+    for v in eqn.params.values():
+        out.extend(_subjaxprs_of(v))
+    return out
+
+
+# eqns that are transparent wrappers around their body (the eqn IS the
+# call); control-flow scopes (while/scan/cond/shard_map) are NOT — they
+# consume tainted carries legitimately and are recursed into instead
+_WRAPPERS = ("pjit", "jit", "remat", "checkpoint", "custom_jvp_call", "custom_vjp_call")
+
+
+def _contains_spmv(eqn):
+    """Is this eqn a direct SpMV kernel call — a pallas_call, possibly
+    under transparent wrappers (jit etc.)?"""
+    if eqn.primitive.name == "pallas_call":
+        return True
+    if eqn.primitive.name not in _WRAPPERS:
+        return False
+    return any(
+        any(_contains_spmv(e) for e in sub.eqns) for sub in _eqn_subjaxprs(eqn)
+    )
+
+
+def _kernel_ppermute_dep(jaxpr):
+    """True if, in any scope, an SpMV-containing eqn consumes a value
+    tainted by a ppermute of the SAME scope (conservative forward taint)."""
+    found = []
+
+    def walk(jx):
+        tainted = set()
+        for eqn in jx.eqns:
+            invars = [v for v in eqn.invars if hasattr(v, "count")]
+            is_tainted = any(v in tainted for v in invars)
+            if eqn.primitive.name == "ppermute":
+                tainted.update(eqn.outvars)
+                continue
+            if _contains_spmv(eqn) and is_tainted:
+                found.append(eqn.primitive.name)
+            if is_tainted:
+                tainted.update(eqn.outvars)
+            for sub in _eqn_subjaxprs(eqn):
+                walk(sub)
+
+    walk(jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr)
+    return bool(found)
+
+
+@pytest.mark.slow
+def test_dia_halo_overlap_kernel_has_no_ppermute_dependency():
+    """round-2 next #6: the distributed DIA matvec runs its kernel on a
+    zero halo (ppermute feeds only the tiny boundary corrections), so the
+    exchange can fly during the interior sweep."""
+    import jax
+
+    # pallas tier: > 128 diagonals, f32
+    n, ndev = 2048, 4
+    offs = tuple(range(-70, 71))  # 141 diagonals
+    rng = np.random.default_rng(0)
+    data = np.zeros((len(offs), n), np.float32)
+    for d, off in enumerate(offs):
+        lo, hi = max(0, -off), min(n, n - off)
+        data[d, lo:hi] = 300.0 if off == 0 else rng.uniform(-1, -0.1, hi - lo)
+    A = DiaMatrix(data=jnp.asarray(data), offsets=offs, total_nrow=n)
+    b = A.matvec(jnp.ones((n,), jnp.float32))
+    solve = make_distributed_dia_cg(make_mesh(ndev), max_iter=3)
+    jaxpr = jax.make_jaxpr(lambda bb, xx: solve(A, bb, xx))(b, jnp.zeros_like(b))
+    assert not _kernel_ppermute_dep(jaxpr)
+
+    # parity still holds through the correction path
+    from hpccg_tpu.solver import make_cg
+
+    single = make_cg(A, max_iter=25, tolerance=0.0)(b, jnp.zeros_like(b))
+    dist = solve_n(A, b, ndev, 25)
+    ts, td = np.asarray(single.trace), np.asarray(dist.trace)
+    good = np.isfinite(ts) & (ts > 1e-5 * ts[0])
+    np.testing.assert_allclose(td[good], ts[good], rtol=2e-4)
+
+
+def solve_n(A, b, ndev, iters):
+    import jax.numpy as _jnp
+
+    return make_distributed_dia_cg(make_mesh(ndev), max_iter=iters, tolerance=0.0)(
+        A, b, _jnp.zeros_like(b)
+    )

@@ -161,3 +161,62 @@ def test_mesh2d_collective_matches_1d():
     )(prob1.b, prob1.x0)
     np.testing.assert_array_equal(np.asarray(r2.trace), np.asarray(r1.trace))
     np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r1.x))
+
+
+def test_cli_mesh_2d_matches_1d():
+    """round-2 missing #5: --mesh HxZ drives the explicit ('host','z') mesh
+    from the command line; the report names the axes and the solve matches
+    --mesh 8 bit-for-bit (same flattened row layout)."""
+    import contextlib
+    import io as _io
+    import json
+
+    from hpccg_tpu.cli import main
+
+    base = ["6", "5", "4", "--dtype", "float32", "--max-iter", "15",
+            "--skip-kernel-bench", "--json", "--quiet"]
+
+    def run(mesh):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(base + ["--mesh", mesh])
+        assert rc == 0
+        return json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+
+    r1 = run("8")
+    r2 = run("2x4")
+    assert r2["Parallelism"]["Mesh axes"] == "('host', 'z')"
+    assert r2["Parallelism"]["Number of mesh devices"] == 8
+    assert r1["Parallelism"]["Mesh axes"] == "z"
+    assert r2["Number of iterations"] == r1["Number of iterations"]
+    assert r2["Final residual"] == r1["Final residual"]  # bit-for-bit
+
+
+def test_cli_mesh_spec_errors():
+    from hpccg_tpu.cli import parse_mesh
+
+    assert parse_mesh("8") == (8, None)
+    assert parse_mesh("2x4") == (8, (2, 4))
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        parse_mesh("2x")
+    with _pytest.raises(SystemExit):
+        parse_mesh("abc")
+    with _pytest.raises(SystemExit):
+        parse_mesh("0x4")
+
+
+def test_sweep_mesh_2d_point(capsys):
+    import json
+
+    from hpccg_tpu.sweep import main as sweep_main
+
+    rc = sweep_main(
+        ["weak", "--meshes", "2x4", "--per-chip", "4",
+         "--dtype", "float64", "--iters", "4"]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    pts = [l for l in lines if l.get("mesh") == 8]
+    assert pts and pts[0]["mesh_axes"] == ["host", "z"]
