@@ -82,22 +82,38 @@ def _kernel(offs_ref, xp_ref, data_ref, y_ref, *, pad_lo: int):
         y_ref[:] = jnp.zeros_like(y_ref)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB_ROWS, LANE), 1)
+    # pin the lane constant to i32: under jax_enable_x64 the Python literal
+    # traces as a weak i64, whose promotion convert Mosaic cannot lower
+    # (infinite _convert_helper recursion) — bites every f64 run
+    lc = jnp.asarray(LANE, jnp.int32)
     acc = y_ref[:]
     for j in range(DG):
         idx = d * DG + j
         off = offs_ref[idx]
-        q = jnp.floor_divide(off, LANE)
-        r = off - q * LANE  # in [0, 128)
+        q = jnp.floor_divide(off, lc)
+        r = off - q * lc  # in [0, 128)
         # xp rows [pad_lo + base + q, +RB_ROWS+1): base is handled by the
         # x BlockSpec being the FULL array; slice dynamically here.
         base = pl.program_id(0) * RB_ROWS
         sl = xp_ref[pl.ds(pad_lo + base + q, RB_ROWS + 1)]
-        rot = pltpu.roll(sl, (LANE - r) % LANE, axis=1)
-        g = jnp.where(lane < LANE - r, rot[0:RB_ROWS], rot[1 : RB_ROWS + 1])
+        rot = pltpu.roll(sl, (lc - r) % lc, axis=1)
+        g = jnp.where(lane < lc - r, rot[0:RB_ROWS], rot[1 : RB_ROWS + 1])
         contrib = data_ref[j] * g
         # diagonal slots past the real ndiag are zero-padded data: no mask
         acc = acc + contrib
     y_ref[:] = acc
+
+
+# index-map literals must be i32: under jax_enable_x64 a Python 0 traces as
+# i64 in the lowered transform function and Mosaic rejects it (this bit the
+# whole-array xp spec's default (0, 0) map on every f64 run)
+_I0 = None  # set below; numpy import is deferred at module top
+
+
+def _i0():
+    import numpy as np
+
+    return np.int32(0)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -109,20 +125,24 @@ def _spmv_dia_pallas(offsets, data2, xp, interpret: bool):
     offs_arr = jnp.asarray(
         offsets + (0,) * (ndiag_pad - len(offsets)), jnp.int32
     )
+    z = _i0()
     return pl.pallas_call(
         partial(_kernel, pad_lo=pad_lo),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # xp: whole array
+                pl.BlockSpec(
+                    xp.shape, lambda i, d, offs: (z, z),
+                    memory_space=pltpu.VMEM,
+                ),  # xp: whole array, explicit i32 map
                 pl.BlockSpec(
                     (DG, RB_ROWS, LANE),
-                    lambda i, d, offs: (d, i, 0),
+                    lambda i, d, offs: (d, i, z),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (RB_ROWS, LANE), lambda i, d, offs: (i, 0)
+                (RB_ROWS, LANE), lambda i, d, offs: (i, z)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, LANE), data2.dtype),
@@ -360,3 +380,301 @@ def prepare_dia(A) -> PreparedDia:
     )
     _cache_put(_prepared_ops, key, A.data, prepared)
     return prepared
+
+
+# ---------------------------------------------------------------------------
+# Double-float (two-f32) blocked-DIA kernel — the f64 general path
+# ---------------------------------------------------------------------------
+# The reference runs everything in f64 (HPC_sparsemv.cpp:68-87). Mosaic has
+# no f64 lowering, and the XLA unrolled-roll f64 path is capped at 256
+# diagonals by compile time (reorder.py) — so a wide-band f64 file matrix
+# previously had NO fast path. Here each f64 value is carried as an exact
+# (hi, lo) f32 pair and the MAC sweep runs compensated f32 arithmetic:
+#
+#   a*x = (a1 + a2 + alo) * (x1 + x2 + xlo)        Veltkamp 12-bit splits
+#       = a1*x1                                    exact f32 product
+#       + TwoSum(a1*x2, a2*x1)                     exact products, exact sum
+#       + (a2*x2 + ahi*xlo) + alo*xhi              O(2^-24) terms
+#
+# accumulated into two double-f32 accumulators with error-free TwoSum
+# transforms (renormalized once per slot). Worst-case error per output is
+# O(ndiag * 2^-48) — f64-class residual floors — at pure-f32 VPU speed and
+# 8 B/slot of stream traffic (vs the reference CSR's >= 12 B/nnz in f64).
+# The x splits (x1, x2, xlo) are built once per matvec in XLA and stay
+# VMEM-resident; diagonal (hi, lo) streams from HBM in blocks.
+
+_VELTKAMP = 4097.0  # 2^12 + 1: splits a 24-bit f32 significand 12 + 12
+
+
+def _two_sum(a, b):
+    """Error-free: a + b = s + e exactly (6 ops, Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _fast_two_sum(a, b):
+    """Error-free for |a| >= |b| (3 ops, Dekker)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _df_add(hi, lo, x):
+    """(hi, lo) += x without renormalization (7 ops); callers renorm
+    periodically to keep |lo| small."""
+    s, e = _two_sum(hi, x)
+    return s, lo + e
+
+
+def dia_dd_supported(ndiag_offsets, n: int) -> bool:
+    """Can the double-float DIA kernel run this (offsets, n): three
+    bandwidth-padded f32 x-splits VMEM-resident + two diagonal streams."""
+    qmin = min(ndiag_offsets) // LANE if ndiag_offsets else 0
+    qmax = max(ndiag_offsets) // LANE if ndiag_offsets else 0
+    pad_lo = max(0, -qmin) + RB_ROWS
+    pad_hi = max(0, qmax + 1) + RB_ROWS
+    rows = _cdiv(n, LANE) + pad_lo + pad_hi
+    xp_bytes = 3 * rows * LANE * 4
+    blocks = 2 * (2 * DG * RB_ROWS * LANE + 2 * RB_ROWS * LANE) * 4
+    return xp_bytes + blocks + (8 << 20) <= DIA_VMEM_LIMIT
+
+
+def _kernel_dd(
+    offs_ref, x1_ref, x2_ref, xlo_ref, dhi_ref, dlo_ref,
+    yhi_ref, ylo_ref, acc_ref, *, pad_lo: int
+):
+    """Grid (row_blocks, diag_blocks), diag innermost; acc_ref carries the
+    two double-f32 accumulators across diag steps."""
+    d = pl.program_id(1)
+    nd = pl.num_programs(1)
+
+    @pl.when(d == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RB_ROWS, LANE), 1)
+    lc = jnp.asarray(LANE, jnp.int32)  # i32-pinned (see _kernel)
+    base = pl.program_id(0) * RB_ROWS
+    sh, sl = acc_ref[0], acc_ref[1]  # main double-f32 accumulator
+    th, tl = acc_ref[2], acc_ref[3]  # small-terms double-f32 accumulator
+    for j in range(DG):
+        off = offs_ref[d * DG + j]
+        q = jnp.floor_divide(off, lc)
+        r = off - q * lc
+
+        def shifted(ref, q=q, r=r):
+            sl_ = ref[pl.ds(pad_lo + base + q, RB_ROWS + 1)]
+            rot = pltpu.roll(sl_, (lc - r) % lc, axis=1)
+            return jnp.where(lane < lc - r, rot[0:RB_ROWS], rot[1 : RB_ROWS + 1])
+
+        X1 = shifted(x1_ref)
+        X2 = shifted(x2_ref)
+        XLO = shifted(xlo_ref)
+        XHI = X1 + X2  # exact: Veltkamp halves recombine exactly
+        ahi = dhi_ref[j]
+        alo = dlo_ref[j]
+        c = ahi * _VELTKAMP
+        a1 = c - (c - ahi)
+        a2 = ahi - a1
+        p1 = a1 * X1  # exact (12b x 12b)
+        v, verr = _two_sum(a1 * X2, a2 * X1)  # exact products
+        u = (a2 * X2 + ahi * XLO) + alo * XHI  # O(2^-24) terms
+        w = verr + u
+        sh, sl = _df_add(sh, sl, p1)
+        sh, sl = _df_add(sh, sl, v)
+        th, tl = _df_add(th, tl, w)
+        sh, sl = _fast_two_sum(sh, sl)  # renorm once per slot
+    acc_ref[0], acc_ref[1] = sh, sl
+    acc_ref[2], acc_ref[3] = th, tl
+
+    @pl.when(d == nd - 1)
+    def _():
+        s, e = _two_sum(acc_ref[0], acc_ref[2])
+        lo = (acc_ref[1] + acc_ref[3]) + e
+        hi, lo2 = _fast_two_sum(s, lo)
+        yhi_ref[:] = hi
+        ylo_ref[:] = lo2
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _spmv_dia_dd(offsets, data2_hi, data2_lo, xp3, interpret: bool):
+    """xp3: (3, rows, LANE) f32 — the padded x1/x2/xlo splits."""
+    ndiag_pad, nrows, _ = data2_hi.shape
+    qmin = min(offsets) // LANE if offsets else 0
+    pad_lo = max(0, -qmin) + RB_ROWS
+    grid = (nrows // RB_ROWS, ndiag_pad // DG)
+    offs_arr = jnp.asarray(offsets + (0,) * (ndiag_pad - len(offsets)), jnp.int32)
+    z = _i0()
+    xshape = xp3.shape[1:]
+    return pl.pallas_call(
+        partial(_kernel_dd, pad_lo=pad_lo),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(xshape, lambda i, d, offs: (z, z), memory_space=pltpu.VMEM),
+                pl.BlockSpec(xshape, lambda i, d, offs: (z, z), memory_space=pltpu.VMEM),
+                pl.BlockSpec(xshape, lambda i, d, offs: (z, z), memory_space=pltpu.VMEM),
+                pl.BlockSpec((DG, RB_ROWS, LANE), lambda i, d, offs: (d, i, z)),
+                pl.BlockSpec((DG, RB_ROWS, LANE), lambda i, d, offs: (d, i, z)),
+            ],
+            out_specs=(
+                pl.BlockSpec((RB_ROWS, LANE), lambda i, d, offs: (i, z)),
+                pl.BlockSpec((RB_ROWS, LANE), lambda i, d, offs: (i, z)),
+            ),
+            scratch_shapes=[pltpu.VMEM((4, RB_ROWS, LANE), jnp.float32)],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nrows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, LANE), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=DIA_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(offs_arr, xp3[0], xp3[1], xp3[2], data2_hi, data2_lo)
+
+
+def _split_x_dd(offsets: tuple, n: int, x, halo_lo=None, halo_hi=None):
+    """f64 x -> padded (3, rows, LANE) f32 splits [x1, x2, xlo], with the
+    optional neighbor halo written into the bandwidth padding first."""
+    nrows, nrows_pad, pad_lo, pad_hi, _ = _plan(offsets, n)
+    xp = jnp.zeros(((pad_lo + nrows_pad + pad_hi) * LANE,), x.dtype)
+    base = pad_lo * LANE
+    xp = jax.lax.dynamic_update_slice(xp, x, (base,))
+    if halo_lo is not None and halo_lo.shape[0]:
+        xp = jax.lax.dynamic_update_slice(
+            xp, halo_lo.astype(x.dtype), (base - halo_lo.shape[0],)
+        )
+    if halo_hi is not None and halo_hi.shape[0]:
+        xp = jax.lax.dynamic_update_slice(xp, halo_hi.astype(x.dtype), (base + n,))
+    x_hi = xp.astype(jnp.float32)
+    x_lo = (xp - x_hi.astype(xp.dtype)).astype(jnp.float32)
+    c = x_hi * jnp.float32(_VELTKAMP)
+    x1 = c - (c - x_hi)
+    x2 = x_hi - x1
+    return jnp.stack([x1, x2, x_lo]).reshape(3, -1, LANE)
+
+
+def spmv_dia_dd_prepared(
+    offsets: tuple,
+    data2_hi: jax.Array,
+    data2_lo: jax.Array,
+    x: jax.Array,
+    n: int,
+    halo_lo: jax.Array | None = None,
+    halo_hi: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """f64 y = A @ x from pre-split diagonal streams (double-f32 kernel),
+    with optional neighbor halo filled into the bandwidth padding (the
+    distributed entry point, like spmv_dia_prepared)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xp3 = _split_x_dd(offsets, n, x, halo_lo, halo_hi)
+    yhi, ylo = _spmv_dia_dd(offsets, data2_hi, data2_lo, xp3, interpret)
+    y = yhi.astype(x.dtype) + ylo.astype(x.dtype)
+    return y.reshape(-1)[:n]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data2_hi", "data2_lo"],
+    meta_fields=["offsets", "n", "total_nrow", "nnz_count"],
+)
+@_dc.dataclass(frozen=True)
+class PreparedDiaDD:
+    """Kernel-layout double-f32 DIA operator for f64 matrices."""
+
+    data2_hi: jax.Array
+    data2_lo: jax.Array
+    offsets: tuple
+    n: int
+    total_nrow: int
+    nnz_count: int
+
+    @property
+    def local_nrow(self) -> int:
+        return self.n
+
+    @property
+    def ndiag(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float64)
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_count
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return spmv_dia_dd_prepared(
+            self.offsets, self.data2_hi, self.data2_lo, x, self.n
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.matvec(x)
+
+
+_prepared_dd: dict = {}
+
+
+def prepare_dia_dd(A) -> PreparedDiaDD:
+    """Eagerly split an f64 DiaMatrix into kernel-layout (hi, lo) f32
+    streams (exact: lo = data - f64(hi)). Cached per data buffer."""
+    import numpy as np
+
+    key = id(A.data)
+    hit = _prepared_dd.get(key)
+    if hit is not None:
+        ref, prepared = hit
+        if ref() is A.data:
+            return prepared
+    offsets = tuple(int(o) for o in A.offsets)
+    n = A.local_nrow
+    data = np.asarray(A.data, np.float64)
+    hi = data.astype(np.float32)
+    lo = (data - hi.astype(np.float64)).astype(np.float32)
+    _, nrows_pad, _, _, ndiag_pad = _plan(offsets, n)
+    out_hi = np.zeros((ndiag_pad, nrows_pad * LANE), np.float32)
+    out_lo = np.zeros((ndiag_pad, nrows_pad * LANE), np.float32)
+    out_hi[: len(offsets), :n] = hi
+    out_lo[: len(offsets), :n] = lo
+    prepared = PreparedDiaDD(
+        data2_hi=jnp.asarray(out_hi.reshape(ndiag_pad, nrows_pad, LANE)),
+        data2_lo=jnp.asarray(out_lo.reshape(ndiag_pad, nrows_pad, LANE)),
+        offsets=offsets,
+        n=n,
+        total_nrow=A.total_nrow or n,
+        nnz_count=int(A.nnz),
+    )
+    _cache_put(_prepared_dd, key, A.data, prepared)
+    return prepared
+
+
+def prepare_dia_dd_shards(A, ndev: int):
+    """Per-shard (hi, lo) kernel-layout streams for the distributed
+    double-f32 path: two (ndev, ndiag_pad, nrows_pad, LANE) arrays."""
+    import numpy as np
+
+    n = A.local_nrow
+    if n % ndev:
+        raise ValueError(f"{n} rows do not divide {ndev} shards")
+    L = n // ndev
+    offsets = tuple(int(o) for o in A.offsets)
+    data = np.asarray(A.data, np.float64)
+    hi = data.astype(np.float32)
+    lo = (data - hi.astype(np.float64)).astype(np.float32)
+    _, nrows_pad, _, _, ndiag_pad = _plan(offsets, L)
+    out_hi = np.zeros((ndev, ndiag_pad, nrows_pad * LANE), np.float32)
+    out_lo = np.zeros((ndev, ndiag_pad, nrows_pad * LANE), np.float32)
+    for r in range(ndev):
+        out_hi[r, : len(offsets), :L] = hi[:, r * L : (r + 1) * L]
+        out_lo[r, : len(offsets), :L] = lo[:, r * L : (r + 1) * L]
+    shape = (ndev, ndiag_pad, nrows_pad, LANE)
+    return jnp.asarray(out_hi.reshape(shape)), jnp.asarray(out_lo.reshape(shape))

@@ -18,11 +18,12 @@ from hpccg_tpu.operators import DiaMatrix, EllMatrix, StencilOperator
 def spmv(A, x: jax.Array, *, backend: str = "auto") -> jax.Array:
     """y = A @ x for any operator representation."""
     if backend in ("auto", "stencil", "ell", "dia"):
-        from hpccg_tpu.ops.pallas.dia_kernel import PreparedDia
+        from hpccg_tpu.ops.pallas.dia_kernel import PreparedDia, PreparedDiaDD
         from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
 
         if isinstance(
-            A, (StencilOperator, EllMatrix, DiaMatrix, PreparedDia, GellMatrix)
+            A,
+            (StencilOperator, EllMatrix, DiaMatrix, PreparedDia, PreparedDiaDD, GellMatrix),
         ):
             return A.matvec(x)
         raise TypeError(f"unknown operator type {type(A)}")

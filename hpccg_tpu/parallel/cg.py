@@ -795,34 +795,50 @@ def make_distributed_gell_cg(
 
 
 def dia_halo_plan(A, L: int):
-    """(ok, use_pallas, reason): can this DiaMatrix ride the ppermute
-    banded-halo path on L-row shards, and on which per-shard kernel tier?
+    """(ok, tier, reason): can this DiaMatrix ride the ppermute banded-halo
+    path on L-row shards, and on which per-shard kernel tier — "pallas"
+    (f32 blocked-DIA kernel), "dd" (f64 double-f32 kernel), or "unroll"
+    (XLA slice sweep, small diagonal counts).
 
     The single source of truth for the viability predicate — the CLI's
     fallback decision and make_distributed_dia_cg's errors both call this,
     so they cannot drift (a drift would turn the CLI's graceful all-gather
     fallback into an uncaught solver ValueError)."""
-    from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported
+    from hpccg_tpu.ops.pallas.dia_kernel import (
+        dia_dd_supported,
+        dia_pallas_supported,
+    )
 
     offs = tuple(int(o) for o in A.offsets)
-    # many-diagonal shards need the blocked-DIA Pallas kernel (halo strips
-    # written into its bandwidth padding); the unrolled slice path (one op
-    # per diagonal) covers small counts and f64, capped where its compile
-    # time blows up
-    use_pallas = len(offs) > 128 and dia_pallas_supported(offs, L, A.dtype)
-    if len(offs) > 256 and not use_pallas:
-        return False, False, (
+    # many-diagonal shards need a Pallas kernel tier (halo strips written
+    # into its bandwidth padding): blocked-DIA for f32, double-f32 for f64
+    # past the XLA unroll cap. The unrolled slice path (one op per
+    # diagonal) covers small counts, capped where compile time blows up.
+    tier = "unroll"
+    if len(offs) > 128 and dia_pallas_supported(offs, L, A.dtype):
+        tier = "pallas"
+    elif (
+        len(offs) > 256
+        and jnp.dtype(A.dtype).itemsize == 8
+        and jax.default_backend() == "tpu"
+        and dia_dd_supported(offs, L)
+    ):
+        # interpret-mode dd off-chip is orders slower than the all-gather
+        # fallback, so the plan only picks it on the real TPU
+        tier = "dd"
+    if len(offs) > 256 and tier == "unroll":
+        return False, tier, (
             f"{len(offs)} diagonals exceed the distributed DIA unroll cap "
-            "and the Pallas kernel does not support this shard/dtype"
+            "and no Pallas kernel tier supports this shard/dtype"
         )
     bw_lo = max(0, -min(offs)) if offs else 0
     bw_hi = max(0, max(offs)) if offs else 0
     if bw_lo > L or bw_hi > L:
-        return False, use_pallas, (
+        return False, tier, (
             f"bandwidth ({bw_lo}/{bw_hi}) exceeds the {L}-row shard: "
             "neighbor halo insufficient"
         )
-    return True, use_pallas, ""
+    return True, tier, ""
 
 
 def make_distributed_dia_cg(
@@ -872,9 +888,10 @@ def make_distributed_dia_cg(
             )
         L = n // ndev
         offs = tuple(int(o) for o in A.offsets)
-        ok, use_pallas, reason = dia_halo_plan(A, L)
+        ok, tier, reason = dia_halo_plan(A, L)
         if not ok:
             raise ValueError(f"{reason} — use make_distributed_ell_cg")
+        use_pallas = tier == "pallas"
         bw_lo = max(0, -min(offs)) if offs else 0
         bw_hi = max(0, max(offs)) if offs else 0
         fwd = [(i, i + 1) for i in range(ndev - 1)]
@@ -919,6 +936,58 @@ def make_distributed_dia_cg(
             lo = jax.lax.ppermute(v[L - bw_lo :], axis, fwd) if bw_lo else None
             hi = jax.lax.ppermute(v[:bw_hi], axis, bwd) if bw_hi else None
             return lo, hi
+
+        if tier == "dd":
+            # f64 wide band: per-shard double-f32 kernel (round-2 next #5),
+            # same zero-halo + boundary-correction overlap structure
+            from hpccg_tpu.ops.pallas.dia_kernel import (
+                prepare_dia_dd_shards,
+                spmv_dia_dd_prepared,
+            )
+
+            hi4, lo4 = prepare_dia_dd_shards(A, ndev)
+            hi4 = jax.device_put(hi4, NamedSharding(mesh, P(axis)))
+            lo4 = jax.device_put(lo4, NamedSharding(mesh, P(axis)))
+
+            @jax.jit
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=_result_specs(P(axis)),
+                check_vma=False,
+            )
+            def _solve_dd(dh, dl, b_l, x0_l):
+                fh = dh[0].reshape(dh[0].shape[0], -1)
+                fl = dl[0].reshape(dl[0].shape[0], -1)
+                dt = b_l.dtype
+                strip_lo = (
+                    fh[:ndiag, :bw_lo].astype(dt) + fl[:ndiag, :bw_lo].astype(dt)
+                    if bw_lo
+                    else None
+                )
+                strip_hi = (
+                    fh[:ndiag, L - bw_hi : L].astype(dt)
+                    + fl[:ndiag, L - bw_hi : L].astype(dt)
+                    if bw_hi
+                    else None
+                )
+
+                def matvec(v):
+                    lo, hi = _exchange(v)
+                    y = spmv_dia_dd_prepared(offs, dh[0], dl[0], v, L, None, None)
+                    return _corrections(y, strip_lo, strip_hi, lo, hi)
+
+                return cg_solve(
+                    matvec,
+                    b_l,
+                    x0_l,
+                    max_iter=max_iter,
+                    tolerance=tolerance,
+                    dot=lambda u, w: ddot(u, w, axis_name=axis),
+                )
+
+            return _solve_dd(hi4, lo4, b, x0)
 
         if use_pallas:
             from hpccg_tpu.ops.pallas.dia_kernel import (

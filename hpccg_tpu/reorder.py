@@ -192,10 +192,20 @@ def auto_structure(
         bw = max(bw_lo, bw_hi)
         ndiag = int(np.unique(offs).size)
         out = []
-        # f64 has no Pallas kernel: past ~128 diagonals the XLA roll loop's
-        # compile time scales with ndiag — cap rather than build a
-        # thousand-roll program
-        cap = min(max_diags, 256) if f64 else max_diags
+        # past ~256 diagonals the f64 XLA roll loop's compile time scales
+        # with ndiag — cap unless the TPU double-f32 DIA kernel covers it
+        # (make_cg routes f64 > 256-diagonal DiaMatrix there, round 3)
+        cap = max_diags
+        if f64:
+            import jax as _jax
+
+            from hpccg_tpu.ops.pallas.dia_kernel import dia_dd_supported
+
+            if not (
+                _jax.default_backend() == "tpu"
+                and dia_dd_supported((-bw_lo, bw_hi), n)
+            ):
+                cap = min(max_diags, 256)
         storage = ndiag * n * np.dtype(np.asarray(mat.vals).dtype).itemsize
         inflation = (ndiag * n) / max(nnz, 1)
         # both compressed formats (DIA and gather-ELL) drop stored zeros,

@@ -431,7 +431,12 @@ def make_cg(
     from hpccg_tpu.operators import DiaMatrix
 
     if isinstance(A, DiaMatrix) and A.ndiag > 128 and jax.default_backend() == "tpu":
-        from hpccg_tpu.ops.pallas.dia_kernel import dia_pallas_supported, prepare_dia
+        from hpccg_tpu.ops.pallas.dia_kernel import (
+            dia_dd_supported,
+            dia_pallas_supported,
+            prepare_dia,
+            prepare_dia_dd,
+        )
 
         if dia_pallas_supported(A.offsets, A.local_nrow, A.dtype) and not isinstance(
             A.data, jax.core.Tracer
@@ -441,6 +446,16 @@ def make_cg(
             # reliably hoisted out of the CG loop (30 vs 179 Gslots/s
             # measured at 257 diagonals x 1M rows)
             A = prepare_dia(A)
+        elif (
+            jnp.dtype(A.dtype).itemsize == 8
+            and A.ndiag > 256
+            and dia_dd_supported(A.offsets, A.local_nrow)
+            and not isinstance(A.data, jax.core.Tracer)
+        ):
+            # f64 past the XLA unroll cap: the double-f32 compensated
+            # kernel (round-3) — f64-class accuracy (~1e-14 rel matvec) at
+            # f32 VPU speed, no Mosaic f64 needed
+            A = prepare_dia_dd(A)
 
     if method in ("cg1", "pipecg"):
         solver_fn = (

@@ -1,11 +1,13 @@
 """bench.py is the driver's contract (ONE JSON line): guard it on CPU."""
 
+import pytest
 import io
 import json
 import sys
 from contextlib import redirect_stdout
 
 
+@pytest.mark.slow
 def test_bench_emits_one_json_line(monkeypatch):
     import bench
 

@@ -40,6 +40,7 @@ def test_mesh_mode():
     assert "global nz: 8" in out
 
 
+@pytest.mark.slow
 def test_file_mode(tmp_path):
     from hpccg_tpu import ProblemConfig
     from hpccg_tpu.io import write_hpc_row
@@ -99,6 +100,7 @@ def test_validate_flag():
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_validate_utilities():
     import jax.numpy as jnp
     import pytest as _pytest
@@ -144,6 +146,7 @@ def test_refine_requires_f64():
     assert rc == 2
 
 
+@pytest.mark.slow
 def test_mesh_report_benches_solved_tier(run_cli=None):
     """round-2 weak #2: in mesh mode the SPARSEMV Time-Summary row
     micro-benchmarks the tier the solve ran — with --backend pallas the

@@ -32,6 +32,7 @@ def _banded(n, offsets, seed=0, dtype=np.float64):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 4, 8])
 def test_distributed_dia_matches_single(ndev):
     n = 240
@@ -51,6 +52,7 @@ def test_distributed_dia_matches_single(ndev):
     )
 
 
+@pytest.mark.slow
 def test_distributed_dia_with_remainder_padding():
     """n = 250 on 8 devices: pad_problem_rows pads to 256 with identity
     rows whose residual is zero from the start — trajectory identical."""
@@ -109,6 +111,7 @@ class TestCliFileMesh:
         assert rc == 0
         return json.loads(buf.getvalue()[buf.getvalue().index("{") :])
 
+    @pytest.mark.slow
     def test_file_mesh_dia_halo(self, tmp_path):
         """Tall domain: band (nx*ny + nx + 1 = 26) fits a 40-row shard ->
         the ppermute banded-halo DIA path."""
@@ -122,6 +125,7 @@ class TestCliFileMesh:
         )
         assert r8["Parallelism"]["Number of mesh devices"] == 8
 
+    @pytest.mark.slow
     def test_file_mesh_wide_band_allgather(self, tmp_path):
         """Short domain: band 26 > 20-row shard -> all-gather ELL fallback,
         still distributed and still matching the single-device solve."""
@@ -135,6 +139,7 @@ class TestCliFileMesh:
         assert r8["Final residual"] < 1e-12 and r1["Final residual"] < 1e-12
         assert r8["Parallelism"]["Number of mesh devices"] == 8
 
+    @pytest.mark.slow
     def test_file_mesh_remainder_rows(self, tmp_path):
         # 5*4*7 = 140 rows on 8 devices -> padded to 144
         path = self._write(tmp_path, ProblemConfig(5, 4, 7))
@@ -145,6 +150,7 @@ class TestCliFileMesh:
         assert r8["Final residual"] < 1e-12 and r1["Final residual"] < 1e-12
 
 
+@pytest.mark.slow
 def test_file_mesh_scattered_band_goes_allgather(tmp_path):
     """An f64 scattered-narrow-band file under --mesh: the gather kernel is
     32-bit-only, so no gell tier is offered and the solve falls through to
@@ -199,6 +205,7 @@ def test_file_mesh_scattered_band_goes_allgather(tmp_path):
     assert out["Final residual"] < 1e-10
 
 
+@pytest.mark.slow
 def test_file_mesh_dump_matlab_no_crash(tmp_path):
     """--dump-matlab in distributed file mode dumps the loaded matrix
     (regression: the per-shard stencil dump branch used an unbound cfg)."""
@@ -221,6 +228,7 @@ def test_file_mesh_dump_matlab_no_crash(tmp_path):
     assert os.path.exists(prefix + "0.dat")
 
 
+@pytest.mark.slow
 def test_distributed_dia_rejects_many_diagonals():
     n = 600
     offs = tuple(range(-150, 151))  # 301 diagonals
@@ -236,6 +244,7 @@ def test_distributed_dia_rejects_many_diagonals():
         make_distributed_dia_cg(mesh, max_iter=5)(A, b, jnp.zeros_like(b))
 
 
+@pytest.mark.slow
 def test_file_mesh_many_diagonals(tmp_path, capsys):
     """A 301-diagonal banded file under --mesh: f32 rides the per-shard
     Pallas DIA kernel (halo-filled padding); f64 — no Pallas kernel, past

@@ -74,6 +74,7 @@ def _trace_parity(single, dist, rtol):
     np.testing.assert_allclose(td[good], ts[good], rtol=rtol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_distributed_gell_matches_single(ndev):
     n = 2048  # 2 tiles of 1024 rows per shard at ndev=2... and 256-row L at 8
@@ -90,6 +91,7 @@ def test_distributed_gell_matches_single(ndev):
     )
 
 
+@pytest.mark.slow
 def test_gell_shards_match_single_device_kernel():
     """The sharded kernels' assembled matvec equals the single-device gell
     kernel's (same windowed layout, halo strips replacing the padding)."""
@@ -157,6 +159,7 @@ def test_gell_to_ell_roundtrip():
     np.testing.assert_allclose(v1[o1], v2[o2], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_distributed_gell_remainder_padding():
     """Non-divisible rows: pad first, distributed trajectory matches the
     unpadded single-device solve exactly (pad residuals are 0 throughout)."""

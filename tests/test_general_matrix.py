@@ -73,6 +73,7 @@ class TestDiaPallasKernel:
             np.asarray(y, np.float64), y_ref, rtol=2e-5, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_matvec_dispatch_threshold(self, monkeypatch):
         """DiaMatrix.matvec routes >128-diagonal matrices to the kernel on
         TPU; the kernel path must agree with the unrolled-roll path."""
@@ -97,6 +98,7 @@ class TestDiaPallasKernel:
             np.asarray(y_kernel), np.asarray(y_loop), rtol=2e-5, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_cg_solves_256_diag_matrix(self):
         """End-to-end: CG on a random >=257-diagonal SPD matrix through the
         Pallas kernel (interpret) converges to the planted solution."""
@@ -240,6 +242,7 @@ class TestReorder:
         assert "no gather-free structure" in report.reason
 
 
+@pytest.mark.slow
 def test_solve_in_permuted_basis_matches_direct():
     """CG is basis-invariant: solving P A P^T y = P b and unpermuting gives
     the direct solution (the mechanism read_hpc_row_structured relies on)."""
@@ -316,6 +319,7 @@ class TestGellKernel:
             valid=jnp.asarray(valid), total_nrow=n,
         )
 
+    @pytest.mark.slow
     def test_matches_ell_oracle(self):
         from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell, spmv_gell
 
@@ -356,6 +360,7 @@ class TestGellKernel:
             rtol=3e-5, atol=1e-4,
         )
 
+    @pytest.mark.slow
     def test_cg_through_make_cg(self):
         from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
         from hpccg_tpu.solver import make_cg
@@ -403,6 +408,7 @@ class TestGellKernel:
         )
 
 
+@pytest.mark.slow
 def test_distributed_dia_pallas_many_diagonals_matches_single():
     """>128-diagonal f32 DIA over the mesh: the per-shard Pallas kernel with
     halo-filled padding matches the single-device PreparedDia solve."""

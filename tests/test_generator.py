@@ -76,6 +76,7 @@ def test_ell_partitioned_matches_oracle(size):
         np.testing.assert_allclose(np.asarray(prob.b), ob, rtol=0)
 
 
+@pytest.mark.slow
 def test_partitioned_shards_assemble_to_global():
     """Stacking shard matvecs (with a global x) == unpartitioned matvec."""
     cfg = ProblemConfig(3, 3, 2)

@@ -32,6 +32,7 @@ def test_hpc_row_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded.xexact), np.asarray(prob.xexact))
 
 
+@pytest.mark.slow
 def test_hpc_row_solve_end_to_end(tmp_path):
     """File-loaded matrix solves like the generated problem (mode 2 of the
     reference CLI, main.cpp:141-154)."""
@@ -189,6 +190,7 @@ def test_save_load_dia_problem(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_random_banded_spd_matrix_cg():
     """General-path end-to-end on a NON-stencil matrix: random banded SPD,
     solved through both ELL and DIA against numpy.linalg.solve."""

@@ -64,6 +64,7 @@ def test_sweep_strong_runs_nondivisible(capsys):
     assert pts[0]["global_nz"] == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nz_global,ndev", [(9, 8), (11, 4)])
 def test_masked_pallas_matches_xla_masked(nz_global, ndev):
     """round-2 missing #3: the masked remainder solve around the overlapped

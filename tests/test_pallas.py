@@ -31,6 +31,7 @@ CASES = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dims,stencil", CASES)
 def test_pallas_spmv_matches_xla(dims, stencil):
     nx, ny, nz = dims
@@ -59,6 +60,7 @@ def test_pallas_padding_stays_zero():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["pallas", "pallas_v1"])
 def test_pallas_cg_backend_matches_stencil(backend):
     cfg = ProblemConfig(12, 10, 9, dtype=jnp.float64)
@@ -102,6 +104,7 @@ def test_pallas_v2_padding_stays_zero():
     )
 
 
+@pytest.mark.slow
 def test_pallas_v2_external_halo():
     """v2 halo input reproduces an interior shard of a larger domain."""
     from hpccg_tpu.ops.pallas.stencil_v2 import (
@@ -163,6 +166,7 @@ def test_distributed_pallas_cg(ndev, backend):
     np.testing.assert_allclose(tp[good], ts[good], rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_cg_matches_reference_path():
     cfg = ProblemConfig(12, 10, 9, dtype=jnp.float64)
     prob = generate_problem(cfg)
@@ -191,6 +195,7 @@ def test_distributed_fused_cg(ndev):
     np.testing.assert_allclose(tf[good], ts[good], rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_megakernel_matches_stencil():
     cfg = ProblemConfig(12, 10, 9, dtype=jnp.float64)
     prob = generate_problem(cfg)
@@ -203,6 +208,7 @@ def test_megakernel_matches_stencil():
     np.testing.assert_allclose(tm[good], ts[good], rtol=1e-7)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stencil", [Stencil.S27, Stencil.S7])
 def test_megakernel_golden_run(stencil):
     """10^3 fixed-work run: trajectory must match the flat-path solver and,
@@ -216,6 +222,7 @@ def test_megakernel_golden_run(stencil):
         np.testing.assert_allclose(tm[15], 2.15402e-06, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_megakernel_early_exit_tolerance():
     cfg = ProblemConfig(8, 8, 8, dtype=jnp.float64)
     prob = generate_problem(cfg)
@@ -259,6 +266,7 @@ def test_streamkernel_matches_stencil(dims, stencil):
     np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rs.x), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_streamkernel_tolerance_exit_matches():
     from hpccg_tpu.ops.pallas.streamkernel import cg_solve_stream
 
@@ -273,6 +281,7 @@ def test_streamkernel_tolerance_exit_matches():
     np.testing.assert_allclose(float(rm.normr), float(rs.normr), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_streamkernel_dma_pipeline_race_free(monkeypatch):
     """Run the manual double-buffered DMA slab pipeline (multiple slabs, so
     loads/stores/drains actually interleave) under the full TPU interpreter's
@@ -356,6 +365,7 @@ def test_wholesolve_kernels_random_shapes(dims):
     np.testing.assert_allclose(np.asarray(trace[:, 0])[good], ts[good], rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_pallas_v2_bf16_parity():
     """round-3: 16-bit storage computes f32 in-kernel (the Mosaic bf16
     legalization workaround) — matvec and fused pAp match the XLA stencil
@@ -382,6 +392,7 @@ def test_pallas_v2_bf16_parity():
         assert abs(float(pap) - pap_ref) < 0.05 * abs(pap_ref) + 1.0
 
 
+@pytest.mark.slow
 def test_cg_pallas_bf16_matches_stencil():
     cfg = ProblemConfig(12, 10, 9, dtype=jnp.bfloat16)
     prob = generate_problem(cfg)

@@ -25,6 +25,7 @@ def global_cfg(cfg, size):
     return ProblemConfig(cfg.nx, cfg.ny, cfg.nz * size, stencil=cfg.stencil, dtype=cfg.dtype)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [1, 2, 4, 8])
 @pytest.mark.parametrize("stencil", [Stencil.S27, Stencil.S7])
 def test_halo_matvec_matches_global(ndev, stencil):
@@ -64,6 +65,7 @@ def test_sharded_generation_matches_global(ndev):
     assert len(prob.b.sharding.device_set) == ndev
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 4, 8])
 def test_distributed_cg_matches_single_device(ndev):
     """Trajectory parity: distributed solve == single-device solve."""
@@ -84,6 +86,7 @@ def test_distributed_cg_matches_single_device(ndev):
     np.testing.assert_allclose(t[mask], gt[mask], rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_distributed_ell_cg_matches_stencil():
     """General all-gather ELL path == stencil halo path on the same problem."""
     ndev = 4

@@ -18,6 +18,7 @@ from hpccg_tpu.parallel.cg import generate_problem_sharded, make_distributed_cg
 from hpccg_tpu.solver import make_cg, resolve_backend
 
 
+@pytest.mark.slow
 def test_collective_with_method_cg_warns():
     """backend='collective' + method='cg' must announce the cg1 substitution
     (VERDICT weak #1) — and still solve."""
@@ -82,6 +83,7 @@ class TestBf16Megakernel:
         x = np.asarray(res.x, np.float64)
         assert np.max(np.abs(x - 1.0)) < 0.1
 
+    @pytest.mark.slow
     def test_niters_exact_past_bf16_integer_range(self):
         """bf16 represents integers exactly only to 256; the f32 stats slot
         must count past that (ADVICE.md finding 3). A 2-D-ish slab converges
@@ -114,6 +116,7 @@ def test_fits_vmem_bf16_reach():
     assert not fits_vmem(op(208, "bfloat16"), jnp.bfloat16)
 
 
+@pytest.mark.slow
 def test_mega_slab_matches_whole_f32():
     """Forced slab mode reproduces the whole-grid trajectory (per-element
     stencil order is identical; only the p.Ap / r.r accumulation order

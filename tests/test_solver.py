@@ -13,6 +13,7 @@ from hpccg_tpu.solver import make_cg
 from oracle import GOLDEN_10_NITERS, GOLDEN_10_TRACE, oracle_cg, oracle_dense
 
 
+@pytest.mark.slow
 def test_converges_to_ones():
     cfg = ProblemConfig(8, 8, 8)
     prob = generate_problem(cfg)
@@ -95,6 +96,7 @@ def test_f32_mode_converges():
     assert float(compute_residual(res.x, prob.xexact)) < 1e-4
 
 
+@pytest.mark.slow
 def test_single_reduction_cg_matches_standard():
     """Chronopoulos-Gear CG: same trajectory as the reference recurrence to
     rounding (mathematically equivalent; one fused reduction per iteration)."""
@@ -148,6 +150,7 @@ def test_pipelined_cg_early_exit():
     assert float(res.normr) <= 1e-8
 
 
+@pytest.mark.slow
 def test_iterative_refinement_reaches_f64_accuracy():
     """Mixed-precision refinement: f32 inner solves, f64-floor result."""
     from hpccg_tpu.solver import cg_solve_refined
@@ -183,6 +186,7 @@ def test_resolve_backend_dispatch():
         resolve_backend(sprob.A, "pallass")
 
 
+@pytest.mark.slow
 def test_iterative_refinement_explicit_matrices():
     """Refinement's f32-cast branch for explicit operators (tree_map astype):
     ELL and DIA inner solves must reach the f64 floor too."""
@@ -197,6 +201,7 @@ def test_iterative_refinement_explicit_matrices():
         assert float(compute_residual(res.x, prob.xexact)) < 1e-12
 
 
+@pytest.mark.slow
 def test_make_cg_solver_config():
     from hpccg_tpu import SolverConfig
 

@@ -1,5 +1,6 @@
 """Scaling-sweep harness smoke tests (runs on the 8 virtual CPU devices)."""
 
+import pytest
 import io
 import json
 from contextlib import redirect_stdout
@@ -17,6 +18,7 @@ def run_sweep(args):
     return rc, lines
 
 
+@pytest.mark.slow
 def test_weak_sweep():
     rc, lines = run_sweep(
         ["weak", "--per-chip", "8", "--meshes", "1,2,4", "--iters", "4", "--dtype", "float64"]
@@ -36,6 +38,7 @@ def test_weak_sweep():
         assert set(summary["meshes"]) <= {1, 2, 4}
 
 
+@pytest.mark.slow
 def test_strong_sweep():
     rc, lines = run_sweep(
         ["strong", "--nx", "6", "--ny", "6", "--global-nz", "8",
@@ -54,6 +57,7 @@ def test_strong_sweep():
     assert len({p["global_nrow"] for p in divisible}) == 1
 
 
+@pytest.mark.slow
 def test_halo_overlap_matches_nonoverlap():
     import jax
     import jax.numpy as jnp
