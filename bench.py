@@ -211,7 +211,7 @@ def main():
                     "mflops_model": round(flops_per_iter / per_iter / 1e6, 1),
                     "final_normr": float(res.normr),
                     "timing": f"slope between {k1+1}- and {k2+1}-iteration solves; per-dispatch tunnel latency excluded",
-                    "other_paths": "general explicit matrices: blocked-DIA 188 Gslots/s @ 257 diag x 1M rows; gather-ELL 13-25 Gnnz/s by bandwidth; bf16 whole-solve to 200^3; see PERF.md + REPRODUCE.md",
+                    "other_paths": "general explicit matrices: blocked-DIA 188 Gslots/s @ 257 diag x 1M rows (f32); double-f32 f64 DIA 68 Gslots/s @ 301 diag x 262k rows (2.9e-14 rel err); gather-ELL 13-25 Gnnz/s by bandwidth (distributed via ppermute window strips); bf16 whole-solve to 200^3 + bf16 pallas HBM tier (256^3: 596 us/iter vs 791 XLA); see PERF.md + REPRODUCE.md",
                     "vs_baseline_def": "ours / (HBM_BW/12B-per-nnz), the reference CSR format's per-chip speed-of-light",
                 },
             }

@@ -243,7 +243,7 @@ def gell_to_ell(g: GellMatrix):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals4", "li4"],
+    data_fields=["vals4", "li4", "cl_idx", "cl_val", "ch_idx", "ch_val"],
     meta_fields=[
         "ndev", "L", "width", "k_chunks", "pbl", "bw_lo", "bw_hi",
         "total_nrow", "nnz_count", "slot_bounds",
@@ -264,6 +264,17 @@ class GellShards:
 
     vals4: jax.Array
     li4: jax.Array
+    # boundary-crossing entries as fixed-size per-shard COO lists:
+    # cl_idx (ndev, 2, C_lo) i32 rows [local_row, halo_lo_index] with
+    # values cl_val (ndev, C_lo) f32 (padding entries: value 0, index 0) —
+    # and the same for the upper neighbor (ch_*). These feed the
+    # HALO/COMPUTE OVERLAP: the gather kernel runs with a ZERO halo (no
+    # ppermute dependency) and the exchanged strips land as a tiny
+    # scatter-add correction on the boundary rows.
+    cl_idx: jax.Array
+    cl_val: jax.Array
+    ch_idx: jax.Array
+    ch_val: jax.Array
     ndev: int
     L: int  # rows per shard
     width: int
@@ -379,11 +390,40 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
     # pad rows (invalid everywhere) park at each slot's lo chunk
     l4[:, L:] = fallback[None]
 
+    # boundary-crossing entries as fixed-size per-shard COO lists for the
+    # overlap corrections: the zero-halo kernel reads exact zeros at these
+    # slots' window positions, so adding val * halo afterwards is exact
+    is_lo = valid & (cols < shard * L)
+    is_hi = valid & (cols >= (shard + 1) * L)
+
+    def _coo(mask, halo_index):
+        counts = mask.reshape(ndev, L * width).sum(axis=1)
+        C = max(int(counts.max()) if counts.size else 0, 1)
+        idx = np.zeros((ndev, 2, C), np.int32)
+        val = np.zeros((ndev, C), np.float32)
+        for r in range(ndev):
+            m = mask[r * L : (r + 1) * L]
+            rr, ww = np.nonzero(m)
+            k = len(rr)
+            if k:
+                cs = cols[r * L : (r + 1) * L][rr, ww]
+                val[r, :k] = vals[r * L : (r + 1) * L][rr, ww]
+                idx[r, 0, :k] = rr
+                idx[r, 1, :k] = halo_index(cs, r)
+        return idx, val
+
+    cl_idx, cl_val = _coo(is_lo, lambda c, r: c - (r * L - bw_lo))
+    ch_idx, ch_val = _coo(is_hi, lambda c, r: c - (r + 1) * L)
+
     vals4 = v4.reshape(ndev, T, SUB, LANE, width).transpose(0, 1, 4, 2, 3)
     li4 = l4.reshape(ndev, T, SUB, LANE, width).transpose(0, 1, 4, 2, 3)
     return GellShards(
         vals4=jnp.asarray(np.ascontiguousarray(vals4)),
         li4=jnp.asarray(np.ascontiguousarray(li4), jnp.int16),
+        cl_idx=jnp.asarray(cl_idx),
+        cl_val=jnp.asarray(cl_val),
+        ch_idx=jnp.asarray(ch_idx),
+        ch_val=jnp.asarray(ch_val),
         ndev=ndev,
         L=L,
         width=width,

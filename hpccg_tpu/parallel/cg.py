@@ -753,6 +753,10 @@ def make_distributed_gell_cg(
         mat_sh = NamedSharding(mesh, P(axis))
         vals4 = jax.device_put(shards.vals4, mat_sh)
         li4 = jax.device_put(shards.li4, mat_sh)
+        corr = jax.device_put(
+            (shards.cl_idx, shards.cl_val, shards.ch_idx, shards.ch_val),
+            mat_sh,
+        )
         kw = dict(
             L=L,
             width=shards.width,
@@ -766,11 +770,13 @@ def make_distributed_gell_cg(
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), (P(axis),) * 4, P(axis), P(axis)),
             out_specs=_result_specs(P(axis)),
             check_vma=False,
         )
-        def _solve(v4, l4, b_l, x0_l):
+        def _solve(v4, l4, corr_l, b_l, x0_l):
+            cli, clv, chi, chv = (a[0] for a in corr_l)
+
             def matvec(v):
                 lo = (
                     jax.lax.ppermute(v[L - bw_lo :], axis, fwd)
@@ -778,7 +784,16 @@ def make_distributed_gell_cg(
                     else None
                 )
                 hi = jax.lax.ppermute(v[:bw_hi], axis, bwd) if bw_hi else None
-                return spmv_gell_shard(v4[0], l4[0], v, lo, hi, **kw)
+                # HALO/COMPUTE OVERLAP: the gather kernel runs on a zero
+                # halo (boundary-crossing slots read exact zeros from the
+                # window padding), so it carries no ppermute dependency;
+                # the exchanged strips land as tiny scatter-add corrections
+                y = spmv_gell_shard(v4[0], l4[0], v, None, None, **kw)
+                if bw_lo:
+                    y = y.at[cli[0]].add(clv * lo[cli[1]])
+                if bw_hi:
+                    y = y.at[chi[0]].add(chv * hi[chi[1]])
+                return y
 
             return cg_solve(
                 matvec,
@@ -789,7 +804,7 @@ def make_distributed_gell_cg(
                 dot=lambda u, w: ddot(u, w, axis_name=axis),
             )
 
-        return _solve(vals4, li4, b, x0)
+        return _solve(vals4, li4, corr, b, x0)
 
     return solve
 

@@ -236,5 +236,24 @@ def test_gell_shards_is_pytree():
     import jax
 
     leaves = jax.tree_util.tree_leaves(shards)
-    assert len(leaves) == 2  # vals4, li4
+    assert len(leaves) == 6  # vals4, li4, and the 4 boundary-COO arrays
     assert isinstance(shards, GellShards)
+
+
+@pytest.mark.slow
+def test_gell_halo_overlap_kernel_has_no_ppermute_dependency():
+    """Like the DIA tier: the gather kernel runs on a zero halo and the
+    ppermuted strips feed only the boundary scatter-add corrections."""
+    import jax
+
+    from tests.test_distributed_file import _kernel_ppermute_dep
+
+    n, ndev = 2048, 4
+    ell = _scattered(n, bw=120, per_row=3, seed=9)
+    prob = _problem(ell)
+    shards = prepare_gell_shards(ell, ndev)  # host prep outside the trace
+    solve = make_distributed_gell_cg(make_mesh(ndev), max_iter=3)
+    jaxpr = jax.make_jaxpr(lambda bb, xx: solve(shards, bb, xx))(
+        prob.b, prob.x0
+    )
+    assert not _kernel_ppermute_dep(jaxpr)
