@@ -1,0 +1,58 @@
+"""How much does the emulated-f64 XLA stencil path cost vs f32? (round 3)
+
+The reference binary is all-f64 (HPC_sparsemv.cpp:68-87); our generated-
+problem tiers are f32/bf16 Pallas with f64 riding the XLA stencil under
+jax_enable_x64 (TPU emulates f64 in software). This probe pins the gap the
+double-float stencil tier has to close.  Run: PYTHONPATH=. python exp/f64_stencil_probe.py
+"""
+import statistics
+import sys
+import time
+
+T0 = time.time()
+
+
+def log(*a):
+    print(f"[{time.time()-T0:7.1f}s]", *a, flush=True)
+
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from hpccg_tpu import ProblemConfig, generate_problem
+from hpccg_tpu.solver import make_cg
+
+
+def cg_per_iter(nx, dtype, backend="stencil", k1=65, k2=513):
+    cfg = ProblemConfig(nx, nx, nx, dtype=dtype)
+    prob = generate_problem(cfg)
+    s1 = make_cg(prob.A, max_iter=k1, tolerance=0.0, backend=backend)
+    s2 = make_cg(prob.A, max_iter=k2, tolerance=0.0, backend=backend)
+    r1 = jax.block_until_ready(s1(prob.b, prob.x0))
+    r2 = jax.block_until_ready(s2(prob.b, prob.x0))
+    assert int(r2.niters) >= 2 * int(r1.niters), (int(r1.niters), int(r2.niters))
+    sl = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(s1(prob.b, prob.x0))
+        t1 = time.perf_counter()
+        jax.block_until_ready(s2(prob.b, prob.x0))
+        t2 = time.perf_counter()
+        sl.append(((t2 - t1) - (t1 - t0)) / (int(r2.niters) - int(r1.niters)))
+    t = statistics.median(sl)
+    log(
+        f"{nx}^3 {jnp.dtype(dtype).name:8s} {backend:12s} "
+        f"{t*1e6:9.1f} us/iter  ({nx**3*27/t/1e9:7.1f} Gnnz/s)"
+    )
+    return t
+
+
+if __name__ == "__main__":
+    log("backend", jax.default_backend())
+    sizes = [int(a) for a in sys.argv[1:]] or [100, 160, 208]
+    for nx in sizes:
+        cg_per_iter(nx, jnp.float32)
+        cg_per_iter(nx, jnp.float64)
+        cg_per_iter(nx, jnp.float64, backend="pallas_dd")

@@ -63,6 +63,7 @@ def build_argparser() -> argparse.ArgumentParser:
             "ell",
             "dia",
             "pallas",
+            "pallas_dd",
             "pallas_v1",
             "pallas_fused",
             "megakernel",
@@ -162,11 +163,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
         if jax.default_backend() == "tpu":
             print(
-                "# note: f64 on TPU is emulated with f32-pair arithmetic "
-                "(values < ~1e-38 flush to zero) and compiles MUCH slower "
-                "than f32 (minutes on first run); use CPU for "
-                "deep-convergence parity, or --refine for f64-floor "
-                "accuracy from fast f32 kernels",
+                "# note: f64 on TPU has an f32 exponent range (values "
+                "< ~1e-38 flush to zero); generated problems ride the "
+                "double-float (two-f32) Pallas stencil kernel "
+                "(backend=pallas_dd, f64-class accuracy); use CPU for "
+                "bit-exact deep-convergence parity, or --refine for "
+                "f64-floor accuracy from fast f32 kernels",
                 file=sys.stderr,
             )
     import jax.numpy as jnp
@@ -517,9 +519,10 @@ def main(argv=None) -> int:
 
             from hpccg_tpu.utils.timing import time_loop_slope
 
-            if backend_used == "distributed:pallas":
+            if backend_used in ("distributed:pallas", "distributed:pallas_dd"):
                 # bench the tier the solve actually ran (round-2 weak #2):
                 # the overlapped pallas-v2 halo matvec in the padded layout
+                # (dd = the double-float kernel for f64 shards, round 3)
                 from hpccg_tpu.ops.pallas.stencil_v2 import (
                     pad_plane3,
                     unpad_plane3,
@@ -528,6 +531,8 @@ def main(argv=None) -> int:
                     stencil_matvec_halo_pallas_v2_overlap,
                 )
 
+                _dd = backend_used == "distributed:pallas_dd"
+
                 def make_spmv_loop(k):
                     def f(v):
                         u = pad_plane3(op_local, v)
@@ -535,7 +540,7 @@ def main(argv=None) -> int:
                             0,
                             k,
                             lambda i, c: stencil_matvec_halo_pallas_v2_overlap(
-                                op_local, c, axis
+                                op_local, c, axis, dd=_dd
                             )
                             * (1.0 / 54.0),
                             u,
@@ -568,6 +573,31 @@ def main(argv=None) -> int:
                     )
 
             t_spmv1 = time_loop_slope(make_spmv_loop, prob.x0)
+        elif backend_used == "pallas_dd":
+            # bench the tier that solved (round-2 weak #2): the f64 solve
+            # ran the double-float stencil kernel in the padded layout, so
+            # pad once outside the timed loop like the solve does
+            from hpccg_tpu.ops.pallas.stencil_v2 import (
+                pad_plane3,
+                spmv_padded_v2_dd,
+                unpad_plane3,
+            )
+            from hpccg_tpu.utils.timing import time_loop_slope
+
+            def make_dd_loop(k):
+                def f(v):
+                    u = pad_plane3(prob.A, v)
+                    u = jax.lax.fori_loop(
+                        0,
+                        k,
+                        lambda i, c: spmv_padded_v2_dd(prob.A, c) * (1.0 / 54.0),
+                        u,
+                    )
+                    return unpad_plane3(prob.A, u)
+
+                return jax.jit(f)
+
+            t_spmv1 = time_loop_slope(make_dd_loop, prob.x0)
         else:
             t_spmv1 = time_loop_body(
                 # whole-solve backends (megakernel/streamkernel/...) have no

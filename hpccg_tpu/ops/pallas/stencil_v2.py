@@ -336,3 +336,210 @@ def spmv_stencil_pallas_v2(
     """y = A @ x for a flat (n,) vector (pads/unpads around the kernel)."""
     u = pad_plane3(op, x, tz)
     return unpad_plane3(op, spmv_padded_v2(op, u, None, interpret, tz))
+
+
+# ---------------------------------------------------------------------------
+# Double-float (two-f32) stencil kernel — the f64 generated-problem path
+# ---------------------------------------------------------------------------
+# The reference runs everything in f64 (HPC_sparsemv.cpp:68-87, main.cpp's
+# double vectors). Mosaic has no f64 lowering, and XLA's TPU f64 is software
+# double-double emulation applied to EVERY op of the 27-point sum — an order
+# of magnitude off the f32 kernels. Like dia_kernel._kernel_dd, this variant
+# carries x as an exact (hi, lo) f32 pair and exploits the stencil's
+# structure: the coefficients are the exact small integers 28 = diag-offdiag
+# and -1, so
+#
+#   - the hi-channel neighbor sums run the SAME factored sum3_x/sum3_y/z
+#     reduction as the f32 kernel but through error-free TwoSum chains, each
+#     add's rounding error captured into a plain-f32 error channel (errors
+#     are O(2^-24)-scale: summing THEM naively costs only O(2^-48));
+#   - the lo channel is eps-scale, so its 27-sum runs plain f32;
+#   - 28*hi splits exactly (Veltkamp h1+h2: 28*h1 and 28*h2 are exact —
+#     5-bit coefficient times 12-bit halves), and OFFDIAG = -1 is an exact
+#     negation.
+#
+# Worst-case error per output is O(2^-48 * 27|x|) — f64-class residual
+# floors — at f32 VPU speed and 2x f32 HBM traffic (16 B/point vs XLA-f64's
+# same traffic but ~10-20 emulated ops per arithmetic op). The CG loop
+# around it stays XLA f64 (itself double-double on TPU, and axpy/dot are
+# bandwidth-bound so emulation hurts far less there than in the 27-sum).
+
+
+def _two_sum3(a, b, c):
+    """(s, e): s = fl(a+b+c) via a TwoSum chain, e = the exact rounding
+    error of both adds (plain-f32 combined — e is already eps-scale)."""
+    s1, e1 = _two_sum_v(a, b)
+    s, e2 = _two_sum_v(s1, c)
+    return s, e1 + e2
+
+
+def _two_sum_v(a, b):
+    """Error-free transform: a + b = s + e exactly (6 ops, Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+_VELTKAMP = 4097.0  # 2^12 + 1: split 24-bit significand 12+12
+
+
+def _xpair(u: jax.Array, nx: int) -> tuple[jax.Array, jax.Array]:
+    """(left, right) lane-neighbor shifts with the _sum3_x boundary rules:
+    zero pad lanes make masking free when nx < nx_pad (see _sum3_x)."""
+    nx_pad = u.shape[-1]
+    left = pltpu.roll(u, jnp.asarray(1, jnp.int32), axis=u.ndim - 1)
+    right = pltpu.roll(u, jnp.asarray(nx_pad - 1, jnp.int32), axis=u.ndim - 1)
+    if nx < nx_pad:
+        return left, right
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
+    return (
+        left * (ix > 0).astype(u.dtype),
+        right * (ix < nx - 1).astype(u.dtype),
+    )
+
+
+def _kernel_dd(
+    halo_ref,
+    lohi_ref, midhi_ref, hihi_ref,
+    lolo_ref, midlo_ref, hilo_ref,
+    yhi_ref, ylo_ref,
+    *, tz, nx, ny, nz, stencil,
+):
+    """Grid (nzb,): double-float stencil sweep over (hi, lo) f32 slabs.
+
+    halo_ref is (4, ny_pad, nx_pad): external z-boundary planes
+    [below_hi, above_hi, below_lo, above_lo] for distributed shards."""
+    i = pl.program_id(0)
+    nzb = pl.num_programs(0)
+    f32 = jnp.float32
+
+    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(f32)
+    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(f32)
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (tz + 2, 1, 1), 0) + i * tz - 1
+
+    def build(lo_ref, mid_ref, hi_ref, below, above):
+        u = jnp.concatenate(
+            [lo_ref[:] * sel_lo, mid_ref[:], hi_ref[:] * sel_hi], axis=0
+        )
+        u = jnp.where(zrow == -1, below, u)
+        return jnp.where(zrow == nz, above, u)
+
+    uh = build(lohi_ref, midhi_ref, hihi_ref, halo_ref[0:1], halo_ref[1:2])
+    ul = build(lolo_ref, midlo_ref, hilo_ref, halo_ref[2:3], halo_ref[3:4])
+
+    if stencil == Stencil.S27:
+        # hi channel: factored 27-sum through TwoSum chains, errors captured
+        l, r = _xpair(uh, nx)
+        sx, ex = _two_sum3(l, uh, r)
+        sy, ey = _two_sum3(_shift_y(sx, 1), sx, _shift_y(sx, -1))
+        ey = ey + (_shift_y(ex, 1) + ex + _shift_y(ex, -1))
+        S, ez = _two_sum3(sy[0:tz], sy[1 : tz + 1], sy[2 : tz + 2])
+        E = ez + (ey[0:tz] + ey[1 : tz + 1] + ey[2 : tz + 2])
+        # lo channel: plain f32 (terms are eps-scale)
+        ll, rr = _xpair(ul, nx)
+        sxl = ll + ul + rr
+        syl = _shift_y(sxl, 1) + sxl + _shift_y(sxl, -1)
+        SL = syl[0:tz] + syl[1 : tz + 1] + syl[2 : tz + 2]
+    else:  # S7: center + 6 face neighbors, chained TwoSums
+        ch = uh[1 : tz + 1]
+        l, r = _xpair(ch, nx)
+        s1, e1 = _two_sum3(l, ch, r)
+        s2, e2 = _two_sum3(_shift_y(ch, 1), s1, _shift_y(ch, -1))
+        S, e3 = _two_sum3(uh[0:tz], s2, uh[2 : tz + 2])
+        E = e1 + e2 + e3
+        cl = ul[1 : tz + 1]
+        ll, rr = _xpair(cl, nx)
+        SL = (
+            ll + cl + rr + _shift_y(cl, 1) + _shift_y(cl, -1)
+            + ul[0:tz] + ul[2 : tz + 2]
+        )
+
+    # y = D*u - (S + E + SL), D = diag - offdiag = 28 exactly.
+    # 28*hi via the exact Veltkamp split products; -1 * sums is exact.
+    c_hi = uh[1 : tz + 1]
+    c_lo = ul[1 : tz + 1]
+    D = jnp.asarray(DIAG_VALUE - OFFDIAG_VALUE, f32)
+    cc = c_hi * _VELTKAMP
+    h1 = cc - (cc - c_hi)
+    h2 = c_hi - h1
+    p1 = D * h1  # exact: 5-bit x 12-bit
+    p2 = D * h2  # exact (p2 is up to 2^-12 * |y| — NOT eps-scale, so it
+    # joins the TwoSum chain; folding it into the plain tail measured 6e-12)
+    t1, k1 = _two_sum_v(p1, -S)
+    t2, k2 = _two_sum_v(t1, p2)
+    q = ((k1 + k2) + D * c_lo) - (E + SL)
+    yhi, ylo = _two_sum_v(t2, q)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, yhi.shape[-1]), 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, yhi.shape[-2], 1), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) + i * tz
+    valid = (ix < nx).astype(f32) * (iy < ny).astype(f32) * (iz < nz).astype(f32)
+    yhi_ref[:] = yhi * valid
+    ylo_ref[:] = ylo * valid
+
+
+def _split_dd(u: jax.Array):
+    """f64 array -> exact (hi, lo) f32 pair."""
+    hi = u.astype(jnp.float32)
+    lo = (u - hi.astype(u.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def spmv_padded_v2_dd(
+    op: StencilOperator,
+    u: jax.Array,
+    halo=None,
+    interpret: bool = False,
+    tz: int | None = None,
+) -> jax.Array:
+    """f64 y = A @ x in the padded v2 layout via the double-float kernel.
+
+    ``halo``: optional f64 (2, ny_pad, nx_pad) external boundary planes
+    [below, above] for distributed z-shards; None -> true domain boundary.
+    The split/recombine run as (cheap, bandwidth-bound) XLA-f64 ops; the
+    27-sum — where emulation multiplies every op — runs the f32 kernel."""
+    nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
+    assert u.shape == (nzp, ny_pad, nx_pad), (u.shape, (nzp, ny_pad, nx_pad))
+    assert jnp.dtype(u.dtype).itemsize == 8, u.dtype
+    assert float(OFFDIAG_VALUE) == -1.0 and float(DIAG_VALUE - OFFDIAG_VALUE) == 28.0
+    tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, 8)
+    nzb = nzp // tz
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    uhi, ulo = _split_dd(u)
+    if halo is None:
+        halo4 = jnp.zeros((4, ny_pad, nx_pad), jnp.float32)
+    else:
+        hhi, hlo = _split_dd(halo)
+        halo4 = jnp.concatenate([hhi, hlo], axis=0)
+
+    specs_hi = _v2_in_specs(tz, nzb, ny_pad, nx_pad)
+    halo_spec = pl.BlockSpec(
+        (4, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    yhi, ylo = pl.pallas_call(
+        partial(_kernel_dd, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),
+        grid=(nzb,),
+        in_specs=[halo_spec] + specs_hi[1:] + specs_hi[1:],
+        out_specs=(
+            _v2_out_spec(tz, ny_pad, nx_pad),
+            _v2_out_spec(tz, ny_pad, nx_pad),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * op.stencil.value * op.local_nrow,
+            bytes_accessed=4 * nzp * ny_pad * nx_pad * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(halo4, uhi, uhi, uhi, ulo, ulo, ulo)
+    return yhi.astype(u.dtype) + ylo.astype(u.dtype)

@@ -97,12 +97,12 @@ def resolve_distributed_backend(cfg_local: ProblemConfig, backend: str = "auto")
     (round-2 weak #2): per-shard pallas kernel + ppermuted halo planes on
     TPU for 32- and 16-bit state (bf16 rides the same v2 kernel — f32
     in-kernel compute, bf16 HBM traffic), XLA stencil elsewhere."""
-    if (
-        backend == "auto"
-        and jax.default_backend() == "tpu"
-        and jnp.dtype(cfg_local.dtype).itemsize in (2, 4)
-    ):
-        return "pallas"
+    if backend == "auto" and jax.default_backend() == "tpu":
+        if jnp.dtype(cfg_local.dtype).itemsize in (2, 4):
+            return "pallas"
+        if jnp.dtype(cfg_local.dtype).itemsize == 8:
+            # f64 shards ride the double-float (two-f32) kernel (round 3)
+            return "pallas_dd"
     return backend
 
 
@@ -145,11 +145,13 @@ def make_distributed_cg(
             )
             return tot[0], tot[1]
 
-        if backend == "pallas":
+        if backend in ("pallas", "pallas_dd"):
             from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3, unpad_plane3
             from hpccg_tpu.parallel.halo import (
                 stencil_matvec_halo_pallas_v2_overlap,
             )
+
+            dd1 = backend == "pallas_dd"
 
             @jax.jit
             @partial(
@@ -162,7 +164,7 @@ def make_distributed_cg(
             def solve_1red_pallas(b, x0):
                 res = solver_fn(
                     lambda v: stencil_matvec_halo_pallas_v2_overlap(
-                        op_local, v, axis
+                        op_local, v, axis, dd=dd1
                     ),
                     pad_plane3(op_local, b),
                     pad_plane3(op_local, x0),
@@ -288,7 +290,7 @@ def make_distributed_cg(
 
         return solve_collective
 
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_dd"):
         from hpccg_tpu.ops.pallas.stencil_v2 import (
             pad_plane3,
             unpad_plane3,
@@ -296,6 +298,8 @@ def make_distributed_cg(
         from hpccg_tpu.parallel.halo import (
             stencil_matvec_halo_pallas_v2_overlap,
         )
+
+        dd = backend == "pallas_dd"
 
         @jax.jit
         @partial(
@@ -311,15 +315,21 @@ def make_distributed_cg(
         def solve_pallas_v2(b, x0):
             res = cg_solve(
                 lambda v: stencil_matvec_halo_pallas_v2_overlap(
-                    op_local, v, axis
+                    op_local, v, axis, dd=dd
                 ),
                 pad_plane3(op_local, b),
                 pad_plane3(op_local, x0),
                 max_iter=max_iter,
                 tolerance=tolerance,
                 dot=pdot,
-                matvec_pap=lambda v: stencil_matvec_halo_pallas_v2_overlap(
-                    op_local, v, axis, with_pap=True
+                # the dd kernel has no fused-pAp variant; its p.Ap rides the
+                # (emulated-f64, bandwidth-bound) XLA dot instead
+                matvec_pap=None
+                if dd
+                else (
+                    lambda v: stencil_matvec_halo_pallas_v2_overlap(
+                        op_local, v, axis, with_pap=True
+                    )
                 ),
                 pap_reduce=lambda s: jax.lax.psum(s, axis),
             )

@@ -191,6 +191,7 @@ def stencil_matvec_halo_pallas_v2_overlap(
     u_pad: jax.Array,
     axis_name: str = "z",
     with_pap: bool = False,
+    dd: bool = False,
 ):
     """Distributed A @ x with HALO/COMPUTE OVERLAP (the BASELINE requirement:
     ppermute "overlapped with interior SpMV compute").
@@ -204,11 +205,22 @@ def stencil_matvec_halo_pallas_v2_overlap(
     exchange concurrently with the interior kernel.
 
     with_pap=True also returns the local p.Ap partial (kernel partial +
-    boundary-correction terms)."""
-    from hpccg_tpu.ops.pallas.stencil_v2 import spmv_padded_v2, spmv_padded_v2_pap
+    boundary-correction terms).
+
+    dd=True routes f64 shards through the double-float (two-f32) kernel
+    (round 3); the boundary corrections below are dtype-generic and run in
+    XLA f64 — exact double-double plane arithmetic on O(ny*nx) data."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import (
+        spmv_padded_v2,
+        spmv_padded_v2_dd,
+        spmv_padded_v2_pap,
+    )
 
     nz = op.nz
-    if with_pap:
+    if dd:
+        assert not with_pap, "fused pAp is not built for the dd kernel"
+        y = spmv_padded_v2_dd(op, u_pad, None)
+    elif with_pap:
         y, pap = spmv_padded_v2_pap(op, u_pad, None)
     else:
         y = spmv_padded_v2(op, u_pad, None)

@@ -337,6 +337,7 @@ def resolve_backend(A, backend: str = "auto") -> str:
     KNOWN = (
         "auto", "stencil", "ell", "dia", "pallas", "pallas_v1",
         "pallas_fused", "megakernel", "streamkernel", "collective",
+        "pallas_dd",
     )
     if backend not in KNOWN:
         raise ValueError(f"unknown backend {backend!r} (choose from {KNOWN})")
@@ -372,7 +373,15 @@ def resolve_backend(A, backend: str = "auto") -> str:
         return "auto"
     if backend != "auto":
         return backend
-    if jax.default_backend() != "tpu" or jnp.dtype(A.dtype).itemsize not in (2, 4):
+    if jax.default_backend() != "tpu":
+        return "stencil"
+    if jnp.dtype(A.dtype).itemsize == 8:
+        # f64: the double-float (two-f32) stencil kernel — XLA's TPU f64 is
+        # software double-double applied to EVERY op of the 27-sum, the dd
+        # kernel captures the same accuracy with error-free f32 transforms
+        # (round-3, PERF.md)
+        return "pallas_dd"
+    if jnp.dtype(A.dtype).itemsize not in (2, 4):
         return "stencil"
     from hpccg_tpu.ops.pallas.megakernel import fits_vmem
     from hpccg_tpu.ops.pallas.streamkernel import fits_stream_vmem
@@ -570,6 +579,34 @@ def make_cg(
             )
 
         return jax.jit(solve_pallas)
+
+    if backend == "pallas_dd" and isinstance(A, StencilOperator):
+        # f64 via the double-float (two-f32) stencil kernel: the 27-sum runs
+        # error-free f32 transforms in Pallas; the CG recurrence and
+        # axpy/dot stay XLA f64 (bandwidth-bound — emulation is cheap there)
+        from hpccg_tpu.ops.pallas.stencil_v2 import (
+            pad_plane3,
+            spmv_padded_v2_dd,
+            unpad_plane3,
+        )
+
+        def solve_pallas_dd(b, x0):
+            res = cg_solve(
+                lambda v: spmv_padded_v2_dd(A, v),
+                pad_plane3(A, b),
+                pad_plane3(A, x0),
+                max_iter=max_iter,
+                tolerance=tolerance,
+            )
+            return CGResult(
+                x=unpad_plane3(A, res.x),
+                niters=res.niters,
+                normr=res.normr,
+                rtrans=res.rtrans,
+                trace=res.trace,
+            )
+
+        return jax.jit(solve_pallas_dd)
 
     if backend == "megakernel" and isinstance(A, StencilOperator):
         from hpccg_tpu.ops.pallas.megakernel import cg_solve_mega

@@ -423,3 +423,55 @@ def test_distributed_pallas_bf16(ndev=4):
     tp, ts = np.asarray(rp.trace, np.float32), np.asarray(rs.trace, np.float32)
     good = np.isfinite(ts) & (ts > 0.05 * ts[0])
     np.testing.assert_allclose(tp[good], ts[good], rtol=0.15)
+
+
+@pytest.mark.slow
+def test_pallas_v2_dd_matvec_f64_class():
+    """round-3: the double-float (two-f32) stencil kernel reaches f64-class
+    accuracy (~1e-14 rel) — TwoSum-chained hi channel, plain lo/error
+    channels, exact 28*hi split products."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import (
+        pad_plane3,
+        spmv_padded_v2_dd,
+        unpad_plane3,
+    )
+    from hpccg_tpu.ops.spmv import spmv
+
+    for st, dims in ((27, (13, 10, 7)), (7, (13, 10, 7)),
+                     (27, (128, 3, 2)), (7, (128, 2, 3))):
+        # nx == 128 exercises the masked-roll boundary (wraparound is real
+        # data there, unlike the zero-pad-lane fast path)
+        cfg = ProblemConfig(*dims, stencil=st, dtype=jnp.float64)
+        prob = generate_problem(cfg)
+        rng = np.random.default_rng(0)
+        # full f64-significand values (an f32-representable x would hide
+        # every lo-channel term)
+        x = jnp.asarray(
+            rng.standard_normal(cfg.local_nrow)
+            * (1 + 1e-9 * rng.standard_normal(cfg.local_nrow))
+        )
+        assert x.dtype == jnp.float64
+        y_ref = spmv(prob.A, x)
+        y_dd = unpad_plane3(prob.A, spmv_padded_v2_dd(prob.A, pad_plane3(prob.A, x)))
+        rel = float(jnp.max(jnp.abs(y_dd - y_ref)) / jnp.max(jnp.abs(y_ref)))
+        assert rel < 1e-13, (st, rel)
+
+
+@pytest.mark.slow
+def test_cg_pallas_dd_matches_stencil_f64():
+    """backend='pallas_dd' CG trajectory tracks the XLA f64 path to ~1e-13
+    above the convergence floor, and converges to the f64 solution."""
+    cfg = ProblemConfig(16, 14, 10, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    r_ref = make_cg(prob.A, max_iter=60, tolerance=0.0, backend="stencil")(
+        prob.b, prob.x0
+    )
+    r_dd = make_cg(prob.A, max_iter=60, tolerance=0.0, backend="pallas_dd")(
+        prob.b, prob.x0
+    )
+    tr_ref = np.asarray(r_ref.trace)
+    tr_dd = np.asarray(r_dd.trace)
+    m = ~np.isnan(tr_ref) & (tr_ref > 1e-10 * tr_ref[0])
+    assert m.sum() >= 20
+    np.testing.assert_allclose(tr_dd[m], tr_ref[m], rtol=1e-9)
+    assert float(jnp.max(jnp.abs(r_dd.x - 1.0))) < 1e-12

@@ -32,6 +32,23 @@ def test_vmem_fit_boundaries_compile_on_chip():
         if not f.startswith("--xla_force_host_platform_device_count")
     )
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # a HUNG tunnel (backend init blocks forever) is different from an
+    # absent one: probe reachability with a short-fuse subprocess first so
+    # the suite skips in ~a minute instead of stalling out the full compile
+    # timeout below
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=90,
+            cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend init hung (tunnel unreachable)")
+    if probe.returncode != 0:
+        pytest.skip("no TPU reachable; boundary fits are Mosaic-compiler facts")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "exp", "vmem_boundary_check.py")],
         capture_output=True,
