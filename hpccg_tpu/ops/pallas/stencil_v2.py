@@ -399,17 +399,32 @@ def _xpair(u: jax.Array, nx: int) -> tuple[jax.Array, jax.Array]:
     )
 
 
-def _kernel_dd(
+def _two_prod(a, b):
+    """Error-free transform: a * b = p + e exactly (Veltkamp split both
+    operands; the TPU VPU has no FMA error extraction)."""
+    aa = a * _VELTKAMP
+    ah = aa - (aa - a)
+    al = a - ah
+    bb = b * _VELTKAMP
+    bh = bb - (bb - b)
+    bl = b - bh
+    p = a * b
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _dd_core(
     halo_ref,
     lohi_ref, midhi_ref, hihi_ref,
     lolo_ref, midlo_ref, hilo_ref,
-    yhi_ref, ylo_ref,
     *, tz, nx, ny, nz, stencil,
 ):
     """Grid (nzb,): double-float stencil sweep over (hi, lo) f32 slabs.
 
     halo_ref is (4, ny_pad, nx_pad): external z-boundary planes
-    [below_hi, above_hi, below_lo, above_lo] for distributed shards."""
+    [below_hi, above_hi, below_lo, above_lo] for distributed shards.
+    Returns (yhi, ylo, c_hi, c_lo): the valid-masked output pair and the
+    center (p) pair for fused reductions."""
     i = pl.program_id(0)
     nzb = pl.num_programs(0)
     f32 = jnp.float32
@@ -475,8 +490,64 @@ def _kernel_dd(
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, yhi.shape[-2], 1), 1)
     iz = jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) + i * tz
     valid = (ix < nx).astype(f32) * (iy < ny).astype(f32) * (iz < nz).astype(f32)
-    yhi_ref[:] = yhi * valid
-    ylo_ref[:] = ylo * valid
+    return yhi * valid, ylo * valid, c_hi, c_lo
+
+
+def _kernel_dd(
+    halo_ref,
+    lohi_ref, midhi_ref, hihi_ref,
+    lolo_ref, midlo_ref, hilo_ref,
+    yhi_ref, ylo_ref,
+    *, tz, nx, ny, nz, stencil,
+):
+    yhi, ylo, _, _ = _dd_core(
+        halo_ref, lohi_ref, midhi_ref, hihi_ref, lolo_ref, midlo_ref,
+        hilo_ref, tz=tz, nx=nx, ny=ny, nz=nz, stencil=stencil,
+    )
+    yhi_ref[:] = yhi
+    ylo_ref[:] = ylo
+
+
+def _kernel_dd_pap(
+    halo_ref,
+    lohi_ref, midhi_ref, hihi_ref,
+    lolo_ref, midlo_ref, hilo_ref,
+    yhi_ref, ylo_ref, paphi_ref, paplo_ref,
+    *, tz, nx, ny, nz, stencil,
+):
+    """dd sweep + in-flight p.Ap partial at f64-class accuracy.
+
+    The (ny_pad, nx_pad) accumulator PLANE pair persists across (sequential)
+    grid steps: per z-plane, TwoProd(p_hi, y_hi) main products join a TwoSum
+    chain per lane position (error into the lo plane along with the exact
+    product errors and the hi*lo cross terms; p_lo*y_lo is ~2^-48-scale and
+    dropped). The caller finishes with one tiny exact f64 plane-sum — no
+    second HBM pass over p and Ap, which is the point: the standalone f64
+    dot re-reads 16 B/point of the 24 B/point the sweep itself streams."""
+    i = pl.program_id(0)
+    yhi, ylo, c_hi, c_lo = _dd_core(
+        halo_ref, lohi_ref, midhi_ref, hihi_ref, lolo_ref, midlo_ref,
+        hilo_ref, tz=tz, nx=nx, ny=ny, nz=nz, stencil=stencil,
+    )
+    yhi_ref[:] = yhi
+    ylo_ref[:] = ylo
+
+    @pl.when(i == 0)
+    def _():
+        paphi_ref[:] = jnp.zeros_like(paphi_ref)
+        paplo_ref[:] = jnp.zeros_like(paplo_ref)
+
+    acc = paphi_ref[:]
+    err = paplo_ref[:]
+    for k in range(tz):
+        # y is valid-masked, so padding planes/lanes (and halo-plane values
+        # parked in c at z >= nz) contribute exact zeros
+        ph, pe = _two_prod(c_hi[k], yhi[k])
+        tail = c_hi[k] * ylo[k] + c_lo[k] * yhi[k]
+        acc, e = _two_sum_v(acc, ph)
+        err = err + (e + pe + tail)
+    paphi_ref[:] = acc
+    paplo_ref[:] = err
 
 
 def _split_dd(u: jax.Array):
@@ -486,20 +557,8 @@ def _split_dd(u: jax.Array):
     return hi, lo
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def spmv_padded_v2_dd(
-    op: StencilOperator,
-    u: jax.Array,
-    halo=None,
-    interpret: bool = False,
-    tz: int | None = None,
-) -> jax.Array:
-    """f64 y = A @ x in the padded v2 layout via the double-float kernel.
-
-    ``halo``: optional f64 (2, ny_pad, nx_pad) external boundary planes
-    [below, above] for distributed z-shards; None -> true domain boundary.
-    The split/recombine run as (cheap, bandwidth-bound) XLA-f64 ops; the
-    27-sum — where emulation multiplies every op — runs the f32 kernel."""
+def _dd_call(op, u, halo, interpret, tz, with_pap):
+    """Shared scaffolding for the dd kernels (plain and fused-pAp)."""
     nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
     assert u.shape == (nzp, ny_pad, nx_pad), (u.shape, (nzp, ny_pad, nx_pad))
     assert jnp.dtype(u.dtype).itemsize == 8, u.dtype
@@ -519,27 +578,67 @@ def spmv_padded_v2_dd(
     halo_spec = pl.BlockSpec(
         (4, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    yhi, ylo = pl.pallas_call(
-        partial(_kernel_dd, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),
+    kern = _kernel_dd_pap if with_pap else _kernel_dd
+    out_specs = [_v2_out_spec(tz, ny_pad, nx_pad)] * 2
+    out_shape = [jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), jnp.float32)] * 2
+    if with_pap:
+        # the p.Ap accumulator plane pair: one block revisited every grid
+        # step (forces sequential "arbitrary" semantics, like _kernel_pap)
+        out_specs += [
+            pl.BlockSpec((ny_pad, nx_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * 2
+        out_shape += [jax.ShapeDtypeStruct((ny_pad, nx_pad), jnp.float32)] * 2
+    outs = pl.pallas_call(
+        partial(kern, tz=tz, nx=op.nx, ny=op.ny, nz=op.nz, stencil=op.stencil),
         grid=(nzb,),
         in_specs=[halo_spec] + specs_hi[1:] + specs_hi[1:],
-        out_specs=(
-            _v2_out_spec(tz, ny_pad, nx_pad),
-            _v2_out_spec(tz, ny_pad, nx_pad),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), jnp.float32),
-            jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
-            flops=12 * op.stencil.value * op.local_nrow,
+            flops=(12 + 4 * with_pap) * op.stencil.value * op.local_nrow,
             bytes_accessed=4 * nzp * ny_pad * nx_pad * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT,
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",) if with_pap else ("parallel",),
         ),
         interpret=interpret,
     )(halo4, uhi, uhi, uhi, ulo, ulo, ulo)
-    return yhi.astype(u.dtype) + ylo.astype(u.dtype)
+    y = outs[0].astype(u.dtype) + outs[1].astype(u.dtype)
+    if not with_pap:
+        return y
+    # (hi + lo) per lane position is exact in f64; the final plane sum is a
+    # tiny O(ny*nx) f64 reduction
+    return y, jnp.sum(outs[2].astype(u.dtype) + outs[3].astype(u.dtype))
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def spmv_padded_v2_dd(
+    op: StencilOperator,
+    u: jax.Array,
+    halo=None,
+    interpret: bool = False,
+    tz: int | None = None,
+) -> jax.Array:
+    """f64 y = A @ x in the padded v2 layout via the double-float kernel.
+
+    ``halo``: optional f64 (2, ny_pad, nx_pad) external boundary planes
+    [below, above] for distributed z-shards; None -> true domain boundary.
+    The split/recombine run as (cheap, bandwidth-bound) XLA-f64 ops; the
+    27-sum — where emulation multiplies every op — runs the f32 kernel."""
+    return _dd_call(op, u, halo, interpret, tz, with_pap=False)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def spmv_padded_v2_dd_pap(
+    op: StencilOperator,
+    u: jax.Array,
+    halo=None,
+    interpret: bool = False,
+    tz: int | None = None,
+):
+    """(A @ x, x . (A @ x)) in one dd pass — same traffic as
+    spmv_padded_v2_dd, f64-class p.Ap from compensated in-kernel reduction
+    (see _kernel_dd_pap)."""
+    return _dd_call(op, u, halo, interpret, tz, with_pap=True)

@@ -322,14 +322,8 @@ def make_distributed_cg(
                 max_iter=max_iter,
                 tolerance=tolerance,
                 dot=pdot,
-                # the dd kernel has no fused-pAp variant; its p.Ap rides the
-                # (emulated-f64, bandwidth-bound) XLA dot instead
-                matvec_pap=None
-                if dd
-                else (
-                    lambda v: stencil_matvec_halo_pallas_v2_overlap(
-                        op_local, v, axis, with_pap=True
-                    )
+                matvec_pap=lambda v: stencil_matvec_halo_pallas_v2_overlap(
+                    op_local, v, axis, with_pap=True, dd=dd
                 ),
                 pap_reduce=lambda s: jax.lax.psum(s, axis),
             )

@@ -213,12 +213,14 @@ def stencil_matvec_halo_pallas_v2_overlap(
     from hpccg_tpu.ops.pallas.stencil_v2 import (
         spmv_padded_v2,
         spmv_padded_v2_dd,
+        spmv_padded_v2_dd_pap,
         spmv_padded_v2_pap,
     )
 
     nz = op.nz
-    if dd:
-        assert not with_pap, "fused pAp is not built for the dd kernel"
+    if dd and with_pap:
+        y, pap = spmv_padded_v2_dd_pap(op, u_pad, None)
+    elif dd:
         y = spmv_padded_v2_dd(op, u_pad, None)
     elif with_pap:
         y, pap = spmv_padded_v2_pap(op, u_pad, None)

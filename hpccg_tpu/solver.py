@@ -587,6 +587,7 @@ def make_cg(
         from hpccg_tpu.ops.pallas.stencil_v2 import (
             pad_plane3,
             spmv_padded_v2_dd,
+            spmv_padded_v2_dd_pap,
             unpad_plane3,
         )
 
@@ -597,6 +598,7 @@ def make_cg(
                 pad_plane3(A, x0),
                 max_iter=max_iter,
                 tolerance=tolerance,
+                matvec_pap=lambda v: spmv_padded_v2_dd_pap(A, v),
             )
             return CGResult(
                 x=unpad_plane3(A, res.x),

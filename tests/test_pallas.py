@@ -475,3 +475,53 @@ def test_cg_pallas_dd_matches_stencil_f64():
     assert m.sum() >= 20
     np.testing.assert_allclose(tr_dd[m], tr_ref[m], rtol=1e-9)
     assert float(jnp.max(jnp.abs(r_dd.x - 1.0))) < 1e-12
+
+
+@pytest.mark.slow
+def test_pallas_v2_dd_pap_f64_class():
+    """The fused dd p.Ap (TwoProd main products + per-lane-position TwoSum
+    accumulator planes) matches the f64 dot to ~1e-12."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import (
+        pad_plane3,
+        spmv_padded_v2_dd_pap,
+        unpad_plane3,
+    )
+    from hpccg_tpu.ops.spmv import spmv
+
+    for st, dims in ((27, (13, 10, 7)), (7, (13, 10, 7)), (27, (128, 3, 2))):
+        cfg = ProblemConfig(*dims, stencil=st, dtype=jnp.float64)
+        prob = generate_problem(cfg)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.standard_normal(cfg.local_nrow)
+            * (1 + 1e-9 * rng.standard_normal(cfg.local_nrow))
+        )
+        y_ref = spmv(prob.A, x)
+        pap_ref = float(jnp.vdot(x, y_ref))
+        y, pap = spmv_padded_v2_dd_pap(prob.A, pad_plane3(prob.A, x))
+        rel_y = float(
+            jnp.max(jnp.abs(unpad_plane3(prob.A, y) - y_ref))
+            / jnp.max(jnp.abs(y_ref))
+        )
+        rel_p = abs(float(pap) / pap_ref - 1)
+        assert rel_y < 1e-13 and rel_p < 1e-12, (st, rel_y, rel_p)
+
+
+@pytest.mark.slow
+def test_distributed_pallas_dd_f64(ndev=4):
+    """f64 shards ride the dd kernel + halo overlap + fused pAp: trajectory
+    tracks the distributed XLA f64 stencil to f64-class tolerance."""
+    cfg = ProblemConfig(6, 5, 4, dtype=jnp.float64)
+    mesh = make_mesh(ndev)
+    prob = generate_problem_sharded(cfg, mesh)
+    rp = make_distributed_cg(cfg, mesh, max_iter=25, backend="pallas_dd")(
+        prob.b, prob.x0
+    )
+    rs = make_distributed_cg(cfg, mesh, max_iter=25, backend="stencil")(
+        prob.b, prob.x0
+    )
+    assert float(compute_residual(rp.x, prob.xexact)) < 1e-10
+    tp, ts = np.asarray(rp.trace), np.asarray(rs.trace)
+    good = np.isfinite(ts) & (ts > 1e-10 * ts[0])
+    assert good.sum() >= 10
+    np.testing.assert_allclose(tp[good], ts[good], rtol=1e-9)
