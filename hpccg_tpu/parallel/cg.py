@@ -519,14 +519,16 @@ def masked_backend(cfg_local: ProblemConfig, backend: str = "auto") -> str:
     make_distributed_cg_masked and sweep.py so reported backends match what
     actually ran."""
     if backend == "auto":
-        if (
-            jax.default_backend() == "tpu"
-            and jnp.dtype(cfg_local.dtype).itemsize in (2, 4)
-        ):
-            return "pallas"
+        if jax.default_backend() == "tpu":
+            if jnp.dtype(cfg_local.dtype).itemsize in (2, 4):
+                return "pallas"
+            if jnp.dtype(cfg_local.dtype).itemsize == 8:
+                return "pallas_dd"
         return "stencil"
-    if backend not in ("stencil", "pallas"):
-        raise ValueError(f"masked solver backends: auto|stencil|pallas, got {backend!r}")
+    if backend not in ("stencil", "pallas", "pallas_dd"):
+        raise ValueError(
+            f"masked solver backends: auto|stencil|pallas|pallas_dd, got {backend!r}"
+        )
     return backend
 
 
@@ -566,7 +568,7 @@ def make_distributed_cg_masked(
         raise ValueError("local nz too small to cover the global domain")
     backend = masked_backend(cfg_local, backend)
 
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_dd"):
         from hpccg_tpu.ops.pallas.stencil_v2 import (
             pad_plane3,
             padded_dims,
@@ -576,6 +578,7 @@ def make_distributed_cg_masked(
             stencil_matvec_halo_pallas_v2_overlap,
         )
 
+        mdd = backend == "pallas_dd"
         nzp, _, _ = padded_dims(op_local, cfg_local.dtype)
 
         @jax.jit
@@ -596,7 +599,9 @@ def make_distributed_cg_masked(
 
             def matvec(u):
                 um = u * m3
-                y = stencil_matvec_halo_pallas_v2_overlap(op_local, um, axis)
+                y = stencil_matvec_halo_pallas_v2_overlap(
+                    op_local, um, axis, dd=mdd
+                )
                 return y * m3
 
             def matvec_pap(u):
@@ -605,7 +610,7 @@ def make_distributed_cg_masked(
                 # kernel's fused partial is already the masked p.Ap
                 um = u * m3
                 y, pap = stencil_matvec_halo_pallas_v2_overlap(
-                    op_local, um, axis, with_pap=True
+                    op_local, um, axis, with_pap=True, dd=mdd
                 )
                 return y * m3, pap
 

@@ -4,6 +4,7 @@ operator, reproducing the exact unpadded trajectory."""
 
 import json
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -110,3 +111,23 @@ def test_masked_backend_helper():
     assert masked_backend(cfg, "pallas") == "pallas"
     with pytest.raises(ValueError):
         masked_backend(cfg, "collective")
+
+
+@pytest.mark.slow
+def test_masked_pallas_dd_f64(ndev=4):
+    """f64 remainder shards ride the dd kernel: trajectory equals the
+    masked XLA-stencil f64 path to f64-class tolerance."""
+    nz_global = 2 * ndev - 1
+    cfg = ProblemConfig(5, 4, 2, dtype=jnp.float64)
+    mesh = make_mesh(ndev)
+    prob = generate_problem_sharded_masked(cfg, mesh, nz_global=nz_global)
+    rp = make_distributed_cg_masked(
+        cfg, mesh, nz_global=nz_global, max_iter=25, backend="pallas_dd"
+    )(prob.b, prob.x0)
+    rs = make_distributed_cg_masked(
+        cfg, mesh, nz_global=nz_global, max_iter=25, backend="stencil"
+    )(prob.b, prob.x0)
+    tp, ts = np.asarray(rp.trace), np.asarray(rs.trace)
+    good = np.isfinite(ts) & (ts > 1e-10 * ts[0])
+    assert good.sum() >= 10
+    np.testing.assert_allclose(tp[good], ts[good], rtol=1e-9)
