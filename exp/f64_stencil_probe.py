@@ -49,8 +49,36 @@ def cg_per_iter(nx, dtype, backend="stencil", k1=65, k2=513):
     return t
 
 
+def check_pap_accuracy(nx=64):
+    """On-chip accuracy of the in-kernel compensated pAp (the interpret
+    path swaps in an exact f64 dot, so only Mosaic runs the TwoSum-plane
+    reduction — verify it against the f64 dot here)."""
+    import numpy as np
+
+    from hpccg_tpu.ops.pallas.stencil_v2 import (
+        pad_plane3,
+        spmv_padded_v2_dd_pap,
+    )
+
+    cfg = ProblemConfig(nx, nx, nx, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal(cfg.local_nrow)
+        * (1 + 1e-9 * rng.standard_normal(cfg.local_nrow))
+    )
+    u = pad_plane3(prob.A, x)
+    y, pap = spmv_padded_v2_dd_pap(prob.A, u)
+    pap_ref = float(jnp.vdot(u.reshape(-1), y.reshape(-1)))
+    rel = abs(float(pap) / pap_ref - 1)
+    log(f"pap accuracy @ {nx}^3: rel {rel:.3e} (in-kernel vs f64 dot)")
+    assert rel < 1e-12, rel
+
+
 if __name__ == "__main__":
     log("backend", jax.default_backend())
+    if jax.default_backend() == "tpu":
+        check_pap_accuracy()
     sizes = [int(a) for a in sys.argv[1:]] or [100, 160, 208]
     for nx in sizes:
         cg_per_iter(nx, jnp.float32)

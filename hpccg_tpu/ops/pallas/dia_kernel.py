@@ -403,22 +403,12 @@ def prepare_dia(A) -> PreparedDia:
 # The x splits (x1, x2, xlo) are built once per matvec in XLA and stay
 # VMEM-resident; diagonal (hi, lo) streams from HBM in blocks.
 
-_VELTKAMP = 4097.0  # 2^12 + 1: splits a 24-bit f32 significand 12 + 12
-
-
-def _two_sum(a, b):
-    """Error-free: a + b = s + e exactly (6 ops, Knuth)."""
-    s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
-    return s, e
-
-
-def _fast_two_sum(a, b):
-    """Error-free for |a| >= |b| (3 ops, Dekker)."""
-    s = a + b
-    e = b - (s - a)
-    return s, e
+# error-free transform primitives shared with stencil_v2's dd kernel
+from hpccg_tpu.ops.pallas.ddmath import (  # noqa: E402
+    VELTKAMP as _VELTKAMP,
+    fast_two_sum as _fast_two_sum,
+    two_sum as _two_sum,
+)
 
 
 def _df_add(hi, lo, x):

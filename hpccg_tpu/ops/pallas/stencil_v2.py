@@ -204,8 +204,10 @@ def check_mosaic_dtype(interpret, dtype) -> None:
     the compiler (the CLI default dtype is f64)."""
     if not interpret and jnp.dtype(dtype).itemsize == 8:
         raise ValueError(
-            "float64 is not supported by Mosaic TPU kernels; use the XLA "
-            "backends (backend='stencil') on TPU, or CPU for f64 parity runs"
+            "float64 is not supported by Mosaic TPU kernels; use the "
+            "double-float tier (backend='pallas_dd', f64-class accuracy at "
+            "f32 kernel speed), the XLA backends (backend='stencil'), or "
+            "CPU for bit-exact f64 parity runs"
         )
 
 
@@ -365,23 +367,20 @@ def spmv_stencil_pallas_v2(
 # bandwidth-bound so emulation hurts far less there than in the 27-sum).
 
 
+# error-free transform primitives shared with dia_kernel's dd kernel
+from hpccg_tpu.ops.pallas.ddmath import (  # noqa: E402
+    two_prod as _two_prod,
+    two_sum as _two_sum_v,
+    veltkamp_split as _veltkamp_split,
+)
+
+
 def _two_sum3(a, b, c):
     """(s, e): s = fl(a+b+c) via a TwoSum chain, e = the exact rounding
     error of both adds (plain-f32 combined — e is already eps-scale)."""
     s1, e1 = _two_sum_v(a, b)
     s, e2 = _two_sum_v(s1, c)
     return s, e1 + e2
-
-
-def _two_sum_v(a, b):
-    """Error-free transform: a + b = s + e exactly (6 ops, Knuth)."""
-    s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
-    return s, e
-
-
-_VELTKAMP = 4097.0  # 2^12 + 1: split 24-bit significand 12+12
 
 
 def _xpair(u: jax.Array, nx: int) -> tuple[jax.Array, jax.Array]:
@@ -397,20 +396,6 @@ def _xpair(u: jax.Array, nx: int) -> tuple[jax.Array, jax.Array]:
         left * (ix > 0).astype(u.dtype),
         right * (ix < nx - 1).astype(u.dtype),
     )
-
-
-def _two_prod(a, b):
-    """Error-free transform: a * b = p + e exactly (Veltkamp split both
-    operands; the TPU VPU has no FMA error extraction)."""
-    aa = a * _VELTKAMP
-    ah = aa - (aa - a)
-    al = a - ah
-    bb = b * _VELTKAMP
-    bh = bb - (bb - b)
-    bl = b - bh
-    p = a * b
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
 
 
 def _dd_core(
@@ -475,9 +460,7 @@ def _dd_core(
     c_hi = uh[1 : tz + 1]
     c_lo = ul[1 : tz + 1]
     D = jnp.asarray(DIAG_VALUE - OFFDIAG_VALUE, f32)
-    cc = c_hi * _VELTKAMP
-    h1 = cc - (cc - c_hi)
-    h2 = c_hi - h1
+    h1, h2 = _veltkamp_split(c_hi)
     p1 = D * h1  # exact: 5-bit x 12-bit
     p2 = D * h2  # exact (p2 is up to 2^-12 * |y| — NOT eps-scale, so it
     # joins the TwoSum chain; folding it into the plain tail measured 6e-12)
@@ -537,17 +520,25 @@ def _kernel_dd_pap(
         paphi_ref[:] = jnp.zeros_like(paphi_ref)
         paplo_ref[:] = jnp.zeros_like(paplo_ref)
 
-    acc = paphi_ref[:]
-    err = paplo_ref[:]
-    for k in range(tz):
-        # y is valid-masked, so padding planes/lanes (and halo-plane values
-        # parked in c at z >= nz) contribute exact zeros
-        ph, pe = _two_prod(c_hi[k], yhi[k])
-        tail = c_hi[k] * ylo[k] + c_lo[k] * yhi[k]
-        acc, e = _two_sum_v(acc, ph)
-        err = err + (e + pe + tail)
+    # y is valid-masked, so padding planes/lanes (and halo-plane values
+    # parked in c at z >= nz) contribute exact zeros
+    hi2, pe = _two_prod(c_hi, yhi)
+    lo2 = pe + (c_hi * ylo + c_lo * yhi)
+    # pairwise TwoSum tree over z: log2(tz) vectorized levels (a per-plane
+    # Python loop would unroll tz-fold in Mosaic — tall-skinny domains push
+    # tz into the hundreds); zero pad planes are exact TwoSum identities
+    while hi2.shape[0] > 1:
+        half = (hi2.shape[0] + 1) // 2
+        if hi2.shape[0] % 2:
+            pad = ((0, 1), (0, 0), (0, 0))
+            hi2 = jnp.pad(hi2, pad)
+            lo2 = jnp.pad(lo2, pad)
+        s, e = _two_sum_v(hi2[:half], hi2[half:])
+        lo2 = lo2[:half] + lo2[half:] + e
+        hi2 = s
+    acc, e = _two_sum_v(paphi_ref[:], hi2[0])
+    paplo_ref[:] = paplo_ref[:] + (lo2[0] + e)
     paphi_ref[:] = acc
-    paplo_ref[:] = err
 
 
 def _split_dd(u: jax.Array):
@@ -561,7 +552,12 @@ def _dd_call(op, u, halo, interpret, tz, with_pap):
     """Shared scaffolding for the dd kernels (plain and fused-pAp)."""
     nzp, ny_pad, nx_pad = padded_dims(op, u.dtype, tz)
     assert u.shape == (nzp, ny_pad, nx_pad), (u.shape, (nzp, ny_pad, nx_pad))
-    assert jnp.dtype(u.dtype).itemsize == 8, u.dtype
+    if jnp.dtype(u.dtype).itemsize != 8:
+        raise ValueError(
+            f"backend='pallas_dd' is the float64 tier (got {jnp.dtype(u.dtype).name}); "
+            "f32/bf16 problems ride the plain pallas-v2 kernel (backend='pallas' "
+            "or 'auto')"
+        )
     assert float(OFFDIAG_VALUE) == -1.0 and float(DIAG_VALUE - OFFDIAG_VALUE) == 28.0
     tz = tz or _pick_tz(op.nz, ny_pad * nx_pad, 8)
     nzb = nzp // tz
@@ -578,10 +574,21 @@ def _dd_call(op, u, halo, interpret, tz, with_pap):
     halo_spec = pl.BlockSpec(
         (4, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    kern = _kernel_dd_pap if with_pap else _kernel_dd
+    # In-kernel compensated pAp requires the compiler to preserve the
+    # written f32 rounding. Mosaic does; XLA:CPU's LLVM pipeline runs with
+    # fp-contract=fast, which FMA-contracts the p*y products into the
+    # TwoSum adds inside a fused loop and silently breaks the error-free
+    # transforms (measured ~1e-8 rel; nothing at HLO level — barriers,
+    # bitcast round-trips — survives to instruction selection). Interpret
+    # mode therefore takes the exact f64 dot outside the kernel instead.
+    # (The dd MATVEC is immune: all its products are exact by construction
+    # — Veltkamp-half and power-of-two coefficients — so contraction
+    # cannot change their rounding.)
+    kern_pap = with_pap and not interpret
+    kern = _kernel_dd_pap if kern_pap else _kernel_dd
     out_specs = [_v2_out_spec(tz, ny_pad, nx_pad)] * 2
     out_shape = [jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), jnp.float32)] * 2
-    if with_pap:
+    if kern_pap:
         # the p.Ap accumulator plane pair: one block revisited every grid
         # step (forces sequential "arbitrary" semantics, like _kernel_pap)
         out_specs += [
@@ -601,13 +608,16 @@ def _dd_call(op, u, halo, interpret, tz, with_pap):
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT,
-            dimension_semantics=("arbitrary",) if with_pap else ("parallel",),
+            dimension_semantics=("arbitrary",) if kern_pap else ("parallel",),
         ),
         interpret=interpret,
     )(halo4, uhi, uhi, uhi, ulo, ulo, ulo)
     y = outs[0].astype(u.dtype) + outs[1].astype(u.dtype)
     if not with_pap:
         return y
+    if not kern_pap:
+        # interpret: exact f64 dot (pads are zero in both u and y)
+        return y, jnp.vdot(u.reshape(-1), y.reshape(-1))
     # (hi + lo) per lane position is exact in f64; the final plane sum is a
     # tiny O(ny*nx) f64 reduction
     return y, jnp.sum(outs[2].astype(u.dtype) + outs[3].astype(u.dtype))

@@ -329,8 +329,10 @@ def resolve_backend(A, backend: str = "auto") -> str:
     XLA / 1003 pallas); the XLA stencil path covers the remaining band up
     to ~10.5M rows where it keeps most state VMEM-resident; the streaming
     pallas-v2 kernel wins once truly HBM-resident (f32 256^3: 1259 vs 2311;
-    bf16 256^3: 596 vs 791 us/iter). On CPU (tests/parity) and for f64 (no
-    Mosaic f64) auto stays on the XLA stencil path.
+    bf16 256^3: 596 vs 791 us/iter). f64 on TPU rides the double-float
+    (two-f32) stencil kernel, backend='pallas_dd' (Mosaic has no f64; XLA's
+    emulated f64 pays double-double per op of the 27-sum). On CPU
+    (tests/parity) auto stays on the XLA stencil path.
     """
     from hpccg_tpu.operators import StencilOperator
 
@@ -485,16 +487,19 @@ def make_cg(
             )
             backend = "pallas"
         # one-reduction variants ride the pallas-v2 layout or the XLA path
-        if backend == "pallas" and isinstance(A, StencilOperator):
+        if backend in ("pallas", "pallas_dd") and isinstance(A, StencilOperator):
             from hpccg_tpu.ops.pallas.stencil_v2 import (
                 pad_plane3,
                 spmv_padded_v2,
+                spmv_padded_v2_dd,
                 unpad_plane3,
             )
 
+            mv = spmv_padded_v2_dd if backend == "pallas_dd" else spmv_padded_v2
+
             def solve_1red_pallas(b, x0):
                 res = solver_fn(
-                    lambda v: spmv_padded_v2(A, v),
+                    lambda v: mv(A, v),
                     pad_plane3(A, b),
                     pad_plane3(A, x0),
                     max_iter=max_iter,

@@ -130,7 +130,10 @@ def main(argv=None) -> int:
             # divisible points (pallas on TPU): resolve through the shared
             # helper so the reported backend is what actually ran
             mb = masked_backend(
-                cfg, args.backend if args.backend in ("auto", "pallas") else "auto"
+                cfg,
+                args.backend
+                if args.backend in ("auto", "pallas", "pallas_dd")
+                else "auto",
             )
             backend_used = f"{mb}-halo-masked"
 

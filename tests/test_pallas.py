@@ -525,3 +525,37 @@ def test_distributed_pallas_dd_f64(ndev=4):
     good = np.isfinite(ts) & (ts > 1e-10 * ts[0])
     assert good.sum() >= 10
     np.testing.assert_allclose(tp[good], ts[good], rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_cg1_pallas_dd_runs_dd_kernel():
+    """method='cg1'/'pipecg' with backend='pallas_dd' rides the dd kernel
+    (it used to fall through to the XLA spmv dispatch silently)."""
+    from hpccg_tpu.solver import make_cg
+
+    cfg = ProblemConfig(12, 10, 8, dtype=jnp.float64)
+    prob = generate_problem(cfg)
+    # pipecg's pipelined recurrence amplifies ulp-level matvec differences
+    # exponentially down the trajectory (two exact-f64 matvecs differing by
+    # 1 ulp diverge the same way), so compare it only above 1e-6 rel
+    for method, cut, rtol in (("cg1", 1e-10, 1e-9), ("pipecg", 1e-6, 1e-7)):
+        r_dd = make_cg(
+            prob.A, max_iter=30, tolerance=0.0, backend="pallas_dd", method=method
+        )(prob.b, prob.x0)
+        r_ref = make_cg(
+            prob.A, max_iter=30, tolerance=0.0, backend="stencil", method=method
+        )(prob.b, prob.x0)
+        tr, td = np.asarray(r_ref.trace), np.asarray(r_dd.trace)
+        m = ~np.isnan(tr) & (tr > cut * tr[0])
+        assert m.sum() >= 15
+        np.testing.assert_allclose(td[m], tr[m], rtol=rtol)
+
+
+def test_pallas_dd_rejects_f32_with_guidance():
+    """The dd tier names its dtype contract instead of a bare assert."""
+    from hpccg_tpu.ops.pallas.stencil_v2 import pad_plane3, spmv_padded_v2_dd
+
+    cfg = ProblemConfig(6, 5, 4, dtype=jnp.float32)
+    prob = generate_problem(cfg)
+    with pytest.raises(ValueError, match="pallas_dd"):
+        spmv_padded_v2_dd(prob.A, pad_plane3(prob.A, prob.x0))
