@@ -421,6 +421,8 @@ def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None
         arrs["dia_meta"] = np.asarray([A.total_nrow or -1])
     elif type(A).__name__ == "GellMatrix":
         arrs["gell_vals3"] = np.asarray(A.vals3)
+        if A.vals3lo is not None:
+            arrs["gell_vals3lo"] = np.asarray(A.vals3lo)
         arrs["gell_li3"] = np.asarray(A.li3)
         arrs["gell_meta"] = np.asarray(
             [A.n, A.width, A.k_chunks, A.pbl, A.total_nrow, A.nnz_count]
@@ -464,6 +466,9 @@ def load_problem(path: str) -> Tuple[Problem, dict]:
         )
         A = GellMatrix(
             vals3=jnp.asarray(z["gell_vals3"]),
+            vals3lo=jnp.asarray(z["gell_vals3lo"])
+            if "gell_vals3lo" in z
+            else None,
             li3=jnp.asarray(z["gell_li3"]),
             n=n_, width=w_, k_chunks=k_, pbl=pbl_,
             total_nrow=tot_, nnz_count=nnz_, slot_bounds=bounds,

@@ -1,16 +1,41 @@
 """Error-free f32 transforms shared by the double-float (two-f32) kernels.
 
 The TPU VPU has no f64 and no FMA error extraction, so dd kernels
-(dia_kernel, stencil_v2) build f64-class arithmetic from these exact
-building blocks (Dekker/Knuth/Veltkamp — see Muller et al., "Handbook of
-Floating-Point Arithmetic"). Pure elementwise ops: safe inside Mosaic
-kernels and under the interpreter alike, as long as the compiler does not
-reassociate (XLA and Mosaic both honor the written association for f32).
+(dia_kernel, stencil_v2, gell_kernel) build f64-class arithmetic from
+these exact building blocks (Dekker/Knuth — see Muller et al., "Handbook
+of Floating-Point Arithmetic").
+
+COMPILER CONTRACT (why split12 is integer-masked): exactness of the
+transforms requires the compiler to preserve the written f32 rounding.
+Mosaic does. XLA:CPU's LLVM pipeline compiles with fp-contract=fast, so
+a MULTIPLY feeding an add/sub can be FMA-contracted, silently changing
+its rounding — that breaks the arithmetic Veltkamp split
+(h = c - (c - a) with c = a*4097 contracts to fms) and any TwoSum whose
+operand is an inexact product. Nothing at HLO level (optimization
+barriers, bitcast round-trips) survives to instruction selection, so the
+rule is structural instead: every product that feeds a TwoSum/df chain
+must be EXACT by construction (split halves, power-of-two or small-int
+coefficients) — contraction cannot change the rounding of an exact
+product — and operand splitting uses integer mantissa masking, which has
+no float ops to contract. Inexact products are allowed only in
+eps-scale tails where a contracted rounding shifts eps^2-level bits.
 """
 
 from __future__ import annotations
 
-VELTKAMP = 4097.0  # 2^12 + 1: splits a 24-bit f32 significand 12 + 12
+import jax
+import jax.numpy as jnp
+
+def split12(a):
+    """a = h + l exactly with h, l each fitting 12-bit significands, via
+    integer mantissa truncation (zero the low 12 mantissa bits) — immune
+    to fp-contract because the split itself has no float arithmetic.
+    h*h' products of two splits are exact (<= 24 significand bits)."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    h = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-4096)), jnp.float32
+    )
+    return h, a - h  # exact: l is the truncated low 12 mantissa bits
 
 
 def two_sum(a, b):
@@ -28,18 +53,12 @@ def fast_two_sum(a, b):
     return s, e
 
 
-def veltkamp_split(a):
-    """a = h + l exactly with h, l fitting 12-bit significands (|a| below
-    ~8e34 so the scaled intermediate cannot overflow f32)."""
-    c = a * VELTKAMP
-    h = c - (c - a)
-    return h, a - h
-
-
 def two_prod(a, b):
-    """Error-free: a * b = p + e exactly (Veltkamp split both operands)."""
-    ah, al = veltkamp_split(a)
-    bh, bl = veltkamp_split(b)
+    """Error-free: a * b = p + e exactly (split both operands; all
+    sub-products exact, so the chain is fp-contract-immune EXCEPT the
+    final `x - p` cancellation which has no mult — safe)."""
+    ah, al = split12(a)
+    bh, bl = split12(b)
     p = a * b
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e

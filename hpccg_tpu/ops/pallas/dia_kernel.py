@@ -391,7 +391,7 @@ def prepare_dia(A) -> PreparedDia:
 # previously had NO fast path. Here each f64 value is carried as an exact
 # (hi, lo) f32 pair and the MAC sweep runs compensated f32 arithmetic:
 #
-#   a*x = (a1 + a2 + alo) * (x1 + x2 + xlo)        Veltkamp 12-bit splits
+#   a*x = (a1 + a2 + alo) * (x1 + x2 + xlo)        12-bit operand splits
 #       = a1*x1                                    exact f32 product
 #       + TwoSum(a1*x2, a2*x1)                     exact products, exact sum
 #       + (a2*x2 + ahi*xlo) + alo*xhi              O(2^-24) terms
@@ -404,9 +404,12 @@ def prepare_dia(A) -> PreparedDia:
 # VMEM-resident; diagonal (hi, lo) streams from HBM in blocks.
 
 # error-free transform primitives shared with stencil_v2's dd kernel
+# (split12 = integer-masked operand split: immune to XLA:CPU's
+# fp-contract=fast, which breaks the arithmetic Veltkamp split — see
+# ddmath's compiler-contract note)
 from hpccg_tpu.ops.pallas.ddmath import (  # noqa: E402
-    VELTKAMP as _VELTKAMP,
     fast_two_sum as _fast_two_sum,
+    split12 as _split12,
     two_sum as _two_sum,
 )
 
@@ -462,12 +465,10 @@ def _kernel_dd(
         X1 = shifted(x1_ref)
         X2 = shifted(x2_ref)
         XLO = shifted(xlo_ref)
-        XHI = X1 + X2  # exact: Veltkamp halves recombine exactly
+        XHI = X1 + X2  # exact: split halves recombine exactly
         ahi = dhi_ref[j]
         alo = dlo_ref[j]
-        c = ahi * _VELTKAMP
-        a1 = c - (c - ahi)
-        a2 = ahi - a1
+        a1, a2 = _split12(ahi)
         p1 = a1 * X1  # exact (12b x 12b)
         v, verr = _two_sum(a1 * X2, a2 * X1)  # exact products
         u = (a2 * X2 + ahi * XLO) + alo * XHI  # O(2^-24) terms
@@ -543,9 +544,7 @@ def _split_x_dd(offsets: tuple, n: int, x, halo_lo=None, halo_hi=None):
         xp = jax.lax.dynamic_update_slice(xp, halo_hi.astype(x.dtype), (base + n,))
     x_hi = xp.astype(jnp.float32)
     x_lo = (xp - x_hi.astype(xp.dtype)).astype(jnp.float32)
-    c = x_hi * jnp.float32(_VELTKAMP)
-    x1 = c - (c - x_hi)
-    x2 = x_hi - x1
+    x1, x2 = _split12(x_hi)
     return jnp.stack([x1, x2, x_lo]).reshape(3, -1, LANE)
 
 

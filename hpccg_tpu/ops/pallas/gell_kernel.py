@@ -49,19 +49,20 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def gell_supported(n: int, k_chunks: int) -> bool:
+def gell_supported(n: int, k_chunks: int, dd: bool = False) -> bool:
     """True when the padded x window state fits the kernel VMEM budget
-    (x stays fully VMEM-resident) and the chunk scan is bounded."""
+    (x stays fully VMEM-resident) and the chunk scan is bounded.
+    dd=True doubles the resident x state (hi + lo windows, f64 tier)."""
     if k_chunks > 32:
         return False
-    xp_bytes = 4 * (_cdiv(n, RT) * RT + 2 * k_chunks * LANE)
-    blocks = 4 * 64 * SUB * LANE  # double-buffered vals/li/y blocks, approx
+    xp_bytes = (8 if dd else 4) * (_cdiv(n, RT) * RT + 2 * k_chunks * LANE)
+    blocks = (6 if dd else 4) * 64 * SUB * LANE  # double-buffered blocks
     return xp_bytes + blocks + (4 << 20) <= GELL_VMEM_LIMIT
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals3", "li3"],
+    data_fields=["vals3", "li3", "vals3lo"],
     meta_fields=["n", "width", "k_chunks", "pbl", "total_nrow", "nnz_count", "slot_bounds"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -71,9 +72,13 @@ class GellMatrix:
     vals3/li3: (T, width, 8, 128) — tile-major ELL values and window-local
     flat indices (row r of tile t sits at sublane (r%1024)//128, lane r%128).
     Invalid slots carry val=0 with an in-window index.
+
+    vals3lo (f64 matrices only): the exact f32 low halves of the values —
+    the dd tier streams (hi, lo) pairs and runs the compensated gather
+    kernel (spmv_gell_dd); None for f32 matrices.
     """
 
-    vals3: jax.Array  # f32
+    vals3: jax.Array  # f32 (the hi halves for f64 matrices)
     li3: jax.Array  # i16 in [0, k_chunks*128) — the window is <= 4096 wide,
     # so 16-bit indices halve the index stream (8 -> 6 B/nnz of traffic)
     n: int
@@ -87,6 +92,7 @@ class GellMatrix:
     # the w-th offset quantile — the chunk scan only visits [lo, hi]
     # instead of all k_chunks (pure win, zero runtime cost)
     slot_bounds: tuple = ()
+    vals3lo: jax.Array | None = None
 
     @property
     def local_nrow(self) -> int:
@@ -94,13 +100,17 @@ class GellMatrix:
 
     @property
     def dtype(self):
-        return self.vals3.dtype
+        import jax.numpy as _jnp
+
+        return _jnp.dtype("float64") if self.vals3lo is not None else self.vals3.dtype
 
     @property
     def nnz(self) -> int:
         return self.nnz_count
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        if self.vals3lo is not None:
+            return spmv_gell_dd(self, x)
         return spmv_gell(self, x)
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -113,6 +123,12 @@ class GellMatrix:
 
         T = self.vals3.shape[0]
         vals = np.asarray(self.vals3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
+        if self.vals3lo is not None:
+            # f64 reconstruction from the (hi, lo) pair — double-float
+            # precision (~2^-49 rel), like every dd representation
+            vals = vals.astype(np.float64) + np.asarray(
+                self.vals3lo, np.float64
+            ).transpose(0, 2, 3, 1).reshape(T * RT, -1)
         li = np.asarray(self.li3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
         rows2 = np.arange(T * RT)[:, None]
         tile_base = (rows2 // RT) * RT
@@ -133,12 +149,14 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
     if ell.start_row != 0:
         raise ValueError("prepare_gell needs the assembled matrix")
     n = ell.local_nrow
-    vals = np.asarray(ell.vals, np.float32)
+    dd = np.asarray(ell.vals).dtype.itemsize == 8
+    vdt = np.float64 if dd else np.float32
+    vals = np.asarray(ell.vals, vdt)
     cols = np.asarray(ell.cols, np.int64)
     valid = np.asarray(ell.valid)
     width = max(ell.width, 1)
     if vals.shape[1] == 0:
-        vals = np.zeros((n, 1), np.float32)
+        vals = np.zeros((n, 1), vdt)
         cols = np.zeros((n, 1), np.int64)
         valid = np.zeros((n, 1), bool)
 
@@ -164,7 +182,7 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
             f"window of {k_chunks} chunks (bandwidth {bw_lo}/{bw_hi}) "
             f"exceeds max_k_chunks={max_k_chunks}"
         )
-    if not gell_supported(n, k_chunks):
+    if not gell_supported(n, k_chunks, dd=dd):
         raise ValueError(
             f"{n} rows: the VMEM-resident x window exceeds the kernel "
             "budget (gell_supported); use DIA or the distributed paths"
@@ -172,7 +190,7 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
 
     T = _cdiv(n, RT)
     npad = T * RT
-    vp = np.zeros((npad, width), np.float32)
+    vp = np.zeros((npad, width), vdt)
     lp = np.zeros((npad, width), np.int64)
     vp[:n, : vals.shape[1]] = np.where(valid, vals, 0.0)
     tile_base = (np.arange(npad) // RT) * RT  # (npad,)
@@ -197,11 +215,22 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
     assert li.min() >= 0 and li.max() < k_chunks * LANE, (li.min(), li.max())
     lp[:, :] = li
 
-    vals3 = vp.reshape(T, SUB, LANE, width).transpose(0, 3, 1, 2)
+    def _tile3(a):
+        return np.ascontiguousarray(
+            a.reshape(T, SUB, LANE, width).transpose(0, 3, 1, 2)
+        )
+
+    if dd:
+        vhi = vp.astype(np.float32)
+        vlo = (vp - vhi.astype(np.float64)).astype(np.float32)
+        vals3, vals3lo = jnp.asarray(_tile3(vhi)), jnp.asarray(_tile3(vlo))
+    else:
+        vals3, vals3lo = jnp.asarray(_tile3(vp)), None
     li3 = lp.reshape(T, SUB, LANE, width).transpose(0, 3, 1, 2)
     assert k_chunks * LANE <= 32767  # li fits int16
     return GellMatrix(
-        vals3=jnp.asarray(np.ascontiguousarray(vals3)),
+        vals3=vals3,
+        vals3lo=vals3lo,
         li3=jnp.asarray(np.ascontiguousarray(li3), jnp.int16),
         n=n,
         width=width,
@@ -314,6 +343,12 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
         ell = gell_to_ell(ell)
     if ell.start_row != 0:
         raise ValueError("prepare_gell_shards needs the assembled matrix")
+    if np.asarray(ell.vals).dtype.itemsize == 8:
+        raise ValueError(
+            "distributed gather-ELL shards are 32-bit only (the dd gather "
+            "tier is single-device; f64 at --mesh > 1 rides banded dd-DIA "
+            "shards or the all-gather ELL path)"
+        )
     n = ell.local_nrow
     if n % ndev:
         raise ValueError(
@@ -517,6 +552,115 @@ def _spmv_gell(vals3, li3, xp2, width: int, k_chunks: int, interpret: bool, slot
         ),
         interpret=interpret,
     )(xp2, vals3, li3)
+
+
+def _kernel_dd(
+    xph_ref, xpl_ref, valsh_ref, valsl_ref, li_ref, yhi_ref, ylo_ref,
+    *, width: int, k_chunks: int, slot_bounds: tuple,
+):
+    """Double-float gather tile: every product feeding the compensated
+    accumulators is EXACT by construction (split12 halves), per ddmath's
+    compiler contract — the same recipe as dia_kernel._kernel_dd, with the
+    shifted-diagonal reads replaced by the chunk-scan lane gather."""
+    from hpccg_tpu.ops.pallas.ddmath import fast_two_sum, split12, two_sum
+
+    t = pl.program_id(0)
+    xwh = xph_ref[pl.ds(t * SUB, k_chunks)]  # (K, 128) hi window
+    xwl = xpl_ref[pl.ds(t * SUB, k_chunks)]  # (K, 128) lo window
+    f32 = jnp.float32
+    sh = jnp.zeros((SUB, LANE), f32)  # main double-f32 accumulator
+    sl = jnp.zeros((SUB, LANE), f32)
+    th = jnp.zeros((SUB, LANE), f32)  # eps-scale terms accumulator
+    tl = jnp.zeros((SUB, LANE), f32)
+
+    def df_add(hi, lo, x):
+        s, e = two_sum(hi, x)
+        return s, lo + e
+
+    for w in range(width):
+        li = li_ref[0, w].astype(jnp.int32)
+        ll = jnp.bitwise_and(li, LANE - 1)
+        ci = jnp.right_shift(li, 7)
+        gh = jnp.zeros((SUB, LANE), f32)
+        gl = jnp.zeros((SUB, LANE), f32)
+        lo_b, hi_b = slot_bounds[w] if slot_bounds else (0, k_chunks - 1)
+        for k in range(lo_b, hi_b + 1):
+            ch = jnp.broadcast_to(xwh[k : k + 1], (SUB, LANE))
+            cl = jnp.broadcast_to(xwl[k : k + 1], (SUB, LANE))
+            sel = ci == k
+            gh = jnp.where(sel, jnp.take_along_axis(ch, ll, axis=1), gh)
+            gl = jnp.where(sel, jnp.take_along_axis(cl, ll, axis=1), gl)
+        ah = valsh_ref[0, w]
+        al = valsl_ref[0, w]
+        a1, a2 = split12(ah)
+        x1, x2 = split12(gh)
+        p1 = a1 * x1  # exact (12b x 12b)
+        v, verr = two_sum(a1 * x2, a2 * x1)  # exact products
+        u = (a2 * x2 + ah * gl) + al * gh  # O(2^-24) terms
+        sh, sl = df_add(sh, sl, p1)
+        sh, sl = df_add(sh, sl, v)
+        th, tl = df_add(th, tl, verr + u)
+        sh, sl = fast_two_sum(sh, sl)  # renorm once per slot
+    s, e = two_sum(sh, th)
+    lo = (sl + tl) + e
+    hi, lo2 = fast_two_sum(s, lo)
+    yhi_ref[0] = hi
+    ylo_ref[0] = lo2
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _spmv_gell_dd(
+    vals3, vals3lo, li3, xp2h, xp2l, width: int, k_chunks: int,
+    interpret: bool, slot_bounds: tuple = (),
+):
+    T = vals3.shape[0]
+    return pl.pallas_call(
+        partial(_kernel_dd, width=width, k_chunks=k_chunks, slot_bounds=slot_bounds),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp hi whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp lo whole
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, SUB, LANE), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t: (t, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=GELL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xp2h, xp2l, vals3, vals3lo, li3)
+
+
+def spmv_gell_dd(
+    A: GellMatrix, x: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """f64 y = A @ x through the double-float gather kernel (~1e-14 rel;
+    the f64 scattered-narrow-band tier — DIA has the banded f64 case)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert A.vals3lo is not None, "f32 GellMatrix: use spmv_gell"
+    T = A.vals3.shape[0]
+    npad = T * RT
+    pbh_total = A.k_chunks * LANE - RT
+    xp = jnp.zeros((A.pbl + npad + pbh_total,), jnp.float64)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float64), (A.pbl,))
+    xh = xp.astype(jnp.float32)
+    xl = (xp - xh.astype(jnp.float64)).astype(jnp.float32)
+    yhi, ylo = _spmv_gell_dd(
+        A.vals3, A.vals3lo, A.li3, xh.reshape(-1, LANE), xl.reshape(-1, LANE),
+        A.width, A.k_chunks, interpret, A.slot_bounds,
+    )
+    y = yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
+    return y.reshape(-1)[: A.n]
 
 
 def spmv_gell(A: GellMatrix, x: jax.Array, *, interpret: bool | None = None) -> jax.Array:

@@ -356,7 +356,7 @@ def spmv_stencil_pallas_v2(
 #     add's rounding error captured into a plain-f32 error channel (errors
 #     are O(2^-24)-scale: summing THEM naively costs only O(2^-48));
 #   - the lo channel is eps-scale, so its 27-sum runs plain f32;
-#   - 28*hi splits exactly (Veltkamp h1+h2: 28*h1 and 28*h2 are exact —
+#   - 28*hi splits exactly (split12 h1+h2: 28*h1 and 28*h2 are exact —
 #     5-bit coefficient times 12-bit halves), and OFFDIAG = -1 is an exact
 #     negation.
 #
@@ -369,9 +369,9 @@ def spmv_stencil_pallas_v2(
 
 # error-free transform primitives shared with dia_kernel's dd kernel
 from hpccg_tpu.ops.pallas.ddmath import (  # noqa: E402
+    split12 as _split12,
     two_prod as _two_prod,
     two_sum as _two_sum_v,
-    veltkamp_split as _veltkamp_split,
 )
 
 
@@ -456,11 +456,11 @@ def _dd_core(
         )
 
     # y = D*u - (S + E + SL), D = diag - offdiag = 28 exactly.
-    # 28*hi via the exact Veltkamp split products; -1 * sums is exact.
+    # 28*hi via the exact split12 half products; -1 * sums is exact.
     c_hi = uh[1 : tz + 1]
     c_lo = ul[1 : tz + 1]
     D = jnp.asarray(DIAG_VALUE - OFFDIAG_VALUE, f32)
-    h1, h2 = _veltkamp_split(c_hi)
+    h1, h2 = _split12(c_hi)
     p1 = D * h1  # exact: 5-bit x 12-bit
     p2 = D * h2  # exact (p2 is up to 2^-12 * |y| — NOT eps-scale, so it
     # joins the TwoSum chain; folding it into the plain tail measured 6e-12)
@@ -582,7 +582,7 @@ def _dd_call(op, u, halo, interpret, tz, with_pap):
     # bitcast round-trips — survives to instruction selection). Interpret
     # mode therefore takes the exact f64 dot outside the kernel instead.
     # (The dd MATVEC is immune: all its products are exact by construction
-    # — Veltkamp-half and power-of-two coefficients — so contraction
+    # — split12-half and power-of-two coefficients — so contraction
     # cannot change their rounding.)
     kern_pap = with_pap and not interpret
     kern = _kernel_dd_pap if kern_pap else _kernel_dd

@@ -228,27 +228,39 @@ def auto_structure(
                 )
             )
         k = _gell_chunks(bw_lo, bw_hi)
-        # the gather kernel is 32-bit only; f64 matrices (deep-convergence
-        # parity runs) keep the exact-arithmetic representations. Callers
-        # that need a distributable operator (CLI --mesh file mode) pass
-        # allow_gell=False: the gather tiles are single-device-only.
+        # f32 matrices ride the gather kernel anywhere; f64 ride the
+        # double-float gather kernel (spmv_gell_dd) on TPU only — the
+        # interpret-mode dd gather off-chip is slower than the exact
+        # XLA/ELL paths. Callers that need a distributable operator
+        # (CLI --mesh file mode) pass allow_gell=False: the gather tiles
+        # are single-device-only.
         from hpccg_tpu.ops.pallas.gell_kernel import gell_supported, prepare_gell
 
+        import jax as _jax
+
+        gell_dtype_ok = np.asarray(mat.vals).dtype.itemsize == 4 or (
+            f64 and _jax.default_backend() == "tpu"
+        )
         if (
             allow_gell
-            and np.asarray(mat.vals).dtype.itemsize == 4
+            and gell_dtype_ok
             and no_stored_zeros
-            and gell_supported(n, k)
+            and gell_supported(n, k, dd=f64)
         ):
 
             # the kernel streams every PADDED slot (width * n), so skewed
             # row lengths inflate its cost exactly like DIA's empty slots
             # (measured: a width-240 / 17-nnz-per-row matrix ran at 2.2
-            # real-Gnnz/s — the slot rate divided by ~14)
+            # real-Gnnz/s — the slot rate divided by ~14). The dd tier
+            # roughly doubles the per-slot VPU work (two gathers + the
+            # compensated products) and streams 10 vs 6 B/slot.
             slot_inflation = (max(mat.width, 1) * n) / max(nnz, 1)
+            rate = _gell_rate(k) / max(slot_inflation, 1.0)
+            if f64:
+                rate *= 0.5
             out.append(
                 (
-                    _gell_rate(k) / max(slot_inflation, 1.0),
+                    rate,
                     "gell" + tag,
                     lambda mat=mat: prepare_gell(mat),
                     (None, None, k),

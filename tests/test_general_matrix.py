@@ -453,3 +453,118 @@ def test_auto_structure_stored_zero_reason():
     A, perm, report = auto_structure(ell)
     assert report.format == "ell"
     assert "zero" in report.reason
+
+
+class TestGellDD:
+    """Double-float gather kernel: the f64 scattered-narrow-band tier."""
+
+    def _ell_f64(self, n=2500, bw=250, per_row=9, seed=7):
+        ell32 = TestGellKernel()._scattered_band(n=n, bw=bw, per_row=per_row, seed=seed)
+        # full f64-significand values (f32-representable would hide the lo channel)
+        rng = np.random.default_rng(seed + 1)
+        vals = np.asarray(ell32.vals, np.float64) * (
+            1 + 1e-9 * rng.standard_normal(ell32.vals.shape)
+        )
+        return EllMatrix(
+            vals=jnp.asarray(vals),
+            cols=ell32.cols,
+            valid=ell32.valid,
+            total_nrow=ell32.total_nrow,
+        )
+
+    @pytest.mark.slow
+    def test_matvec_f64_class(self):
+        from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell, spmv_gell_dd
+
+        ell = self._ell_f64()
+        G = prepare_gell(ell)
+        assert G.dtype == jnp.float64 and G.vals3lo is not None
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.standard_normal(ell.local_nrow)
+            * (1 + 1e-9 * rng.standard_normal(ell.local_nrow))
+        )
+        y = spmv_gell_dd(G, x, interpret=True)
+        y_ref = ell.matvec(x)  # XLA f64 gather oracle
+        rel = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
+        assert rel < 1e-13, rel
+        # the matvec dispatch routes dd automatically
+        assert float(jnp.max(jnp.abs(G.matvec(x) - y_ref))) < 1e-10
+
+    @pytest.mark.slow
+    def test_cg_through_make_cg_f64(self):
+        from hpccg_tpu.ops.pallas.gell_kernel import prepare_gell
+        from hpccg_tpu.solver import make_cg
+
+        ell = self._ell_f64(n=1500, bw=120, per_row=7)
+        G = prepare_gell(ell)
+        xex = jnp.ones((1500,), jnp.float64)
+        b = ell.matvec(xex)
+        r_g = make_cg(G, max_iter=40, tolerance=0.0)(b, jnp.zeros_like(b))
+        r_o = make_cg(ell, max_iter=40, tolerance=0.0, backend="ell")(
+            b, jnp.zeros_like(b)
+        )
+        tg, to = np.asarray(r_g.trace), np.asarray(r_o.trace)
+        m = ~np.isnan(to) & (to > 1e-10 * to[0])
+        assert m.sum() >= 10
+        np.testing.assert_allclose(tg[m], to[m], rtol=1e-9)
+
+    def test_to_coo_and_checkpoint_roundtrip_f64(self, tmp_path):
+        from hpccg_tpu.io import load_problem, save_problem
+        from hpccg_tpu.models.stencil import Problem
+        from hpccg_tpu.ops.pallas.gell_kernel import gell_to_ell, prepare_gell
+
+        ell = self._ell_f64(n=600, bw=80, per_row=5)
+        G = prepare_gell(ell)
+        r0, c0, v0 = ell.to_coo()
+        rg, cg, vg = G.to_coo()
+        assert vg.dtype == np.float64
+        ref = {(int(r), int(c)): float(v) for r, c, v in zip(r0, c0, v0) if v != 0}
+        got = {(int(r), int(c)): float(v) for r, c, v in zip(rg, cg, vg)}
+        assert set(ref) == set(got)
+        # the (hi, lo) pair holds f64 values to double-float precision
+        # (~2^-49 rel — lo is the f32 ROUNDING of the f64 remainder), so
+        # the round trip is dd-exact, not bit-exact
+        for key, v in ref.items():
+            assert abs(got[key] - v) <= 3e-15 * abs(v), (key, v, got[key])
+        assert gell_to_ell(G).vals.dtype == jnp.float64
+
+        b = ell.matvec(jnp.ones((600,), jnp.float64))
+        prob = Problem(A=G, b=b, x0=jnp.zeros_like(b),
+                       xexact=jnp.ones_like(b), total_nrow=600,
+                       total_nnz_model=G.nnz, total_nnz_exact=G.nnz)
+        path = str(tmp_path / "gdd.npz")
+        save_problem(path, prob)
+        prob2, _ = load_problem(path)
+        assert prob2.A.dtype == jnp.float64
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(600))
+        np.testing.assert_allclose(
+            np.asarray(prob2.A.matvec(x)), np.asarray(G.matvec(x)), rtol=1e-14
+        )
+
+    def test_chooser_offers_gell_for_f64_on_tpu_only(self, monkeypatch):
+        import jax as _jax
+
+        from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
+        from hpccg_tpu.reorder import auto_structure
+
+        ell = self._ell_f64(n=2000, bw=400, per_row=7)
+        # off-chip: f64 keeps the exact XLA representations
+        A_cpu, _, rep_cpu = auto_structure(ell, max_inflation=16.0)
+        assert not isinstance(A_cpu, GellMatrix), rep_cpu
+        # pretend-TPU: the dd gather tier is offered and wins for this shape
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        A_tpu, _, rep_tpu = auto_structure(ell, max_inflation=16.0)
+        assert rep_tpu.format.startswith("gell"), rep_tpu
+        assert isinstance(A_tpu, GellMatrix) and A_tpu.vals3lo is not None
+
+    def test_distributed_shards_reject_f64_loudly(self):
+        from hpccg_tpu.ops.pallas.gell_kernel import (
+            prepare_gell,
+            prepare_gell_shards,
+        )
+
+        ell = self._ell_f64(n=2048, bw=60, per_row=5)
+        G = prepare_gell(ell)
+        with pytest.raises(ValueError, match="32-bit only"):
+            prepare_gell_shards(G, 2)
