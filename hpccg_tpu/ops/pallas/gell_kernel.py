@@ -272,7 +272,7 @@ def gell_to_ell(g: GellMatrix):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals4", "li4", "cl_idx", "cl_val", "ch_idx", "ch_val"],
+    data_fields=["vals4", "li4", "cl_idx", "cl_val", "ch_idx", "ch_val", "vals4lo"],
     meta_fields=[
         "ndev", "L", "width", "k_chunks", "pbl", "bw_lo", "bw_hi",
         "total_nrow", "nnz_count", "slot_bounds",
@@ -289,6 +289,11 @@ class GellShards:
     padding — where spmv_gell_shard writes the ppermuted neighbor strips
     (the windowed analog of dia_kernel.spmv_dia_prepared's halo fill;
     ref exchange_externals.cpp:51-131 + HPC_sparsemv.cpp:68-87).
+
+    vals4lo (f64 matrices only): the exact f32 low halves — each shard
+    then runs the double-float gather kernel (spmv_gell_shard_dd), with
+    the boundary corrections and halos in f64 (they are O(bandwidth)-
+    sized, so XLA's emulated f64 there costs nothing).
     """
 
     vals4: jax.Array
@@ -314,6 +319,7 @@ class GellShards:
     total_nrow: int
     nnz_count: int
     slot_bounds: tuple = ()
+    vals4lo: jax.Array | None = None
 
     @property
     def local_nrow(self) -> int:
@@ -321,7 +327,9 @@ class GellShards:
 
     @property
     def dtype(self):
-        return self.vals4.dtype
+        import jax.numpy as _jnp
+
+        return _jnp.dtype("float64") if self.vals4lo is not None else self.vals4.dtype
 
     @property
     def nnz(self) -> int:
@@ -343,12 +351,6 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
         ell = gell_to_ell(ell)
     if ell.start_row != 0:
         raise ValueError("prepare_gell_shards needs the assembled matrix")
-    if np.asarray(ell.vals).dtype.itemsize == 8:
-        raise ValueError(
-            "distributed gather-ELL shards are 32-bit only (the dd gather "
-            "tier is single-device; f64 at --mesh > 1 rides banded dd-DIA "
-            "shards or the all-gather ELL path)"
-        )
     n = ell.local_nrow
     if n % ndev:
         raise ValueError(
@@ -356,12 +358,14 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
             "hpccg_tpu.io.pad_problem_rows(prob, ndev)"
         )
     L = n // ndev
-    vals = np.asarray(ell.vals, np.float32)
+    dd = np.asarray(ell.vals).dtype.itemsize == 8
+    vdt = np.float64 if dd else np.float32
+    vals = np.asarray(ell.vals, vdt)
     cols = np.asarray(ell.cols, np.int64)
     valid = np.asarray(ell.valid)
     width = max(ell.width, 1)
     if vals.shape[1] == 0:
-        vals = np.zeros((n, 1), np.float32)
+        vals = np.zeros((n, 1), vdt)
         cols = np.zeros((n, 1), np.int64)
         valid = np.zeros((n, 1), bool)
 
@@ -389,7 +393,7 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
             f"window of {k_chunks} chunks (bandwidth {bw_lo}/{bw_hi}) "
             f"exceeds max_k_chunks={max_k_chunks}"
         )
-    if not gell_supported(L, k_chunks):
+    if not gell_supported(L, k_chunks, dd=dd):
         raise ValueError(
             f"{L}-row shards: the VMEM-resident x window exceeds the "
             "kernel budget (gell_supported)"
@@ -418,7 +422,7 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
     assert k_chunks * LANE <= 32767  # li fits int16
 
     # (ndev, L, width) -> per-shard tile padding to (ndev, npad, width)
-    v4 = np.zeros((ndev, npad, width), np.float32)
+    v4 = np.zeros((ndev, npad, width), vdt)
     l4 = np.zeros((ndev, npad, width), np.int64)
     v4[:, :L] = np.where(valid, vals, 0.0).reshape(ndev, L, width)
     l4[:, :L] = li.reshape(ndev, L, width)
@@ -435,7 +439,7 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
         counts = mask.reshape(ndev, L * width).sum(axis=1)
         C = max(int(counts.max()) if counts.size else 0, 1)
         idx = np.zeros((ndev, 2, C), np.int32)
-        val = np.zeros((ndev, C), np.float32)
+        val = np.zeros((ndev, C), vdt)
         for r in range(ndev):
             m = mask[r * L : (r + 1) * L]
             rr, ww = np.nonzero(m)
@@ -450,10 +454,21 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
     cl_idx, cl_val = _coo(is_lo, lambda c, r: c - (r * L - bw_lo))
     ch_idx, ch_val = _coo(is_hi, lambda c, r: c - (r + 1) * L)
 
-    vals4 = v4.reshape(ndev, T, SUB, LANE, width).transpose(0, 1, 4, 2, 3)
+    def _tile4(a):
+        return np.ascontiguousarray(
+            a.reshape(ndev, T, SUB, LANE, width).transpose(0, 1, 4, 2, 3)
+        )
+
+    if dd:
+        v4hi = v4.astype(np.float32)
+        v4lo = (v4 - v4hi.astype(np.float64)).astype(np.float32)
+        vals4, vals4lo = jnp.asarray(_tile4(v4hi)), jnp.asarray(_tile4(v4lo))
+    else:
+        vals4, vals4lo = jnp.asarray(_tile4(v4)), None
     li4 = l4.reshape(ndev, T, SUB, LANE, width).transpose(0, 1, 4, 2, 3)
     return GellShards(
-        vals4=jnp.asarray(np.ascontiguousarray(vals4)),
+        vals4=vals4,
+        vals4lo=vals4lo,
         li4=jnp.asarray(np.ascontiguousarray(li4), jnp.int16),
         cl_idx=jnp.asarray(cl_idx),
         cl_val=jnp.asarray(cl_val),
@@ -511,6 +526,40 @@ def spmv_gell_shard(
     y = _spmv_gell(
         vals3, li3, xp.reshape(-1, LANE), width, k_chunks, interpret, slot_bounds
     )
+    return y.reshape(-1)[:L]
+
+
+def spmv_gell_shard_dd(
+    vals3: jax.Array,
+    vals3lo: jax.Array,
+    li3: jax.Array,
+    x_local: jax.Array,
+    *,
+    L: int,
+    width: int,
+    k_chunks: int,
+    pbl: int,
+    slot_bounds: tuple,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One shard's rows of the f64 matvec through the double-float gather
+    kernel, on a ZERO halo (the distributed wrapper adds the ppermuted
+    strips as exact f64 boundary corrections — the overlap structure, so
+    no halo parameters here)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T = vals3.shape[0]
+    npad = T * RT
+    pbh_total = k_chunks * LANE - RT
+    xp = jnp.zeros((pbl + npad + pbh_total,), jnp.float64)
+    xp = jax.lax.dynamic_update_slice(xp, x_local.astype(jnp.float64), (pbl,))
+    xh = xp.astype(jnp.float32)
+    xl = (xp - xh.astype(jnp.float64)).astype(jnp.float32)
+    yhi, ylo = _spmv_gell_dd(
+        vals3, vals3lo, li3, xh.reshape(-1, LANE), xl.reshape(-1, LANE),
+        width, k_chunks, interpret, slot_bounds,
+    )
+    y = yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
     return y.reshape(-1)[:L]
 
 

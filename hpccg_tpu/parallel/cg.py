@@ -735,12 +735,14 @@ def make_distributed_gell_cg(
 
     Returns solve(A, b, x0) with A an assembled EllMatrix/GellMatrix (rows
     must divide the mesh — pad with ``hpccg_tpu.io.pad_problem_rows``) or a
-    ready GellShards. The kernel is f32-only (the vreg lane gather and the
-    stored values are 32-bit)."""
+    ready GellShards. f32 matrices ride the plain gather kernel; f64 ride
+    the double-float (hi, lo) gather kernel per shard with f64 halos and
+    corrections (the O(bandwidth)-sized f64 pieces cost nothing)."""
     from hpccg_tpu.ops.pallas.gell_kernel import (
         GellShards,
         prepare_gell_shards,
         spmv_gell_shard,
+        spmv_gell_shard_dd,
     )
 
     ndev = axis_size(mesh, axis)
@@ -766,12 +768,15 @@ def make_distributed_gell_cg(
             (shards.cl_idx, shards.cl_val, shards.ch_idx, shards.ch_val),
             mat_sh,
         )
+        dd = shards.vals4lo is not None
+        vals4lo = (
+            jax.device_put(shards.vals4lo, mat_sh) if dd else jnp.zeros((ndev,))
+        )
         kw = dict(
             L=L,
             width=shards.width,
             k_chunks=shards.k_chunks,
             pbl=shards.pbl,
-            bw_lo=bw_lo,
             slot_bounds=shards.slot_bounds,
         )
 
@@ -779,11 +784,11 @@ def make_distributed_gell_cg(
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), (P(axis),) * 4, P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), (P(axis),) * 4, P(axis), P(axis)),
             out_specs=_result_specs(P(axis)),
             check_vma=False,
         )
-        def _solve(v4, l4, corr_l, b_l, x0_l):
+        def _solve(v4, v4lo, l4, corr_l, b_l, x0_l):
             cli, clv, chi, chv = (a[0] for a in corr_l)
 
             def matvec(v):
@@ -797,11 +802,14 @@ def make_distributed_gell_cg(
                 # halo (boundary-crossing slots read exact zeros from the
                 # window padding), so it carries no ppermute dependency;
                 # the exchanged strips land as tiny scatter-add corrections
-                y = spmv_gell_shard(v4[0], l4[0], v, None, None, **kw)
+                if dd:
+                    y = spmv_gell_shard_dd(v4[0], v4lo[0], l4[0], v, **kw)
+                else:
+                    y = spmv_gell_shard(v4[0], l4[0], v, None, None, bw_lo=bw_lo, **kw)
                 if bw_lo:
-                    y = y.at[cli[0]].add(clv * lo[cli[1]])
+                    y = y.at[cli[0]].add(clv.astype(y.dtype) * lo[cli[1]])
                 if bw_hi:
-                    y = y.at[chi[0]].add(chv * hi[chi[1]])
+                    y = y.at[chi[0]].add(chv.astype(y.dtype) * hi[chi[1]])
                 return y
 
             return cg_solve(
@@ -813,7 +821,7 @@ def make_distributed_gell_cg(
                 dot=lambda u, w: ddot(u, w, axis_name=axis),
             )
 
-        return _solve(vals4, li4, corr, b, x0)
+        return _solve(vals4, vals4lo, li4, corr, b, x0)
 
     return solve
 

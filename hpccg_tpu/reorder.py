@@ -231,9 +231,9 @@ def auto_structure(
         # f32 matrices ride the gather kernel anywhere; f64 ride the
         # double-float gather kernel (spmv_gell_dd) on TPU only — the
         # interpret-mode dd gather off-chip is slower than the exact
-        # XLA/ELL paths. Callers that need a distributable operator
-        # (CLI --mesh file mode) pass allow_gell=False: the gather tiles
-        # are single-device-only.
+        # XLA/ELL paths. Both dtypes distribute: the CLI re-shards a
+        # chosen GellMatrix via prepare_gell_shards at --mesh > 1 (f64
+        # shards carry (hi, lo) planes for the dd gather kernel).
         from hpccg_tpu.ops.pallas.gell_kernel import gell_supported, prepare_gell
 
         import jax as _jax

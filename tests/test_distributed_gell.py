@@ -241,6 +241,37 @@ def test_gell_shards_is_pytree():
 
 
 @pytest.mark.slow
+def test_distributed_gell_dd_f64_matches_xla_oracle():
+    """f64 scattered-narrow-band at --mesh > 1: shards carry (hi, lo)
+    planes and each runs the double-float gather kernel; trajectory parity
+    vs the single-device XLA f64 ELL solve at dd-class accuracy (closing
+    the last distributed f64 corner — previously a loud reject to the
+    all-gather path)."""
+    n, ndev = 2048, 4
+    ell32 = _scattered(n, bw=100, per_row=3, seed=11)
+    rng = np.random.default_rng(12)
+    vals = np.asarray(ell32.vals, np.float64) * (
+        1 + 1e-9 * rng.standard_normal(ell32.vals.shape)
+    )
+    ell = EllMatrix(
+        vals=jnp.asarray(vals), cols=ell32.cols, valid=ell32.valid,
+        start_row=0, total_nrow=n,
+    )
+    b = ell.matvec(jnp.ones((n,), jnp.float64))
+    x0 = jnp.zeros_like(b)
+    single = make_cg(ell, max_iter=25, tolerance=0.0, backend="ell")(b, x0)
+    shards = prepare_gell_shards(ell, ndev)
+    assert shards.dtype == jnp.float64 and shards.vals4lo is not None
+    dist = make_distributed_gell_cg(make_mesh(ndev), max_iter=25, tolerance=0.0)(
+        shards, b, x0
+    )
+    _trace_parity(single, dist, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(dist.x), np.asarray(single.x), rtol=1e-9, atol=1e-12
+    )
+
+
+@pytest.mark.slow
 def test_gell_halo_overlap_kernel_has_no_ppermute_dependency():
     """Like the DIA tier: the gather kernel runs on a zero halo and the
     ppermuted strips feed only the boundary scatter-add corrections."""

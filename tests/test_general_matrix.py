@@ -558,7 +558,7 @@ class TestGellDD:
         assert rep_tpu.format.startswith("gell"), rep_tpu
         assert isinstance(A_tpu, GellMatrix) and A_tpu.vals3lo is not None
 
-    def test_distributed_shards_reject_f64_loudly(self):
+    def test_distributed_shards_carry_dd_planes(self):
         from hpccg_tpu.ops.pallas.gell_kernel import (
             prepare_gell,
             prepare_gell_shards,
@@ -566,5 +566,13 @@ class TestGellDD:
 
         ell = self._ell_f64(n=2048, bw=60, per_row=5)
         G = prepare_gell(ell)
-        with pytest.raises(ValueError, match="32-bit only"):
-            prepare_gell_shards(G, 2)
+        shards = prepare_gell_shards(G, 2)
+        assert shards.dtype == jnp.float64 and shards.vals4lo is not None
+        # the (hi, lo) planes reconstruct the f64 values to dd precision
+        import numpy as np
+
+        v = np.asarray(shards.vals4, np.float64) + np.asarray(
+            shards.vals4lo, np.float64
+        )
+        assert shards.cl_val.dtype == jnp.float64
+        assert v.dtype == np.float64 and np.isfinite(v).all()
