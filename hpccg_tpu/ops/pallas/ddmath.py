@@ -62,3 +62,21 @@ def two_prod(a, b):
     p = a * b
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
+
+
+def df_add(hi, lo, x):
+    """(hi, lo) += x without renormalization (7 ops); callers renorm
+    periodically (fast_two_sum) to keep |lo| small."""
+    s, e = two_sum(hi, x)
+    return s, lo + e
+
+
+def i0():
+    """np.int32(0) for Pallas BlockSpec index-map literals. Under
+    jax_enable_x64 a Python ``0`` in an index map traces as a weak-i64
+    transform return and Mosaic rejects the lowering — every kernel that
+    can run in an x64 process (all dd kernels; any kernel reachable from a
+    --dtype float64 run) must pin its index-map constants with this."""
+    import numpy as np
+
+    return np.int32(0)

@@ -107,13 +107,7 @@ def _kernel(offs_ref, xp_ref, data_ref, y_ref, *, pad_lo: int):
 # index-map literals must be i32: under jax_enable_x64 a Python 0 traces as
 # i64 in the lowered transform function and Mosaic rejects it (this bit the
 # whole-array xp spec's default (0, 0) map on every f64 run)
-_I0 = None  # set below; numpy import is deferred at module top
-
-
-def _i0():
-    import numpy as np
-
-    return np.int32(0)
+from hpccg_tpu.ops.pallas.ddmath import i0 as _i0  # noqa: E402
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -408,17 +402,11 @@ def prepare_dia(A) -> PreparedDia:
 # fp-contract=fast, which breaks the arithmetic Veltkamp split — see
 # ddmath's compiler-contract note)
 from hpccg_tpu.ops.pallas.ddmath import (  # noqa: E402
+    df_add as _df_add,
     fast_two_sum as _fast_two_sum,
     split12 as _split12,
     two_sum as _two_sum,
 )
-
-
-def _df_add(hi, lo, x):
-    """(hi, lo) += x without renormalization (7 ops); callers renorm
-    periodically to keep |lo| small."""
-    s, e = _two_sum(hi, x)
-    return s, lo + e
 
 
 def dia_dd_supported(ndiag_offsets, n: int) -> bool:

@@ -27,6 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hpccg_tpu.ops.pallas.ddmath import i0 as _i0
+
+_Z0 = _i0()  # i32 index-map literal (Mosaic rejects i64 maps under x64)
+
 from hpccg_tpu.config import Stencil
 from hpccg_tpu.operators import StencilOperator
 from hpccg_tpu.ops.pallas.stencil_kernel import (
@@ -121,7 +125,7 @@ def _k2(alpha_ref, x_ref, r_ref, p_ref, ap_ref, xout_ref, rout_ref, rr_ref):
 
 
 def _smem_scalar_spec():
-    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return pl.BlockSpec((1, 1), lambda i: (_Z0, _Z0), memory_space=pltpu.SMEM)
 
 
 def _pick_tz_divisor(nzp: int, m: int, itemsize: int, budget: int) -> int:
@@ -159,22 +163,22 @@ def fused_update_p_apply(
     check_mosaic_dtype(interpret, dtype)
 
     def lo_map(i):
-        return (jnp.maximum(i * blk - 1, 0), 0)
+        return (jnp.maximum(i * blk - 1, 0), _i0())
 
     def hi_map(i):
-        return (jnp.minimum(i * blk + blk, nzb * blk - 1), 0)
+        return (jnp.minimum(i * blk + blk, nzb * blk - 1), _i0())
 
     halo_spec = pl.BlockSpec((SUBLANE, m), lo_map, memory_space=pltpu.VMEM)
     halo_spec_hi = pl.BlockSpec((SUBLANE, m), hi_map, memory_space=pltpu.VMEM)
-    mid_spec = pl.BlockSpec((tz, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mid_spec = pl.BlockSpec((tz, m), lambda i: (i, _Z0), memory_space=pltpu.VMEM)
 
     pout, apout, pap = pl.pallas_call(
         partial(_k1, tz=tz, nx=op.nx, nz=op.nz, stencil=op.stencil),
         grid=(nzb,),
         in_specs=[
-            pl.BlockSpec((5, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, m), lambda i: (_Z0, _Z0), memory_space=pltpu.VMEM),
             _smem_scalar_spec(),
-            pl.BlockSpec((4, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, m), lambda i: (_Z0, _Z0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             halo_spec,
             mid_spec,
@@ -211,7 +215,7 @@ def fused_update_x_r(x, r, p, ap, alpha, interpret: bool = False):
     interpret = interpret or jax.default_backend() != "tpu"
     check_mosaic_dtype(interpret, dtype)
 
-    mid_spec = pl.BlockSpec((tz, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mid_spec = pl.BlockSpec((tz, m), lambda i: (i, _Z0), memory_space=pltpu.VMEM)
     xout, rout, rr = pl.pallas_call(
         _k2,
         grid=(nzb,),

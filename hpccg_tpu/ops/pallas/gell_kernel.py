@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hpccg_tpu.ops.pallas.ddmath import i0 as _i0
+
 LANE = 128
 SUB = 8
 RT = SUB * LANE  # 1024 rows per tile
@@ -100,9 +102,7 @@ class GellMatrix:
 
     @property
     def dtype(self):
-        import jax.numpy as _jnp
-
-        return _jnp.dtype("float64") if self.vals3lo is not None else self.vals3.dtype
+        return jnp.dtype("float64") if self.vals3lo is not None else self.vals3.dtype
 
     @property
     def nnz(self) -> int:
@@ -327,9 +327,7 @@ class GellShards:
 
     @property
     def dtype(self):
-        import jax.numpy as _jnp
-
-        return _jnp.dtype("float64") if self.vals4lo is not None else self.vals4.dtype
+        return jnp.dtype("float64") if self.vals4lo is not None else self.vals4.dtype
 
     @property
     def nnz(self) -> int:
@@ -585,15 +583,21 @@ def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int, slot_
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _spmv_gell(vals3, li3, xp2, width: int, k_chunks: int, interpret: bool, slot_bounds: tuple = ()):
     T = vals3.shape[0]
+    # index-map literals i32-pinned (ddmath.i0): under jax_enable_x64 — any
+    # --dtype float64 process, even for this f32 kernel — Python 0 literals
+    # trace as i64 transform returns and Mosaic rejects the lowering
+    z = _i0()
     return pl.pallas_call(
         partial(_kernel, width=width, k_chunks=k_chunks, slot_bounds=slot_bounds),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp2 whole
-            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec(
+                xp2.shape, lambda t: (z, z), memory_space=pltpu.VMEM
+            ),  # xp2 whole, explicit i32 map
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, z, z, z)),
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, z, z, z)),
         ],
-        out_specs=pl.BlockSpec((1, SUB, LANE), lambda t: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, SUB, LANE), lambda t: (t, z, z)),
         out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), vals3.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -611,7 +615,9 @@ def _kernel_dd(
     accumulators is EXACT by construction (split12 halves), per ddmath's
     compiler contract — the same recipe as dia_kernel._kernel_dd, with the
     shifted-diagonal reads replaced by the chunk-scan lane gather."""
-    from hpccg_tpu.ops.pallas.ddmath import fast_two_sum, split12, two_sum
+    from hpccg_tpu.ops.pallas.ddmath import (
+        df_add, fast_two_sum, split12, two_sum,
+    )
 
     t = pl.program_id(0)
     xwh = xph_ref[pl.ds(t * SUB, k_chunks)]  # (K, 128) hi window
@@ -621,11 +627,6 @@ def _kernel_dd(
     sl = jnp.zeros((SUB, LANE), f32)
     th = jnp.zeros((SUB, LANE), f32)  # eps-scale terms accumulator
     tl = jnp.zeros((SUB, LANE), f32)
-
-    def df_add(hi, lo, x):
-        s, e = two_sum(hi, x)
-        return s, lo + e
-
     for w in range(width):
         li = li_ref[0, w].astype(jnp.int32)
         ll = jnp.bitwise_and(li, LANE - 1)
@@ -663,19 +664,24 @@ def _spmv_gell_dd(
     interpret: bool, slot_bounds: tuple = (),
 ):
     T = vals3.shape[0]
+    # this kernel ONLY runs under jax_enable_x64 (it is the f64 tier), so
+    # every index-map literal must be i32-pinned or Mosaic rejects the
+    # lowering (the dia_kernel _i0 hazard; default whole-array maps included)
+    z = _i0()
+    xshape = xp2h.shape
     return pl.pallas_call(
         partial(_kernel_dd, width=width, k_chunks=k_chunks, slot_bounds=slot_bounds),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp hi whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp lo whole
-            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec(xshape, lambda t: (z, z), memory_space=pltpu.VMEM),  # xp hi
+            pl.BlockSpec(xshape, lambda t: (z, z), memory_space=pltpu.VMEM),  # xp lo
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, z, z, z)),
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, z, z, z)),
+            pl.BlockSpec((1, width, SUB, LANE), lambda t: (t, z, z, z)),
         ],
         out_specs=(
-            pl.BlockSpec((1, SUB, LANE), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, SUB, LANE), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANE), lambda t: (t, z, z)),
+            pl.BlockSpec((1, SUB, LANE), lambda t: (t, z, z)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),

@@ -32,6 +32,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hpccg_tpu.ops.pallas.ddmath import i0 as _i0
+
+_Z0 = _i0()  # i32 index-map literal (Mosaic rejects i64 maps under x64)
+
 from hpccg_tpu.config import DIAG_VALUE, OFFDIAG_VALUE, Stencil
 from hpccg_tpu.operators import StencilOperator
 
@@ -194,25 +198,25 @@ def spmv_padded(
         partial(_kernel, tz=tz, nx=op.nx, nz=op.nz, stencil=op.stencil),
         grid=(nzb,),
         in_specs=[
-            pl.BlockSpec((5, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, m), lambda i: (_Z0, _Z0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m), lambda i: (_Z0, _Z0), memory_space=pltpu.VMEM),
             # dead donor: ANY space -> no block DMA, only the alias matters
             pl.BlockSpec(memory_space=pl.ANY),
             # neighbor blocks, explicitly clamped in range at the edges (the
             # kernel predicates their contribution off there anyway)
             pl.BlockSpec(
                 (SUBLANE, m),
-                lambda i: (jnp.maximum(i * blk - 1, 0), 0),
+                lambda i: (jnp.maximum(i * blk - 1, 0), _Z0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((tz, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tz, m), lambda i: (i, _Z0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (SUBLANE, m),
-                lambda i: (jnp.minimum(i * blk + blk, nzb * blk - 1), 0),
+                lambda i: (jnp.minimum(i * blk + blk, nzb * blk - 1), _Z0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((tz, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tz, m), lambda i: (i, _Z0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nzp, m), dtype),
         input_output_aliases={2: 0},
         cost_estimate=pl.CostEstimate(

@@ -32,6 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hpccg_tpu.config import DIAG_VALUE, OFFDIAG_VALUE, Stencil
 from hpccg_tpu.operators import StencilOperator
+from hpccg_tpu.ops.pallas.ddmath import i0 as _i0
+
+_Z0 = _i0()  # i32 index-map literal (Mosaic rejects i64 maps under x64)
 
 LANE = 128
 SUBLANE = 8
@@ -178,25 +181,33 @@ def _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stenc
 
 def _v2_in_specs(tz: int, nzb: int, ny_pad: int, nx_pad: int):
     """Input BlockSpecs shared by the plain and fused-pAp kernels: external
-    halo planes, clamped single-plane z-neighbor blocks, and the mid slab."""
+    halo planes, clamped single-plane z-neighbor blocks, and the mid slab.
+
+    Index-map literals are i32-pinned (ddmath.i0): the dd tier runs these
+    specs under jax_enable_x64, where a Python 0 traces as an i64 transform
+    return that Mosaic rejects (the dia_kernel hazard)."""
+    z = _i0()
     return [
-        pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, ny_pad, nx_pad), lambda i: (z, z, z), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (1, ny_pad, nx_pad),
-            lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+            lambda i: (jnp.maximum(i * tz - 1, 0), z, z),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, z, z), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (1, ny_pad, nx_pad),
-            lambda i: (jnp.minimum(i * tz + tz, nzb * tz - 1), 0, 0),
+            lambda i: (jnp.minimum(i * tz + tz, nzb * tz - 1), z, z),
             memory_space=pltpu.VMEM,
         ),
     ]
 
 
 def _v2_out_spec(tz: int, ny_pad: int, nx_pad: int):
-    return pl.BlockSpec((tz, ny_pad, nx_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    z = _i0()
+    return pl.BlockSpec(
+        (tz, ny_pad, nx_pad), lambda i: (i, z, z), memory_space=pltpu.VMEM
+    )
 
 
 def check_mosaic_dtype(interpret, dtype) -> None:
@@ -310,7 +321,7 @@ def spmv_padded_v2_pap(
         in_specs=_v2_in_specs(tz, nzb, ny_pad, nx_pad),
         out_specs=(
             _v2_out_spec(tz, ny_pad, nx_pad),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (_Z0, _Z0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nzp, ny_pad, nx_pad), dtype),
@@ -571,8 +582,9 @@ def _dd_call(op, u, halo, interpret, tz, with_pap):
         halo4 = jnp.concatenate([hhi, hlo], axis=0)
 
     specs_hi = _v2_in_specs(tz, nzb, ny_pad, nx_pad)
+    zi = _i0()  # i32 index-map literals: this path ONLY runs under x64
     halo_spec = pl.BlockSpec(
-        (4, ny_pad, nx_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        (4, ny_pad, nx_pad), lambda i: (zi, zi, zi), memory_space=pltpu.VMEM
     )
     # In-kernel compensated pAp requires the compiler to preserve the
     # written f32 rounding. Mosaic does; XLA:CPU's LLVM pipeline runs with
@@ -592,7 +604,7 @@ def _dd_call(op, u, halo, interpret, tz, with_pap):
         # the p.Ap accumulator plane pair: one block revisited every grid
         # step (forces sequential "arbitrary" semantics, like _kernel_pap)
         out_specs += [
-            pl.BlockSpec((ny_pad, nx_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((ny_pad, nx_pad), lambda i: (zi, zi), memory_space=pltpu.VMEM)
         ] * 2
         out_shape += [jax.ShapeDtypeStruct((ny_pad, nx_pad), jnp.float32)] * 2
     outs = pl.pallas_call(
