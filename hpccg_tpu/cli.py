@@ -150,7 +150,18 @@ def main(argv=None) -> int:
         args.tolerance = 0.0
     args.mesh, mesh2d_shape = parse_mesh(args.mesh)
 
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS=cpu by PINNING the config: plugin registrations
+    # (e.g. the axon TPU tunnel's sitecustomize) can monkeypatch backend
+    # resolution so a plain env var still initializes — and block on — the
+    # remote device; the programmatic pin short-circuits that (same as the
+    # test-suite conftest)
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms and "cpu" in env_platforms.split(","):
+        jax.config.update("jax_platforms", env_platforms)
 
     if args.init_distributed:
         jax.distributed.initialize()

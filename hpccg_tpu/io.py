@@ -147,21 +147,13 @@ def read_hpc_row_structured(
         offs_c = cols_c.astype(np.int64) - rows_c.astype(np.int64)
         ndiag = int(np.unique(offs_c).size)
         n_ = prob.A.local_nrow
-        cap = max_diags
-        if jnp.dtype(dtype).itemsize == 8:
-            # f64 roll-loop compile cap, lifted on TPU by the double-f32
-            # DIA kernel (mirrors reorder.auto_structure)
-            import jax as _jax
+        from hpccg_tpu.reorder import effective_dia_cap
 
-            from hpccg_tpu.ops.pallas.dia_kernel import dia_dd_supported
-
-            bw_lo_ = max(0, int(-offs_c.min()) if offs_c.size else 0)
-            bw_hi_ = max(0, int(offs_c.max()) if offs_c.size else 0)
-            if not (
-                _jax.default_backend() == "tpu"
-                and dia_dd_supported((-bw_lo_, bw_hi_), n_)
-            ):
-                cap = min(max_diags, 256)
+        bw_lo_ = max(0, int(-offs_c.min()) if offs_c.size else 0)
+        bw_hi_ = max(0, int(offs_c.max()) if offs_c.size else 0)
+        cap = effective_dia_cap(
+            max_diags, jnp.dtype(dtype).itemsize == 8, bw_lo_, bw_hi_, n_
+        )
         inflation = (ndiag * n_) / max(prob.A.nnz, 1)
         storage_ok = ndiag * n_ * jnp.dtype(dtype).itemsize <= (8 << 30)
         has_stored_zeros = bool(np.any(vals_c == 0))

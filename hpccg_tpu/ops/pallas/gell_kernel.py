@@ -139,15 +139,14 @@ class GellMatrix:
         return rr[order], cols[keep][order], vals[keep][order]
 
 
-def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
-    """Host-side preprocessing of an EllMatrix into tile-windowed form.
-
-    Returns None-equivalent failure by raising ValueError when a tile's
-    window exceeds ``max_k_chunks`` 128-lane chunks (bandwidth too wide)."""
+def _normalize_sorted(ell):
+    """The shared front half of prepare_gell / prepare_gell_shards: dtype
+    plan (dd = f64 -> (hi, lo) planes), dense vals/cols/valid with each
+    row's slots sorted by column (slot w = w-th smallest column of its row,
+    invalid slots last — window-local chunk ids then concentrate per slot,
+    feeding the static bounds), and the matrix bandwidth."""
     import numpy as np
 
-    if ell.start_row != 0:
-        raise ValueError("prepare_gell needs the assembled matrix")
     n = ell.local_nrow
     dd = np.asarray(ell.vals).dtype.itemsize == 8
     vdt = np.float64 if dd else np.float32
@@ -160,20 +159,45 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
         cols = np.zeros((n, 1), np.int64)
         valid = np.zeros((n, 1), bool)
 
-    # sort each row's slots by column: slot w then holds the w-th smallest
-    # column of its row, so window-local chunk ids concentrate per slot
-    # (the per-slot static bounds below) no matter how the input ELL
-    # ordered its entries. Invalid slots sort to the back (col key inf).
     sort_key = np.where(valid, cols, np.iinfo(np.int64).max)
     order = np.argsort(sort_key, axis=1, kind="stable")
     vals = np.take_along_axis(vals, order, axis=1)
     cols = np.take_along_axis(cols, order, axis=1)
     valid = np.take_along_axis(valid, order, axis=1)
 
-    rows = np.arange(n)[:, None]
-    offs = np.where(valid, cols - rows, 0)
+    offs = np.where(valid, cols - np.arange(n)[:, None], 0)
     bw_lo = max(0, int(-offs.min()) if offs.size else 0)
     bw_hi = max(0, int(offs.max()) if offs.size else 0)
+    return n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi
+
+
+def _slot_bounds(ci, valid, width: int):
+    """Per-slot static (lo, hi) chunk bounds over VALID entries, plus the
+    per-slot parking index for invalid slots (their slot's lo chunk, so
+    they cannot widen the bounds)."""
+    import numpy as np
+
+    bounds = []
+    for w in range(width):
+        sel = valid[:, w]
+        if sel.any():
+            bounds.append((int(ci[sel, w].min()), int(ci[sel, w].max())))
+        else:
+            bounds.append((0, 0))
+    fallback = np.asarray([lo * LANE for lo, _ in bounds])[None, :]
+    return bounds, fallback
+
+
+def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
+    """Host-side preprocessing of an EllMatrix into tile-windowed form.
+
+    Returns None-equivalent failure by raising ValueError when a tile's
+    window exceeds ``max_k_chunks`` 128-lane chunks (bandwidth too wide)."""
+    import numpy as np
+
+    if ell.start_row != 0:
+        raise ValueError("prepare_gell needs the assembled matrix")
+    n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
     pbl = _cdiv(bw_lo, LANE) * LANE
     pbh = _cdiv(bw_hi, LANE) * LANE
     k_chunks = (RT + pbl + pbh) // LANE
@@ -200,17 +224,7 @@ def prepare_gell(ell, *, max_k_chunks: int = 32) -> GellMatrix:
         + pbl
         - tile_base[:, None]
     )
-    # per-slot static chunk bounds over VALID entries (then park invalid
-    # slots at their slot's lo chunk so they cannot widen the bounds)
-    ci = li_valid >> 7
-    slot_bounds = []
-    for w in range(width):
-        sel = validp[:, w]
-        if sel.any():
-            slot_bounds.append((int(ci[sel, w].min()), int(ci[sel, w].max())))
-        else:
-            slot_bounds.append((0, 0))
-    fallback = np.asarray([lo * LANE for lo, _ in slot_bounds])[None, :]
+    slot_bounds, fallback = _slot_bounds(li_valid >> 7, validp, width)
     li = np.where(validp, li_valid, fallback)
     assert li.min() >= 0 and li.max() < k_chunks * LANE, (li.min(), li.max())
     lp[:, :] = li
@@ -349,35 +363,14 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
         ell = gell_to_ell(ell)
     if ell.start_row != 0:
         raise ValueError("prepare_gell_shards needs the assembled matrix")
-    n = ell.local_nrow
-    if n % ndev:
+    if ell.local_nrow % ndev:
         raise ValueError(
-            f"{n} rows do not divide {ndev} shards; pad with "
+            f"{ell.local_nrow} rows do not divide {ndev} shards; pad with "
             "hpccg_tpu.io.pad_problem_rows(prob, ndev)"
         )
+    n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
     L = n // ndev
-    dd = np.asarray(ell.vals).dtype.itemsize == 8
-    vdt = np.float64 if dd else np.float32
-    vals = np.asarray(ell.vals, vdt)
-    cols = np.asarray(ell.cols, np.int64)
-    valid = np.asarray(ell.valid)
-    width = max(ell.width, 1)
-    if vals.shape[1] == 0:
-        vals = np.zeros((n, 1), vdt)
-        cols = np.zeros((n, 1), np.int64)
-        valid = np.zeros((n, 1), bool)
-
-    # per-row column sort (slot w = w-th smallest column), as prepare_gell
-    sort_key = np.where(valid, cols, np.iinfo(np.int64).max)
-    order = np.argsort(sort_key, axis=1, kind="stable")
-    vals = np.take_along_axis(vals, order, axis=1)
-    cols = np.take_along_axis(cols, order, axis=1)
-    valid = np.take_along_axis(valid, order, axis=1)
-
     rows = np.arange(n)[:, None]
-    offs = np.where(valid, cols - rows, 0)
-    bw_lo = max(0, int(-offs.min()) if offs.size else 0)
-    bw_hi = max(0, int(offs.max()) if offs.size else 0)
     if bw_lo > L or bw_hi > L:
         raise ValueError(
             f"bandwidth ({bw_lo}/{bw_hi}) exceeds the {L}-row shard: "
@@ -406,15 +399,7 @@ def prepare_gell_shards(ell, ndev: int, *, max_k_chunks: int = 32) -> GellShards
     shard = rows // L
     tile_base = ((rows % L) // RT) * RT
     li_valid = cols + pbl - shard * L - tile_base
-    ci = np.where(valid, li_valid >> 7, 0)
-    slot_bounds = []
-    for w in range(width):
-        sel = valid[:, w]
-        if sel.any():
-            slot_bounds.append((int(ci[sel, w].min()), int(ci[sel, w].max())))
-        else:
-            slot_bounds.append((0, 0))
-    fallback = np.asarray([lo * LANE for lo, _ in slot_bounds])[None, :]
+    slot_bounds, fallback = _slot_bounds(np.where(valid, li_valid >> 7, 0), valid, width)
     li = np.where(valid, li_valid, fallback)
     assert li.min() >= 0 and li.max() < k_chunks * LANE, (li.min(), li.max())
     assert k_chunks * LANE <= 32767  # li fits int16

@@ -517,14 +517,12 @@ def _z_mask(op_local: StencilOperator, shard_idx, nz_global: int, dtype):
 def masked_backend(cfg_local: ProblemConfig, backend: str = "auto") -> str:
     """Resolve the masked (remainder-shard) solver's kernel tier — shared by
     make_distributed_cg_masked and sweep.py so reported backends match what
-    actually ran."""
+    actually ran. Same auto policy as the divisible-shard solve
+    (resolve_distributed_backend), with off-TPU auto pinned to the XLA
+    stencil (the masked path has no other fallback tier)."""
     if backend == "auto":
-        if jax.default_backend() == "tpu":
-            if jnp.dtype(cfg_local.dtype).itemsize in (2, 4):
-                return "pallas"
-            if jnp.dtype(cfg_local.dtype).itemsize == 8:
-                return "pallas_dd"
-        return "stencil"
+        resolved = resolve_distributed_backend(cfg_local, "auto")
+        return "stencil" if resolved == "auto" else resolved
     if backend not in ("stencil", "pallas", "pallas_dd"):
         raise ValueError(
             f"masked solver backends: auto|stencil|pallas|pallas_dd, got {backend!r}"

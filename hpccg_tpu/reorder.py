@@ -157,6 +157,25 @@ def _gell_rate(k_chunks: int) -> float:
     return 1.0 / (0.027 + 0.0014 * k_chunks)
 
 
+def effective_dia_cap(max_diags: int, f64: bool, bw_lo: int, bw_hi: int, n: int) -> int:
+    """The diagonal-count cap DIA conversion must respect for this dtype.
+
+    Past ~256 diagonals the f64 XLA roll loop's compile time scales with
+    ndiag — cap there unless the TPU double-f32 DIA kernel covers the shape
+    (make_cg routes f64 > 256-diagonal DiaMatrix to it, round 3). Shared by
+    auto_structure and io.read_hpc_row_structured's --no-reorder branch so
+    the two paths cannot drift."""
+    if not f64:
+        return max_diags
+    import jax as _jax
+
+    from hpccg_tpu.ops.pallas.dia_kernel import dia_dd_supported
+
+    if _jax.default_backend() == "tpu" and dia_dd_supported((-bw_lo, bw_hi), n):
+        return max_diags
+    return min(max_diags, 256)
+
+
 def auto_structure(
     A: EllMatrix,
     *,
@@ -192,20 +211,7 @@ def auto_structure(
         bw = max(bw_lo, bw_hi)
         ndiag = int(np.unique(offs).size)
         out = []
-        # past ~256 diagonals the f64 XLA roll loop's compile time scales
-        # with ndiag — cap unless the TPU double-f32 DIA kernel covers it
-        # (make_cg routes f64 > 256-diagonal DiaMatrix there, round 3)
-        cap = max_diags
-        if f64:
-            import jax as _jax
-
-            from hpccg_tpu.ops.pallas.dia_kernel import dia_dd_supported
-
-            if not (
-                _jax.default_backend() == "tpu"
-                and dia_dd_supported((-bw_lo, bw_hi), n)
-            ):
-                cap = min(max_diags, 256)
+        cap = effective_dia_cap(max_diags, f64, bw_lo, bw_hi, n)
         storage = ndiag * n * np.dtype(np.asarray(mat.vals).dtype).itemsize
         inflation = (ndiag * n) / max(nnz, 1)
         # both compressed formats (DIA and gather-ELL) drop stored zeros,
