@@ -49,6 +49,17 @@ def hbm_bandwidth_gbps(device) -> float:
 
 
 def main():
+    # The remote-tunnel backend can HANG (not fail) on device init or
+    # compile when the tunnel flaps; a silent eternal hang loses the whole
+    # bench run. Convert it into a diagnosable abort: dump all threads'
+    # tracebacks and exit after BENCH_WATCHDOG_S (0 disables).
+    import faulthandler
+    import os
+
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "2400") or 0)
+    if watchdog_s > 0:
+        faulthandler.dump_traceback_later(watchdog_s, exit=True)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=100)
     ap.add_argument("--ny", type=int, default=100)
@@ -217,6 +228,8 @@ def main():
             }
         )
     )
+    if watchdog_s > 0:
+        faulthandler.cancel_dump_traceback_later()
 
 
 if __name__ == "__main__":
