@@ -92,6 +92,30 @@ def test_distributed_gell_matches_single(ndev):
 
 
 @pytest.mark.slow
+def test_distributed_gell_2d_mesh_matches_1d():
+    """The gell tier over the explicit 2-D ('host','z') mesh (the CLI's
+    --mesh HxZ) matches the 1-D 8-device solve bit-for-bit — same row
+    sharding, only the device grouping differs (mirrors
+    test_mesh2d.py's stencil check; the CLI threads axis=row_axis(mesh)
+    into make_distributed_gell_cg at cli.py's build_mesh)."""
+    from hpccg_tpu.parallel import make_mesh2d, row_axis
+
+    n = 2048
+    ell = _scattered(n, bw=120, per_row=3, seed=1)
+    prob = _problem(ell)
+    d1 = make_distributed_gell_cg(make_mesh(8), max_iter=25, tolerance=0.0)(
+        ell, prob.b, prob.x0
+    )
+    m2 = make_mesh2d(2, 4)
+    d2 = make_distributed_gell_cg(
+        m2, max_iter=25, tolerance=0.0, axis=row_axis(m2)
+    )(ell, prob.b, prob.x0)
+    assert int(d2.niters) == int(d1.niters)
+    np.testing.assert_array_equal(np.asarray(d2.trace), np.asarray(d1.trace))
+    np.testing.assert_array_equal(np.asarray(d2.x), np.asarray(d1.x))
+
+
+@pytest.mark.slow
 def test_gell_shards_match_single_device_kernel():
     """The sharded kernels' assembled matvec equals the single-device gell
     kernel's (same windowed layout, halo strips replacing the padding)."""
