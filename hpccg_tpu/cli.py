@@ -230,7 +230,8 @@ def main(argv=None) -> int:
 
             import dataclasses as _dc
 
-            if args.method != "cg" or args.backend != "auto":
+            want_collective = args.backend == "collective"
+            if not want_collective and (args.method != "cg" or args.backend != "auto"):
                 print(
                     "# distributed file mode implements the reference cg "
                     "recurrence on the dia-halo/all-gather paths; ignoring "
@@ -238,7 +239,12 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
             mesh, axis = build_mesh()
-            prob = pad_problem_rows(prob, args.mesh)
+            # the collective kernel's RDMA strips are whole 128-element
+            # rows, so its padding unit is mesh*128 (identity pad rows —
+            # trajectory unchanged, io.pad_problem_rows)
+            prob = pad_problem_rows(
+                prob, args.mesh * 128 if want_collective else args.mesh
+            )
             A = prob.A
             L = prob.total_nrow // args.mesh
             from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
@@ -268,8 +274,34 @@ def main(argv=None) -> int:
                     )
                     solve = partial(_gsolve, shards)
                     backend_used = "distributed:gell-halo"
+            if want_collective and isinstance(A, DiaMatrix) and solve is None:
+                # whole-solve kernel per shard: in-kernel RDMA band-strip
+                # halo + in-kernel allreduce (cg1 recurrence — say so)
+                from hpccg_tpu.parallel import make_collective_dia_cg
+                from hpccg_tpu.parallel.cg import collective_dia_supported
+
+                c_ok, c_reason = collective_dia_supported(A, args.mesh)
+                if c_ok:
+                    print(
+                        "# backend=collective: whole-solve kernel, in-kernel "
+                        "RDMA halo + allreduce (cg1 single-reduction "
+                        "recurrence, not the reference cg recurrence)",
+                        file=sys.stderr,
+                    )
+                    _csolve = make_collective_dia_cg(
+                        mesh, max_iter=args.max_iter,
+                        tolerance=args.tolerance, axis=axis,
+                    )
+                    solve = partial(_csolve, A)
+                    backend_used = "distributed:dia-collective"
+                else:
+                    print(
+                        f"# collective unavailable: {c_reason}; using the "
+                        "dia-halo path",
+                        file=sys.stderr,
+                    )
             dia_halo_ok = True
-            if isinstance(A, DiaMatrix):
+            if isinstance(A, DiaMatrix) and solve is None:
                 from hpccg_tpu.parallel.cg import dia_halo_plan
 
                 dia_halo_ok, _, dia_reason = dia_halo_plan(A, L)
@@ -282,7 +314,7 @@ def main(argv=None) -> int:
                 )
                 prob = _dc.replace(prob, A=A.to_ell())
                 A = prob.A
-            if isinstance(A, DiaMatrix):
+            if isinstance(A, DiaMatrix) and solve is None:
                 _dsolve = make_distributed_dia_cg(
                     mesh, max_iter=args.max_iter,
                     tolerance=args.tolerance, axis=axis,
@@ -297,6 +329,12 @@ def main(argv=None) -> int:
                 )
                 solve = partial(_esolve, prob.A)
                 backend_used = "distributed:ell-allgather"
+            if want_collective and backend_used != "distributed:dia-collective":
+                print(
+                    "# --backend collective applies to banded (DIA) file "
+                    f"matrices; this matrix ran {backend_used}",
+                    file=sys.stderr,
+                )
             if not args.skip_kernel_bench:
                 # per-kernel micro-benchmarks are stencil-mesh specific
                 args.skip_kernel_bench = True

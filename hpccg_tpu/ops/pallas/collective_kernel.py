@@ -695,3 +695,312 @@ def cg_collective_pipelined_padded(
         ),
         interpret=interpret,
     )(b_pad, x0_pad)
+
+
+# ---------------------------------------------------------------------------
+# Collective whole-solve kernel for BANDED EXPLICIT matrices (DIA): the
+# loaded-matrix analog of _kernel. Rows live as (LANE,)-wide blocks; the
+# band's reach beyond each shard is a strip of whole 128-element rows, so
+# the halo exchange is an in-kernel RDMA of hbl/hbh guard ROWS (the stencil
+# kernel's guard planes, band-sized). The apply is dia_kernel's recipe —
+# per static offset one sublane slice + one lane rotate + select — over the
+# whole VMEM-resident shard (diagonal data pinned in VMEM too, which is what
+# bounds the reach: ndiag * L floats per shard). Same cg1 recurrence,
+# allreduce machinery, and parity double-buffering as _kernel; reference
+# spec: HPC_sparsemv.cpp:68-87 under exchange_externals.cpp:51-131 with the
+# comm plan dissolved into the static band geometry.
+# ---------------------------------------------------------------------------
+
+
+def _dia_guards(offsets: tuple):
+    """(glo, ghi, hbl, hbh): guard rows below/above the shard's R real rows,
+    and how many of them the neighbor halo actually fills (whole 128-rows).
+    glo covers the most negative offset's slice start; ghi the +1 slice row
+    of the most positive offset."""
+    qmin = min(o // LANE for o in offsets) if offsets else 0
+    qmax = max(o // LANE for o in offsets) if offsets else 0
+    bw_lo = max(0, -min(offsets)) if offsets else 0
+    bw_hi = max(0, max(offsets)) if offsets else 0
+    glo = max(0, -qmin)
+    ghi = max(1, qmax + 1)
+    hbl = -(-bw_lo // LANE)
+    hbh = -(-bw_hi // LANE)
+    return glo, ghi, hbl, hbh
+
+
+def fits_collective_dia_vmem(offsets, L: int, dtype, budget: int = VMEM_LIMIT) -> bool:
+    """Everything pinned: ndiag diagonal rows + 5 guarded vectors."""
+    if L % LANE:
+        return False
+    R = L // LANE
+    glo, ghi, _, _ = _dia_guards(tuple(int(o) for o in offsets))
+    elems = len(offsets) * R * LANE + 5 * (glo + R + ghi) * LANE
+    return elems * jnp.dtype(dtype).itemsize + (4 << 20) <= budget
+
+
+def _kernel_dia(
+    b_ref,
+    x0_ref,
+    data_ref,  # (ndiag, R, LANE) this shard's diagonal data
+    x_out,
+    trace_ref,
+    stats_ref,
+    x_ref,  # (glo + R + ghi, LANE) guarded vectors
+    r_ref,
+    p_ref,
+    s_ref,
+    u_ref,
+    allbuf,
+    halo_send,  # (2,) [down, up]
+    halo_recv,  # (2, 2) [phase, from-below/from-above] — phase 0 = the init
+    # x0 exchange, phase 1 = every r exchange (same proof as _kernel: all
+    # consecutive r exchanges are allreduce-separated)
+    all_send,
+    all_recv,
+    rdsrc,
+    rdbuf,
+    rd_recv,
+    *,
+    offsets: tuple,
+    ndev: int,
+    axis: str,
+    max_iter: int,
+    tolerance: float,
+):
+    dtype = b_ref.dtype
+    R = b_ref.shape[0]
+    glo, ghi, hbl, hbh = _dia_guards(offsets)
+    tol = jnp.asarray(tolerance, dtype)
+    my = jax.lax.axis_index(axis) if ndev > 1 else jnp.asarray(0, jnp.int32)
+    use_rd = ndev > 2 and (ndev & (ndev - 1)) == 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+
+    def _strip_down(v_ref, phase):
+        """My FIRST hbh real rows -> below-neighbor's high guard (the rows
+        its positive offsets read past its last real row)."""
+        return pltpu.make_async_remote_copy(
+            src_ref=v_ref.at[pl.ds(glo, hbh)],
+            dst_ref=v_ref.at[pl.ds(glo + R, hbh)],
+            send_sem=halo_send.at[0],
+            recv_sem=halo_recv.at[phase, 1],
+            device_id=my - 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def _strip_up(v_ref, phase):
+        """My LAST hbl real rows -> above-neighbor's low guard."""
+        return pltpu.make_async_remote_copy(
+            src_ref=v_ref.at[pl.ds(glo + R - hbl, hbl)],
+            dst_ref=v_ref.at[pl.ds(glo - hbl, hbl)],
+            send_sem=halo_send.at[1],
+            recv_sem=halo_recv.at[phase, 0],
+            device_id=my + 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def exchange_and_apply(v_ref, out_ref, phase):
+        """out[real rows] = (A @ v) for the GLOBAL banded operator restricted
+        to this shard: RDMA the band strips into the neighbors' guard rows,
+        wait, then unroll the static offsets (dia_kernel's slice+rotate+select
+        recipe, whole-shard)."""
+        if ndev > 1:
+            if hbh:
+                @pl.when(my > 0)
+                def _():
+                    _strip_down(v_ref, phase).start()
+
+            if hbl:
+                @pl.when(my < ndev - 1)
+                def _():
+                    _strip_up(v_ref, phase).start()
+
+            if hbh:
+                @pl.when(my > 0)
+                def _():
+                    _strip_down(v_ref, phase).wait_send()
+
+                @pl.when(my < ndev - 1)
+                def _():
+                    _strip_down(v_ref, phase).wait_recv()
+
+            if hbl:
+                @pl.when(my < ndev - 1)
+                def _():
+                    _strip_up(v_ref, phase).wait_send()
+
+                @pl.when(my > 0)
+                def _():
+                    _strip_up(v_ref, phase).wait_recv()
+
+        acc = jnp.zeros((R, LANE), dtype)
+        for d, off in enumerate(offsets):
+            q, rm = divmod(off, LANE)
+            sl = v_ref[pl.ds(glo + q, R + 1)]
+            if rm == 0:
+                g = sl[0:R]
+            else:
+                rot = pltpu.roll(sl, jnp.asarray(LANE - rm, jnp.int32), axis=1)
+                g = jnp.where(lane < LANE - rm, rot[0:R], rot[1 : R + 1])
+            acc = acc + data_ref[d] * g
+        out_ref[pl.ds(glo, R)] = acc
+
+    def allreduce2(g_local, d_local, slot):
+        if ndev == 1:
+            return g_local, d_local
+        if use_rd:
+            return _allreduce_rd(
+                rdsrc, rdbuf, all_send, rd_recv, my, ndev,
+                g_local, d_local, slot, dtype,
+            )
+        _allreduce_start(
+            allbuf, all_send, all_recv, my, ndev, g_local, d_local, slot, dtype
+        )
+        return _allreduce_finish(allbuf, all_send, all_recv, my, ndev, slot)
+
+    def dot(a_ref, b2_ref):
+        return jnp.sum(a_ref[pl.ds(glo, R)] * b2_ref[pl.ds(glo, R)])
+
+    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
+    # Guard rows: zero everything NO RDMA ever writes — the strip remainders
+    # (between hbl/hbh and glo/ghi) unconditionally, the RDMA landing rows
+    # only at the domain edges (zeroing an interior landing row would race a
+    # fast neighbor's incoming strip, exactly as in _kernel). Out-of-domain
+    # reads multiply zero-padded diagonal data anyway; the zeros keep the
+    # values defined. u's guards are never read or RDMA'd — zero for hygiene.
+    for ref in (x_ref, r_ref, u_ref, p_ref, s_ref):
+        if glo > hbl:
+            ref[pl.ds(0, glo - hbl)] = jnp.zeros((glo - hbl, LANE), dtype)
+        if ghi > hbh:
+            ref[pl.ds(glo + R + hbh, ghi - hbh)] = jnp.zeros((ghi - hbh, LANE), dtype)
+    for ref in (x_ref, r_ref):
+        if hbl:
+            @pl.when(my == 0)
+            def _(ref=ref):
+                ref[pl.ds(glo - hbl, hbl)] = jnp.zeros((hbl, LANE), dtype)
+
+        if hbh:
+            @pl.when(my == ndev - 1)
+            def _(ref=ref):
+                ref[pl.ds(glo + R, hbh)] = jnp.zeros((hbh, LANE), dtype)
+    if hbl:
+        u_ref[pl.ds(glo - hbl, hbl)] = jnp.zeros((hbl, LANE), dtype)
+    if hbh:
+        u_ref[pl.ds(glo + R, hbh)] = jnp.zeros((hbh, LANE), dtype)
+
+    # --- init (cg1): r = b - A x0; u = A r; (g, d) = allreduce; p=r; s=u ---
+    x_ref[pl.ds(glo, R)] = x0_ref[:]
+    exchange_and_apply(x_ref, u_ref, 0)  # u <- A x0 (scratch use)
+    r_ref[pl.ds(glo, R)] = b_ref[:] - u_ref[pl.ds(glo, R)]
+    exchange_and_apply(r_ref, u_ref, 1)
+    gamma0, delta0 = allreduce2(dot(r_ref, r_ref), dot(r_ref, u_ref), 0)
+    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), trace_ref.dtype)
+    p_ref[pl.ds(glo, R)] = r_ref[pl.ds(glo, R)]
+    s_ref[pl.ds(glo, R)] = u_ref[pl.ds(glo, R)]
+    alpha0 = gamma0 / delta0
+
+    def cond(c):
+        k, gamma, alpha, gamma_top = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
+
+    def body(c):
+        k, gamma, alpha, _ = c
+        trace_ref[pl.ds(k, 1), :] = jnp.full(
+            (1, LANE), jnp.sqrt(gamma), trace_ref.dtype
+        )
+        x_ref[pl.ds(glo, R)] = x_ref[pl.ds(glo, R)] + alpha * p_ref[pl.ds(glo, R)]
+        r_ref[pl.ds(glo, R)] = r_ref[pl.ds(glo, R)] - alpha * s_ref[pl.ds(glo, R)]
+        exchange_and_apply(r_ref, u_ref, 1)
+        gamma_new, delta = allreduce2(
+            dot(r_ref, r_ref),
+            dot(r_ref, u_ref),
+            jax.lax.rem(k, jnp.asarray(2, k.dtype)),
+        )
+        beta = gamma_new / gamma
+        alpha_new = gamma_new / (delta - beta * gamma_new / alpha)
+        p_ref[pl.ds(glo, R)] = r_ref[pl.ds(glo, R)] + beta * p_ref[pl.ds(glo, R)]
+        s_ref[pl.ds(glo, R)] = u_ref[pl.ds(glo, R)] + beta * s_ref[pl.ds(glo, R)]
+        return (k + 1, gamma_new, alpha_new, gamma)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    k, gamma, alpha, gamma_top = jax.lax.while_loop(
+        cond, body, (k0, gamma0, alpha0, gamma0)
+    )
+    x_out[:] = x_ref[pl.ds(glo, R)]
+    sdt = stats_ref.dtype
+    stats_ref[0, 0] = jnp.sqrt(gamma_top).astype(sdt)
+    stats_ref[0, 1] = gamma_top.astype(sdt)
+    stats_ref[0, 2] = (k - 1).astype(sdt)
+    stats_ref[0, 3] = jnp.asarray(0.0, sdt)
+
+
+def cg_collective_dia_padded(
+    offsets: tuple,
+    data3: jax.Array,
+    b2: jax.Array,
+    x02: jax.Array,
+    *,
+    ndev: int,
+    axis: str = "z",
+    max_iter: int,
+    tolerance: float = 0.0,
+    interpret: bool = False,
+):
+    """Per-shard whole-solve call; MUST run inside shard_map over `axis`.
+
+    data3: this shard's (ndiag, R, LANE) diagonal data (zero-padded outside
+    the global band); b2/x02: the shard's (R, LANE) row blocks. Returns
+    (x2, trace, stats)."""
+    R, _ = b2.shape
+    dtype = b2.dtype
+    offsets = tuple(int(o) for o in offsets)
+    glo, ghi, _, _ = _dia_guards(offsets)
+    interpret = _interpret_params(interpret or jax.default_backend() != "tpu")
+    check_mosaic_dtype(interpret, dtype)
+    gvec = pltpu.VMEM((glo + R + ghi, LANE), dtype)
+    return pl.pallas_call(
+        partial(
+            _kernel_dia,
+            offsets=offsets,
+            ndev=ndev,
+            axis=axis,
+            max_iter=max_iter,
+            tolerance=tolerance,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANE), dtype),
+            jax.ShapeDtypeStruct(
+                (max(max_iter, 1), LANE), jnp.promote_types(dtype, jnp.float32)
+            ),
+            jax.ShapeDtypeStruct((1, 4), jnp.promote_types(dtype, jnp.float32)),
+        ),
+        scratch_shapes=[
+            gvec,  # x
+            gvec,  # r
+            gvec,  # p
+            gvec,  # s = A p
+            gvec,  # u = A r
+            pltpu.VMEM((2, max(ndev, 1), LANE), dtype),  # allreduce partials
+            pltpu.SemaphoreType.DMA((2,)),  # halo sends
+            pltpu.SemaphoreType.DMA((2, 2)),  # halo recvs (phase, direction)
+            pltpu.SemaphoreType.DMA((1,)),  # allreduce sends
+            pltpu.SemaphoreType.DMA((2,)),  # allreduce recvs (parity)
+            pltpu.VMEM((2, max(ndev.bit_length() - 1, 1), LANE), dtype),  # rd src
+            pltpu.VMEM((2, max(ndev.bit_length() - 1, 1), LANE), dtype),  # rd landing
+            pltpu.SemaphoreType.DMA((2, max(ndev.bit_length() - 1, 1))),  # rd recvs
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(b2, x02, data3)

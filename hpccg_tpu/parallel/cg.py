@@ -1125,3 +1125,139 @@ def shard_problem(prob: Problem, mesh: Mesh, *, axis: Axis = Z_AXIS) -> Problem:
         total_nnz_model=prob.total_nnz_model,
         total_nnz_exact=prob.total_nnz_exact,
     )
+
+
+def collective_dia_supported(A, ndev: int):
+    """(ok, reason) for the collective DIA whole-solve kernel — the single
+    shared viability predicate (CLI fallback + make_collective_dia_cg, like
+    dia_halo_plan for the streaming tier)."""
+    from hpccg_tpu.ops.pallas.collective_kernel import (
+        LANE,
+        fits_collective_dia_vmem,
+    )
+
+    if jnp.dtype(A.dtype).itemsize != 4:
+        return False, (
+            "the collective DIA kernel is f32-only (no Mosaic f64); use "
+            "make_distributed_dia_cg (its dd tier covers f64)"
+        )
+    n = A.local_nrow
+    if n % (ndev * LANE):
+        return False, (
+            f"{n} rows are not a multiple of ndev*128 = {ndev * LANE} "
+            "(the RDMA strips are whole 128-element rows); pad with "
+            "hpccg_tpu.io.pad_problem_rows(prob, ndev * 128)"
+        )
+    L = n // ndev
+    offs = tuple(int(o) for o in A.offsets)
+    bw_lo = max(0, -min(offs)) if offs else 0
+    bw_hi = max(0, max(offs)) if offs else 0
+    if max(bw_lo, bw_hi) > L:
+        return False, (
+            f"bandwidth ({bw_lo}/{bw_hi}) exceeds the {L}-row shard: "
+            "neighbor strips insufficient — use make_distributed_ell_cg"
+        )
+    if len(offs) > 128:
+        return False, (
+            f"{len(offs)} diagonals: the collective kernel unrolls one "
+            "slice+rotate per offset — use make_distributed_dia_cg"
+        )
+    if not fits_collective_dia_vmem(offs, L, A.dtype):
+        return False, (
+            "the collective DIA kernel pins the shard's diagonal data "
+            f"and solve vectors in VMEM; {len(offs)} diagonals x {L} "
+            "rows/shard does not fit — use make_distributed_dia_cg "
+            "(streaming halo)"
+        )
+    return True, "ok"
+
+
+def make_collective_dia_cg(
+    mesh: Mesh,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: Axis = Z_AXIS,
+):
+    """Collective whole-solve CG for a banded explicit matrix: the entire
+    multi-chip solve is ONE Pallas call per shard, with the band-strip halo
+    as in-kernel ICI RDMA and the per-iteration scalar allreduce in-kernel —
+    zero XLA dispatch anywhere in the loop. The loaded-matrix analog of
+    backend='collective' for generated problems (same cg1 single-reduction
+    recurrence, allreduce machinery, and parity double-buffering; reference
+    spec HPC_sparsemv.cpp:68-87 + exchange_externals.cpp:51-131 + the two
+    MPI_Allreduces of HPCCG.cpp:367,381 fused to one).
+
+    Constraints (ValueError otherwise, with the fallback named):
+    - f32 data (Mosaic has no f64; use make_distributed_dia_cg's dd tier);
+    - rows % (ndev * 128) == 0 — the RDMA strips are whole 128-element rows
+      (pad with ``hpccg_tpu.io.pad_problem_rows(prob, ndev * 128)``);
+    - bandwidth <= one shard (neighbor-only strips);
+    - diagonal data + 5 guarded vectors fit the per-shard VMEM budget
+      (``fits_collective_dia_vmem``) and ndiag <= 128 (the apply unrolls
+      one slice+rotate per offset at trace time).
+
+    Like the stencil collective kernels: multi-chip behavior is validated on
+    the virtual CPU mesh through the full TPU interpreter (+ race detector
+    in tests); real-pod performance is a stated hypothesis with one chip.
+    """
+    import numpy as np
+
+    from hpccg_tpu.operators import DiaMatrix
+    from hpccg_tpu.ops.pallas.collective_kernel import (
+        LANE,
+        cg_collective_dia_padded,
+        fits_collective_dia_vmem,
+    )
+
+    ndev = axis_size(mesh, axis)
+
+    def solve(A: DiaMatrix, b, x0):
+        if not isinstance(A, DiaMatrix):
+            raise TypeError("make_collective_dia_cg needs a DiaMatrix")
+        ok, reason = collective_dia_supported(A, ndev)
+        if not ok:
+            raise ValueError(reason)
+        n = A.local_nrow
+        L = n // ndev
+        offs = tuple(int(o) for o in A.offsets)
+        R = L // LANE
+        data = np.asarray(A.data)
+        data4 = np.zeros((ndev, len(offs), R, LANE), data.dtype)
+        for r in range(ndev):
+            data4[r] = data[:, r * L : (r + 1) * L].reshape(len(offs), R, LANE)
+        sh = NamedSharding(mesh, P(axis))
+        data4 = jax.device_put(jnp.asarray(data4), sh)
+        b2 = jax.device_put(jnp.asarray(b).reshape(ndev * R, LANE), sh)
+        x02 = jax.device_put(jnp.asarray(x0).reshape(ndev * R, LANE), sh)
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            check_vma=False,
+        )
+        def _solve(d4, b_l, x0_l):
+            x2, trace, stats = cg_collective_dia_padded(
+                offs,
+                d4[0],
+                b_l,
+                x0_l,
+                ndev=ndev,
+                axis=axis,
+                max_iter=max_iter,
+                tolerance=tolerance,
+            )
+            return CGResult(
+                x=x2.reshape(-1),
+                niters=stats[0, 2].astype(jnp.int32),
+                normr=stats[0, 0],
+                rtrans=stats[0, 1],
+                trace=trace[:, 0],
+            )
+
+        return _solve(data4, b2, x02)
+
+    return solve
