@@ -231,7 +231,16 @@ def main(argv=None) -> int:
             import dataclasses as _dc
 
             want_collective = args.backend == "collective"
-            if not want_collective and (args.method != "cg" or args.backend != "auto"):
+            if want_collective and args.method not in ("cg", "cg1"):
+                print(
+                    "# --backend collective implements the cg1 "
+                    f"(single-reduction) recurrence; ignoring --method "
+                    f"{args.method}",
+                    file=sys.stderr,
+                )
+            elif not want_collective and (
+                args.method != "cg" or args.backend != "auto"
+            ):
                 print(
                     "# distributed file mode implements the reference cg "
                     "recurrence on the dia-halo/all-gather paths; ignoring "
@@ -274,13 +283,16 @@ def main(argv=None) -> int:
                     )
                     solve = partial(_gsolve, shards)
                     backend_used = "distributed:gell-halo"
+            collective_explained = False
             if want_collective and isinstance(A, DiaMatrix) and solve is None:
                 # whole-solve kernel per shard: in-kernel RDMA band-strip
                 # halo + in-kernel allreduce (cg1 recurrence — say so)
                 from hpccg_tpu.parallel import make_collective_dia_cg
                 from hpccg_tpu.parallel.cg import collective_dia_supported
 
-                c_ok, c_reason = collective_dia_supported(A, args.mesh)
+                c_ok, c_reason = collective_dia_supported(
+                    A, args.mesh, max_iter=args.max_iter
+                )
                 if c_ok:
                     print(
                         "# backend=collective: whole-solve kernel, in-kernel "
@@ -295,6 +307,7 @@ def main(argv=None) -> int:
                     solve = partial(_csolve, A)
                     backend_used = "distributed:dia-collective"
                 else:
+                    collective_explained = True
                     print(
                         f"# collective unavailable: {c_reason}; using the "
                         "dia-halo path",
@@ -329,7 +342,11 @@ def main(argv=None) -> int:
                 )
                 solve = partial(_esolve, prob.A)
                 backend_used = "distributed:ell-allgather"
-            if want_collective and backend_used != "distributed:dia-collective":
+            if (
+                want_collective
+                and backend_used != "distributed:dia-collective"
+                and not collective_explained
+            ):
                 print(
                     "# --backend collective applies to banded (DIA) file "
                     f"matrices; this matrix ran {backend_used}",

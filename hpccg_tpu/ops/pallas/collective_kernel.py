@@ -155,6 +155,92 @@ def fits_collective_vmem(
     return 7 * vec <= budget
 
 
+def _cg1_whole_solve(
+    b0,
+    x00,
+    exchange_and_apply,
+    allreduce2,
+    dot,
+    x_ref,
+    r_ref,
+    p_ref,
+    s_ref,
+    u_ref,
+    x_out,
+    trace_ref,
+    stats_ref,
+    lo: int,
+    sz: int,
+    max_iter: int,
+    tol,
+):
+    """The cg1 (Chronopoulos–Gear) whole-solve driver shared by the stencil
+    and DIA collective kernels: init residual, the single-allreduce loop
+    with parity slots, trace/stats packing. b0/x00 are the (already masked)
+    real-row arrays; (lo, sz) is the refs' real-row window; the guard
+    planes/rows around it must already be initialized by the caller.
+
+    Faithful-recurrence quirk (same as solver.cg_solve_single_reduction and
+    the reference's alpha = 0/0, verify SKILL notes): on EXACT convergence
+    (gamma_new == delta == 0) alpha becomes NaN and the lagging stop-check
+    runs one more iteration — x turns NaN while normr reports 0. Real
+    fixed-work runs never hit it; constant-diagonal toy systems do.
+    """
+    w = pl.ds(lo, sz)
+    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
+    # --- init (cg1): r = b - A x0; u = A r; (g, d) = allreduce; p=r; s=u ---
+    x_ref[w] = x00
+    exchange_and_apply(x_ref, u_ref, 0)  # u <- A x0 (scratch use)
+    r_ref[w] = b0 - u_ref[w]
+    exchange_and_apply(r_ref, u_ref, 1)
+    gamma0, delta0 = allreduce2(dot(r_ref, r_ref), dot(r_ref, u_ref), 0)
+    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), trace_ref.dtype)
+    # real-row window only: the guards are RDMA targets — a fast peer's
+    # NEXT-iteration halo may land there while we copy (the guards' values
+    # are never read through p/s, but the access must still be race-free)
+    p_ref[w] = r_ref[w]
+    s_ref[w] = u_ref[w]
+    alpha0 = gamma0 / delta0
+
+    # carry: (k, gamma, alpha, gamma_top) — gamma_top is what a standard-CG
+    # body would have computed at its loop top (one update older); the
+    # reference's condition and exit normr test that (HPCCG.cpp:358,371)
+    def cond(c):
+        k, gamma, alpha, gamma_top = c
+        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
+
+    def body(c):
+        k, gamma, alpha, _ = c
+        trace_ref[pl.ds(k, 1), :] = jnp.full(
+            (1, LANE), jnp.sqrt(gamma), trace_ref.dtype
+        )
+        x_ref[w] = x_ref[w] + alpha * p_ref[w]
+        r_ref[w] = r_ref[w] - alpha * s_ref[w]
+        exchange_and_apply(r_ref, u_ref, 1)
+        gamma_new, delta = allreduce2(
+            dot(r_ref, r_ref),
+            dot(r_ref, u_ref),
+            jax.lax.rem(k, jnp.asarray(2, k.dtype)),
+        )
+        beta = gamma_new / gamma
+        alpha_new = gamma_new / (delta - beta * gamma_new / alpha)
+        p_ref[w] = r_ref[w] + beta * p_ref[w]
+        s_ref[w] = u_ref[w] + beta * s_ref[w]
+        return (k + 1, gamma_new, alpha_new, gamma)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    k, gamma, alpha, gamma_top = jax.lax.while_loop(
+        cond, body, (k0, gamma0, alpha0, gamma0)
+    )
+    x_out[:] = x_ref[w]
+    # stats in f32-or-better: a bf16 niters slot is inexact past 256
+    sdt = stats_ref.dtype
+    stats_ref[0, 0] = jnp.sqrt(gamma_top).astype(sdt)
+    stats_ref[0, 1] = gamma_top.astype(sdt)
+    stats_ref[0, 2] = (k - 1).astype(sdt)
+    stats_ref[0, 3] = jnp.asarray(0.0, sdt)  # spare slot, defined
+
+
 def _kernel(
     b_ref,
     x0_ref,
@@ -285,12 +371,11 @@ def _kernel(
         # rows beyond are zero padding
         return jnp.sum(a_ref[pl.ds(1, nz)] * b2_ref[pl.ds(1, nz)])
 
-    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
     # Guard planes: only the rows that STAY zero (true domain boundaries)
     # are zeroed — interior guards are written by RDMA, and the reader's
     # wait_recv orders the write before any read, so no startup barrier is
     # needed. u is never exchanged; p/s inherit defined guards via the full
-    # r/u copies below.
+    # r/u copies in the driver.
     zero_row = jnp.zeros((1, ny_pad, nx_pad), dtype)
     u_ref[pl.ds(0, 1)] = zero_row
     u_ref[pl.ds(nzp + 1, 1)] = zero_row
@@ -303,53 +388,16 @@ def _kernel(
         def _(ref=ref):
             ref[pl.ds(nzp + 1, 1)] = zero_row
 
-    # --- init (cg1): r = b - A x0; u = A r; (g, d) = allreduce; p=r; s=u ---
-    x_ref[pl.ds(1, nzp)] = x0_ref[:] * valid
-    exchange_and_apply(x_ref, u_ref, 0)  # u <- A x0 (scratch use)
-    r_ref[pl.ds(1, nzp)] = b_ref[:] * valid - u_ref[pl.ds(1, nzp)]
-    exchange_and_apply(r_ref, u_ref, 1)
-    gamma0, delta0 = allreduce2(dot(r_ref, r_ref), dot(r_ref, u_ref), 0)
-    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), trace_ref.dtype)
-    # interior rows only: r's guard rows are RDMA targets — a fast peer's
-    # NEXT-iteration halo may land there while we copy (the guards' values
-    # are never read through p, but the access must still be race-free)
-    p_ref[pl.ds(1, nzp)] = r_ref[pl.ds(1, nzp)]
-    s_ref[pl.ds(1, nzp)] = u_ref[pl.ds(1, nzp)]
-    alpha0 = gamma0 / delta0
-
-    # carry: (k, gamma, alpha, gamma_top) — gamma_top is what a standard-CG
-    # body would have computed at its loop top (one update older); the
-    # reference's condition and exit normr test that (HPCCG.cpp:358,371)
-    def cond(c):
-        k, gamma, alpha, gamma_top = c
-        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
-
-    def body(c):
-        k, gamma, alpha, _ = c
-        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), jnp.sqrt(gamma), trace_ref.dtype)
-        x_ref[pl.ds(1, nzp)] = x_ref[pl.ds(1, nzp)] + alpha * p_ref[pl.ds(1, nzp)]
-        r_ref[pl.ds(1, nzp)] = r_ref[pl.ds(1, nzp)] - alpha * s_ref[pl.ds(1, nzp)]
-        exchange_and_apply(r_ref, u_ref, 1)
-        gamma_new, delta = allreduce2(
-            dot(r_ref, r_ref), dot(r_ref, u_ref), jax.lax.rem(k, jnp.asarray(2, k.dtype))
-        )
-        beta = gamma_new / gamma
-        alpha_new = gamma_new / (delta - beta * gamma_new / alpha)
-        p_ref[pl.ds(1, nzp)] = r_ref[pl.ds(1, nzp)] + beta * p_ref[pl.ds(1, nzp)]
-        s_ref[pl.ds(1, nzp)] = u_ref[pl.ds(1, nzp)] + beta * s_ref[pl.ds(1, nzp)]
-        return (k + 1, gamma_new, alpha_new, gamma)
-
-    k0 = jnp.asarray(1, jnp.int32)
-    k, gamma, alpha, gamma_top = jax.lax.while_loop(
-        cond, body, (k0, gamma0, alpha0, gamma0)
+    _cg1_whole_solve(
+        b_ref[:] * valid,
+        x0_ref[:] * valid,
+        exchange_and_apply,
+        allreduce2,
+        dot,
+        x_ref, r_ref, p_ref, s_ref, u_ref,
+        x_out, trace_ref, stats_ref,
+        1, nzp, max_iter, tol,
     )
-    x_out[:] = x_ref[pl.ds(1, nzp)]
-    # stats in f32-or-better: a bf16 niters slot is inexact past 256
-    sdt = stats_ref.dtype
-    stats_ref[0, 0] = jnp.sqrt(gamma_top).astype(sdt)
-    stats_ref[0, 1] = gamma_top.astype(sdt)
-    stats_ref[0, 2] = (k - 1).astype(sdt)
-    stats_ref[0, 3] = jnp.asarray(0.0, sdt)  # spare slot, defined
 
 
 def cg_collective_padded(
@@ -728,13 +776,22 @@ def _dia_guards(offsets: tuple):
     return glo, ghi, hbl, hbh
 
 
-def fits_collective_dia_vmem(offsets, L: int, dtype, budget: int = VMEM_LIMIT) -> bool:
-    """Everything pinned: ndiag diagonal rows + 5 guarded vectors."""
+def fits_collective_dia_vmem(
+    offsets, L: int, dtype, budget: int = VMEM_LIMIT, max_iter: int = 512
+) -> bool:
+    """Everything pinned: the ndiag diagonal rows and b/x0/x_out I/O buffers
+    (pallas VMEM inputs/outputs are allocations too), 5 guarded vectors, and
+    the (max_iter, LANE) trace output; allreduce rows and stats ride the
+    fixed slack."""
     if L % LANE:
         return False
     R = L // LANE
     glo, ghi, _, _ = _dia_guards(tuple(int(o) for o in offsets))
-    elems = len(offsets) * R * LANE + 5 * (glo + R + ghi) * LANE
+    elems = (
+        (len(offsets) + 3) * R * LANE
+        + 5 * (glo + R + ghi) * LANE
+        + max(max_iter, 1) * LANE
+    )
     return elems * jnp.dtype(dtype).itemsize + (4 << 20) <= budget
 
 
@@ -860,16 +917,15 @@ def _kernel_dia(
     def dot(a_ref, b2_ref):
         return jnp.sum(a_ref[pl.ds(glo, R)] * b2_ref[pl.ds(glo, R)])
 
-    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
-    # Guard rows: zero everything NO RDMA ever writes — the strip remainders
-    # (between hbl/hbh and glo/ghi) unconditionally, the RDMA landing rows
-    # only at the domain edges (zeroing an interior landing row would race a
-    # fast neighbor's incoming strip, exactly as in _kernel). Out-of-domain
-    # reads multiply zero-padded diagonal data anyway; the zeros keep the
-    # values defined. u's guards are never read or RDMA'd — zero for hygiene.
+    # Guard rows: zero everything NO RDMA ever writes, the RDMA landing
+    # rows only at the domain edges (zeroing an interior landing row would
+    # race a fast neighbor's incoming strip, exactly as in _kernel).
+    # glo == hbl by construction (both are ceil(bw_lo/LANE)), so the low
+    # side has no never-written remainder; the high side has one row when
+    # bw_hi % LANE == 0 (ghi = qmax+1 vs hbh = qmax). Out-of-domain reads
+    # multiply zero-padded diagonal data anyway; the zeros keep the values
+    # defined. u's guards are never read or RDMA'd — zero for hygiene.
     for ref in (x_ref, r_ref, u_ref, p_ref, s_ref):
-        if glo > hbl:
-            ref[pl.ds(0, glo - hbl)] = jnp.zeros((glo - hbl, LANE), dtype)
         if ghi > hbh:
             ref[pl.ds(glo + R + hbh, ghi - hbh)] = jnp.zeros((ghi - hbh, LANE), dtype)
     for ref in (x_ref, r_ref):
@@ -887,50 +943,16 @@ def _kernel_dia(
     if hbh:
         u_ref[pl.ds(glo + R, hbh)] = jnp.zeros((hbh, LANE), dtype)
 
-    # --- init (cg1): r = b - A x0; u = A r; (g, d) = allreduce; p=r; s=u ---
-    x_ref[pl.ds(glo, R)] = x0_ref[:]
-    exchange_and_apply(x_ref, u_ref, 0)  # u <- A x0 (scratch use)
-    r_ref[pl.ds(glo, R)] = b_ref[:] - u_ref[pl.ds(glo, R)]
-    exchange_and_apply(r_ref, u_ref, 1)
-    gamma0, delta0 = allreduce2(dot(r_ref, r_ref), dot(r_ref, u_ref), 0)
-    trace_ref[0, :] = jnp.full((LANE,), jnp.sqrt(gamma0), trace_ref.dtype)
-    p_ref[pl.ds(glo, R)] = r_ref[pl.ds(glo, R)]
-    s_ref[pl.ds(glo, R)] = u_ref[pl.ds(glo, R)]
-    alpha0 = gamma0 / delta0
-
-    def cond(c):
-        k, gamma, alpha, gamma_top = c
-        return jnp.logical_and(k < max_iter, jnp.sqrt(gamma_top) > tol)
-
-    def body(c):
-        k, gamma, alpha, _ = c
-        trace_ref[pl.ds(k, 1), :] = jnp.full(
-            (1, LANE), jnp.sqrt(gamma), trace_ref.dtype
-        )
-        x_ref[pl.ds(glo, R)] = x_ref[pl.ds(glo, R)] + alpha * p_ref[pl.ds(glo, R)]
-        r_ref[pl.ds(glo, R)] = r_ref[pl.ds(glo, R)] - alpha * s_ref[pl.ds(glo, R)]
-        exchange_and_apply(r_ref, u_ref, 1)
-        gamma_new, delta = allreduce2(
-            dot(r_ref, r_ref),
-            dot(r_ref, u_ref),
-            jax.lax.rem(k, jnp.asarray(2, k.dtype)),
-        )
-        beta = gamma_new / gamma
-        alpha_new = gamma_new / (delta - beta * gamma_new / alpha)
-        p_ref[pl.ds(glo, R)] = r_ref[pl.ds(glo, R)] + beta * p_ref[pl.ds(glo, R)]
-        s_ref[pl.ds(glo, R)] = u_ref[pl.ds(glo, R)] + beta * s_ref[pl.ds(glo, R)]
-        return (k + 1, gamma_new, alpha_new, gamma)
-
-    k0 = jnp.asarray(1, jnp.int32)
-    k, gamma, alpha, gamma_top = jax.lax.while_loop(
-        cond, body, (k0, gamma0, alpha0, gamma0)
+    _cg1_whole_solve(
+        b_ref[:],
+        x0_ref[:],
+        exchange_and_apply,
+        allreduce2,
+        dot,
+        x_ref, r_ref, p_ref, s_ref, u_ref,
+        x_out, trace_ref, stats_ref,
+        glo, R, max_iter, tol,
     )
-    x_out[:] = x_ref[pl.ds(glo, R)]
-    sdt = stats_ref.dtype
-    stats_ref[0, 0] = jnp.sqrt(gamma_top).astype(sdt)
-    stats_ref[0, 1] = gamma_top.astype(sdt)
-    stats_ref[0, 2] = (k - 1).astype(sdt)
-    stats_ref[0, 3] = jnp.asarray(0.0, sdt)
 
 
 def cg_collective_dia_padded(

@@ -1127,10 +1127,11 @@ def shard_problem(prob: Problem, mesh: Mesh, *, axis: Axis = Z_AXIS) -> Problem:
     )
 
 
-def collective_dia_supported(A, ndev: int):
+def collective_dia_supported(A, ndev: int, max_iter: int = 512):
     """(ok, reason) for the collective DIA whole-solve kernel — the single
     shared viability predicate (CLI fallback + make_collective_dia_cg, like
-    dia_halo_plan for the streaming tier)."""
+    dia_halo_plan for the streaming tier). max_iter sizes the in-kernel
+    trace buffer (part of the VMEM budget)."""
     from hpccg_tpu.ops.pallas.collective_kernel import (
         LANE,
         fits_collective_dia_vmem,
@@ -1162,7 +1163,7 @@ def collective_dia_supported(A, ndev: int):
             f"{len(offs)} diagonals: the collective kernel unrolls one "
             "slice+rotate per offset — use make_distributed_dia_cg"
         )
-    if not fits_collective_dia_vmem(offs, L, A.dtype):
+    if not fits_collective_dia_vmem(offs, L, A.dtype, max_iter=max_iter):
         return False, (
             "the collective DIA kernel pins the shard's diagonal data "
             f"and solve vectors in VMEM; {len(offs)} diagonals x {L} "
@@ -1207,7 +1208,6 @@ def make_collective_dia_cg(
     from hpccg_tpu.ops.pallas.collective_kernel import (
         LANE,
         cg_collective_dia_padded,
-        fits_collective_dia_vmem,
     )
 
     ndev = axis_size(mesh, axis)
@@ -1215,7 +1215,7 @@ def make_collective_dia_cg(
     def solve(A: DiaMatrix, b, x0):
         if not isinstance(A, DiaMatrix):
             raise TypeError("make_collective_dia_cg needs a DiaMatrix")
-        ok, reason = collective_dia_supported(A, ndev)
+        ok, reason = collective_dia_supported(A, ndev, max_iter=max_iter)
         if not ok:
             raise ValueError(reason)
         n = A.local_nrow
