@@ -136,3 +136,22 @@ def test_cli_file_mode_collective(tmp_path, capsys):
     out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     r0 = float(jnp.sqrt(jnp.vdot(b, b)))  # x0 = 0 -> initial residual = ||b||
     assert out["Final residual"] < 1e-2 * r0
+
+
+@pytest.mark.slow
+def test_collective_dia_2d_mesh_matches_1d():
+    """The DIA collective kernel over the explicit 2-D ('host','z') mesh:
+    partners/RDMA address by the FLATTENED logical index (axis tuple), so
+    the solve matches the 1-D 4-device mesh bit-for-bit (mirrors
+    test_mesh2d_collective_matches_1d for the stencil kernel)."""
+    from hpccg_tpu.parallel import make_mesh2d, row_axis
+
+    n = 2048
+    A = _banded(n, span=150, ndiag_draw=8, seed=5)
+    b, x0, _ = _problem(A)
+    d1 = make_collective_dia_cg(make_mesh(4), max_iter=12)(A, b, x0)
+    m2 = make_mesh2d(2, 2)
+    d2 = make_collective_dia_cg(m2, max_iter=12, axis=row_axis(m2))(A, b, x0)
+    assert int(d2.niters) == int(d1.niters)
+    np.testing.assert_array_equal(np.asarray(d2.trace), np.asarray(d1.trace))
+    np.testing.assert_array_equal(np.asarray(d2.x), np.asarray(d1.x))
