@@ -55,8 +55,16 @@ def main():
     # tracebacks and exit after BENCH_WATCHDOG_S (0 disables).
     import faulthandler
     import os
+    import sys as _sys
 
-    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "2400") or 0)
+    try:
+        watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "2400") or 0)
+    except ValueError:
+        print(
+            "# BENCH_WATCHDOG_S is not a number; using the 2400 s default",
+            file=_sys.stderr,
+        )
+        watchdog_s = 2400.0
     if watchdog_s > 0:
         faulthandler.dump_traceback_later(watchdog_s, exit=True)
 

@@ -21,9 +21,16 @@ run() { # run <name> <timeout_s> <cmd...>
   echo "=== [$name] rc=$rc"
 }
 
-# 0. tunnel reachability (fail fast instead of hanging a long step)
-run probe        120  python -c "import jax; print(jax.devices())"
-if [ "${RCS[0]}" != 0 ]; then echo "TUNNEL DOWN — aborting"; exit 1; fi
+# 0. tunnel reachability (fail fast instead of hanging a long step) — and
+# the devices must actually be TPUs: with JAX_PLATFORMS=cpu exported (the
+# documented CPU-work pattern) everything below would "pass" on CPU and
+# record bogus numbers as chip-validated
+run probe        120  python -c "import jax; d = jax.devices(); print(d); assert d[0].platform == 'tpu', f'not a TPU: {d[0]}'"
+if [ "${RCS[0]}" != 0 ]; then echo "TUNNEL DOWN or not a TPU — aborting"; exit 1; fi
+
+# bench.py's own hang watchdog must fire BEFORE this script's step timeout
+# kills it, or the diagnostic thread dump is lost
+export BENCH_WATCHDOG_S=1100
 
 # 1. Mosaic-under-x64 lowering: every dd kernel + f32 tiers under x64
 run x64-lowering 1200 python exp/x64_lowering_check.py

@@ -308,9 +308,15 @@ def main(argv=None) -> int:
                     backend_used = "distributed:dia-collective"
                 else:
                     collective_explained = True
+                    dropped = (
+                        f" (and ignoring --method {args.method}: the "
+                        "fallback runs the reference cg recurrence)"
+                        if args.method != "cg"
+                        else ""
+                    )
                     print(
-                        f"# collective unavailable: {c_reason}; using the "
-                        "dia-halo path",
+                        f"# collective unavailable: {c_reason}; falling "
+                        f"back{dropped}",
                         file=sys.stderr,
                     )
             dia_halo_ok = True

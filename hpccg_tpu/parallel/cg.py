@@ -744,6 +744,10 @@ def make_distributed_gell_cg(
     )
 
     ndev = axis_size(mesh, axis)
+    # jitted solves memoized on the shards' static layout: jax.jit caches
+    # per FUNCTION OBJECT, so defining the closure fresh on every call
+    # would retrace (and re-lower) inside the caller's timed region
+    _jit_cache: dict = {}
 
     def solve(A, b, x0):
         shards = (
@@ -777,6 +781,10 @@ def make_distributed_gell_cg(
             pbl=shards.pbl,
             slot_bounds=shards.slot_bounds,
         )
+        jit_key = (L, bw_lo, bw_hi, dd, tuple(sorted(kw.items())))
+        cached = _jit_cache.get(jit_key)
+        if cached is not None:
+            return cached(vals4, vals4lo, li4, corr, b, x0)
 
         @jax.jit
         @partial(
@@ -819,6 +827,7 @@ def make_distributed_gell_cg(
                 dot=lambda u, w: ddot(u, w, axis_name=axis),
             )
 
+        _jit_cache[jit_key] = _solve
         return _solve(vals4, vals4lo, li4, corr, b, x0)
 
     return solve
@@ -906,6 +915,10 @@ def make_distributed_dia_cg(
     from hpccg_tpu.operators import DiaMatrix
 
     ndev = axis_size(mesh, axis)
+    # jitted solves memoized on (tier, offsets, L, dtype): jax.jit caches
+    # per FUNCTION OBJECT, so a fresh closure per call would retrace inside
+    # the caller's timed region (cli.py times the post-warmup call)
+    _jit_cache: dict = {}
 
     def solve(A: DiaMatrix, b, x0):
         if not isinstance(A, DiaMatrix):
@@ -979,6 +992,11 @@ def make_distributed_dia_cg(
             hi4 = jax.device_put(hi4, NamedSharding(mesh, P(axis)))
             lo4 = jax.device_put(lo4, NamedSharding(mesh, P(axis)))
 
+            jit_key = ("dd", offs, L)
+            cached = _jit_cache.get(jit_key)
+            if cached is not None:
+                return cached(hi4, lo4, b, x0)
+
             @jax.jit
             @partial(
                 jax.shard_map,
@@ -1017,6 +1035,7 @@ def make_distributed_dia_cg(
                     dot=lambda u, w: ddot(u, w, axis_name=axis),
                 )
 
+            _jit_cache[jit_key] = _solve_dd
             return _solve_dd(hi4, lo4, b, x0)
 
         if use_pallas:
@@ -1028,6 +1047,11 @@ def make_distributed_dia_cg(
             data2s = jax.device_put(
                 prepare_dia_shards(A, ndev), NamedSharding(mesh, P(axis))
             )
+
+            jit_key = ("pallas", offs, L)
+            cached = _jit_cache.get(jit_key)
+            if cached is not None:
+                return cached(data2s, b, x0)
 
             @jax.jit
             @partial(
@@ -1060,9 +1084,15 @@ def make_distributed_dia_cg(
                     dot=lambda u, w: ddot(u, w, axis_name=axis),
                 )
 
+            _jit_cache[jit_key] = _solve_pallas
             return _solve_pallas(data2s, b, x0)
 
         data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
+
+        jit_key = ("unroll", offs, L, str(jnp.dtype(A.dtype)))
+        cached = _jit_cache.get(jit_key)
+        if cached is not None:
+            return cached(data, b, x0)
 
         @jax.jit
         @partial(
@@ -1096,6 +1126,7 @@ def make_distributed_dia_cg(
                 dot=lambda u, w: ddot(u, w, axis_name=axis),
             )
 
+        _jit_cache[jit_key] = _solve
         return _solve(data, b, x0)
 
     return solve
@@ -1204,6 +1235,8 @@ def make_collective_dia_cg(
     """
     import numpy as np
 
+    import weakref
+
     from hpccg_tpu.operators import DiaMatrix
     from hpccg_tpu.ops.pallas.collective_kernel import (
         LANE,
@@ -1211,6 +1244,11 @@ def make_collective_dia_cg(
     )
 
     ndev = axis_size(mesh, axis)
+    # memoized per matrix layout / data buffer: fresh closures would
+    # retrace per call, and the shard scatter + upload would re-run
+    # (cli.py times the post-warmup call)
+    _jit_cache: dict = {}
+    _prep_cache: dict = {}
 
     def solve(A: DiaMatrix, b, x0):
         if not isinstance(A, DiaMatrix):
@@ -1222,14 +1260,27 @@ def make_collective_dia_cg(
         L = n // ndev
         offs = tuple(int(o) for o in A.offsets)
         R = L // LANE
-        data = np.asarray(A.data)
-        data4 = np.zeros((ndev, len(offs), R, LANE), data.dtype)
-        for r in range(ndev):
-            data4[r] = data[:, r * L : (r + 1) * L].reshape(len(offs), R, LANE)
         sh = NamedSharding(mesh, P(axis))
-        data4 = jax.device_put(jnp.asarray(data4), sh)
+        pk = id(A.data)
+        hit = _prep_cache.get(pk)
+        if hit is not None and hit[0]() is A.data:
+            data4 = hit[1]
+        else:
+            data = np.asarray(A.data)
+            data4 = np.zeros((ndev, len(offs), R, LANE), data.dtype)
+            for r in range(ndev):
+                data4[r] = data[:, r * L : (r + 1) * L].reshape(
+                    len(offs), R, LANE
+                )
+            data4 = jax.device_put(jnp.asarray(data4), sh)
+            _prep_cache[pk] = (weakref.ref(A.data), data4)
         b2 = jax.device_put(jnp.asarray(b).reshape(ndev * R, LANE), sh)
         x02 = jax.device_put(jnp.asarray(x0).reshape(ndev * R, LANE), sh)
+
+        jit_key = (offs, R)
+        cached = _jit_cache.get(jit_key)
+        if cached is not None:
+            return cached(data4, b2, x02)
 
         @jax.jit
         @partial(
@@ -1258,6 +1309,7 @@ def make_collective_dia_cg(
                 trace=trace[:, 0],
             )
 
+        _jit_cache[jit_key] = _solve
         return _solve(data4, b2, x02)
 
     return solve
