@@ -155,3 +155,27 @@ def test_collective_dia_2d_mesh_matches_1d():
     assert int(d2.niters) == int(d1.niters)
     np.testing.assert_array_equal(np.asarray(d2.trace), np.asarray(d1.trace))
     np.testing.assert_array_equal(np.asarray(d2.x), np.asarray(d1.x))
+
+
+@pytest.mark.slow
+def test_solver_memoization_reuses_jit_but_not_data():
+    """The factories memoize jitted solves on the static layout key (jax.jit
+    caches per function object — round-3 review); a second matrix with the
+    SAME layout but different values must still solve ITS system through the
+    cached function (data flows as arguments, never closure captures): with
+    A2 = 2*A1 and b1 = A1 @ 1, the second solve's answer is 0.5 — a stale
+    capture of A1's data would return 1.0."""
+    from hpccg_tpu.parallel import make_distributed_dia_cg
+
+    n = 1024
+    A1 = _banded(n, span=100, ndiag_draw=6, seed=7)
+    A2 = DiaMatrix(data=A1.data * 2.0, offsets=A1.offsets, total_nrow=n)
+    b1, x0, _ = _problem(A1)
+    for solve in (
+        make_collective_dia_cg(make_mesh(2), max_iter=12),
+        make_distributed_dia_cg(make_mesh(2), max_iter=12),
+    ):
+        r1 = solve(A1, b1, x0)  # populates the (offsets, L) jit cache
+        np.testing.assert_allclose(np.asarray(r1.x), 1.0, atol=0.05)
+        r2 = solve(A2, b1, x0)  # same key, DIFFERENT data
+        np.testing.assert_allclose(np.asarray(r2.x), 0.5, atol=0.05)
