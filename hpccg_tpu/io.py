@@ -40,8 +40,25 @@ def _tokenize(path: str) -> np.ndarray:
         return np.fromstring(f.read(), dtype=np.float64, sep=" ")  # noqa: NPY201
 
 
+def _matrix_to_device(A):
+    """Move a host-leaf (numpy) EllMatrix onto the device. The readers run
+    ALL structure analysis (to_dia, auto_structure, RCM) on host arrays and
+    upload only the representation that will actually solve: a device round
+    trip of the full ELL through the axon tunnel measured ~2.5 s per MB of
+    f32 readback (88 s for a 1M x 9 matrix), all of it wasted when the
+    matrix converts to DIA/gell anyway."""
+    if isinstance(A, EllMatrix) and not isinstance(A.vals, jax.Array):
+        return dataclasses.replace(
+            A,
+            vals=jnp.asarray(A.vals),
+            cols=jnp.asarray(A.cols),
+            valid=jnp.asarray(A.valid),
+        )
+    return A
+
+
 def read_hpc_row(
-    path: str, *, dtype=jnp.float64, to_dia: bool = True
+    path: str, *, dtype=jnp.float64, to_dia: bool = True, device: bool = True
 ) -> Tuple[Problem, jax.Array]:
     """Load an HPC-row file into an explicit-matrix Problem.
 
@@ -90,10 +107,15 @@ def read_hpc_row(
     cols[row_ids, slot_ids] = cols_flat
     valid[row_ids, slot_ids] = True
 
+    # host-leaf ELL: the structure decision (to_dia here, auto_structure in
+    # the structured reader) reads these arrays with np.asarray — keeping
+    # them numpy until the decision lands avoids a full device round trip
+    # of the matrix (see _matrix_to_device)
+    cdt = np.dtype(jnp.zeros((), dtype).dtype)  # canonicalized (x64-aware)
     A = EllMatrix(
-        vals=jnp.asarray(vals, dtype),
-        cols=jnp.asarray(cols),
-        valid=jnp.asarray(valid),
+        vals=vals.astype(cdt),
+        cols=cols,
+        valid=valid,
         start_row=0,
         total_nrow=nrow,
     )
@@ -101,6 +123,8 @@ def read_hpc_row(
         dia = A.to_dia()
         if dia is not None:
             A = dia
+    if device:
+        A = _matrix_to_device(A)
     prob = Problem(
         A=A,
         b=jnp.asarray(b, dtype),
@@ -136,7 +160,7 @@ def read_hpc_row_structured(
     """
     from hpccg_tpu.reorder import StructureReport, auto_structure
 
-    prob, _ = read_hpc_row(path, dtype=dtype, to_dia=False)
+    prob, _ = read_hpc_row(path, dtype=dtype, to_dia=False, device=False)
     if not reorder:
         # --no-reorder only disables RCM, not the banded->DIA conversion —
         # but the conversion keeps auto_structure's guards: the f64
@@ -190,6 +214,7 @@ def read_hpc_row_structured(
             prob.A, max_diags=max_diags, max_inflation=max_inflation,
             allow_gell=allow_gell,
         )
+    A = _matrix_to_device(A)  # the honest-ELL fallback keeps host leaves
     if perm is not None:
         p = np.asarray(perm)
         prob = Problem(

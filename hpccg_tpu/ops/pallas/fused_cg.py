@@ -46,8 +46,10 @@ def _assemble_slab(lo_ref, mid_ref, hi_ref, halo_lo, halo_hi, i, nzb, tz, nz):
     """(tz+2, M) halo'd slab from pipelined blocks + external halo planes
     (same substitution logic as stencil_kernel._kernel)."""
     dtype = mid_ref.dtype
-    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(dtype)
-    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(dtype)
+    # bool -> cast, NOT jnp.where(..., 1.0, 0.0): literal-only branches
+    # trace as weak f64 under jax_enable_x64 and Mosaic rejects f64 selects
+    sel_lo = (i > 0).astype(dtype)
+    sel_hi = (i < nzb - 1).astype(dtype)
     u = jnp.concatenate(
         [lo_ref[SUBLANE - 1 : SUBLANE] * sel_lo, mid_ref[:], hi_ref[0:1] * sel_hi],
         axis=0,

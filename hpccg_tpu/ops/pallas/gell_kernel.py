@@ -546,6 +546,29 @@ def spmv_gell_shard_dd(
     return y.reshape(-1)[:L]
 
 
+def _lane_take(ch, ll):
+    """Lane gather ch[i, ll[i, j]] keeping i32 indices. This is exactly the
+    batched gather ``jnp.take_along_axis(ch, ll, axis=1)`` emits, EXCEPT the
+    index dtype: under jax_enable_x64 take_along_axis force-converts indices
+    to i64 (jax indexing.py picks ``default_int_dtype()`` for the index
+    width) and Mosaic rejects the 64-bit convert — found on first chip
+    contact of the dd tier. ll is already masked into [0, LANE)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        ch,
+        ll[..., None],
+        dnums,
+        slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int, slot_bounds: tuple):
     t = pl.program_id(0)
     # this tile's x window: K chunks of 128, starting at padded chunk t*8
@@ -559,7 +582,7 @@ def _kernel(xp_ref, vals_ref, li_ref, y_ref, *, width: int, k_chunks: int, slot_
         lo, hi = slot_bounds[w] if slot_bounds else (0, k_chunks - 1)
         for k in range(lo, hi + 1):
             chunk = jnp.broadcast_to(xw[k : k + 1], (SUB, LANE))
-            gk = jnp.take_along_axis(chunk, ll, axis=1)
+            gk = _lane_take(chunk, ll)
             g = jnp.where(ci == k, gk, g)
         acc = acc + vals_ref[0, w] * g
     y_ref[0] = acc
@@ -623,8 +646,8 @@ def _kernel_dd(
             ch = jnp.broadcast_to(xwh[k : k + 1], (SUB, LANE))
             cl = jnp.broadcast_to(xwl[k : k + 1], (SUB, LANE))
             sel = ci == k
-            gh = jnp.where(sel, jnp.take_along_axis(ch, ll, axis=1), gh)
-            gl = jnp.where(sel, jnp.take_along_axis(cl, ll, axis=1), gl)
+            gh = jnp.where(sel, _lane_take(ch, ll), gh)
+            gl = jnp.where(sel, _lane_take(cl, ll), gl)
         ah = valsh_ref[0, w]
         al = valsl_ref[0, w]
         a1, a2 = split12(ah)

@@ -133,8 +133,10 @@ def _kernel(masks_ref, halo_ref, donor_ref, lo_ref, mid_ref, hi_ref, out_ref, *,
 
     # single halo plane from each 8-plane neighbor block; at the domain edges
     # the (clamped) block is wrong, so its contribution is predicated to zero
-    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(dtype)
-    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(dtype)
+    # bool -> cast, NOT jnp.where(..., 1.0, 0.0): literal-only branches
+    # trace as weak f64 under jax_enable_x64 and Mosaic rejects f64 selects
+    sel_lo = (i > 0).astype(dtype)
+    sel_hi = (i < nzb - 1).astype(dtype)
     u = jnp.concatenate(
         [lo_ref[SUBLANE - 1 : SUBLANE] * sel_lo, mid_ref[:], hi_ref[0:1] * sel_hi],
         axis=0,

@@ -144,8 +144,11 @@ def _kernel(halo_ref, lo_ref, mid_ref, hi_ref, out_ref, *, tz, nx, ny, nz, stenc
 
     # z-halo planes: clamped single-plane neighbor blocks, predicated off at
     # the domain edges; external (distributed) halo overrides rows 0 / nz+...
-    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(cdt)
-    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(cdt)
+    # bool -> cast, NOT jnp.where(..., 1.0, 0.0): under jax_enable_x64 (any
+    # --dtype float64 / refinement process) literal-only branches trace as
+    # weak f64 and Mosaic rejects the f64 arith.select
+    sel_lo = (i > 0).astype(cdt)
+    sel_hi = (i < nzb - 1).astype(cdt)
     u = jnp.concatenate(
         [
             lo_ref[:].astype(cdt) * sel_lo,
@@ -425,8 +428,11 @@ def _dd_core(
     nzb = pl.num_programs(0)
     f32 = jnp.float32
 
-    sel_lo = jnp.where(i > 0, 1.0, 0.0).astype(f32)
-    sel_hi = jnp.where(i < nzb - 1, 1.0, 0.0).astype(f32)
+    # bool -> f32 cast, NOT jnp.where(..., 1.0, 0.0): under x64 the Python
+    # float literals trace as weak f64 and Mosaic rejects the f64 select
+    # (found on the dd tier's first chip contact)
+    sel_lo = (i > 0).astype(f32)
+    sel_hi = (i < nzb - 1).astype(f32)
     zrow = jax.lax.broadcasted_iota(jnp.int32, (tz + 2, 1, 1), 0) + i * tz - 1
 
     def build(lo_ref, mid_ref, hi_ref, below, above):

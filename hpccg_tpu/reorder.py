@@ -108,10 +108,15 @@ def permute_ell(A: EllMatrix, perm: np.ndarray) -> EllMatrix:
     cols = np.asarray(A.cols)[perm]
     valid = np.asarray(A.valid)[perm]
     new_cols = np.where(valid, inv[cols], 0).astype(np.int32)
+    # host leaves on purpose: every consumer (bandwidth, to_dia,
+    # prepare_gell, auto_structure's candidate models) reads with
+    # np.asarray, and uploading here would force a full device round trip
+    # of a matrix that is usually about to be re-encoded anyway
+    # (io._matrix_to_device puts the surviving representation on device)
     return EllMatrix(
-        vals=jnp.asarray(vals),
-        cols=jnp.asarray(new_cols),
-        valid=jnp.asarray(valid),
+        vals=vals,
+        cols=new_cols,
+        valid=valid,
         start_row=0,
         total_nrow=A.total_nrow,
     )
