@@ -68,6 +68,10 @@ def main():
     if watchdog_s > 0:
         faulthandler.dump_traceback_later(watchdog_s, exit=True)
 
+    from hpccg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=100)
     ap.add_argument("--ny", type=int, default=100)

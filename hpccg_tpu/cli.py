@@ -163,6 +163,10 @@ def main(argv=None) -> int:
     if env_platforms and "cpu" in env_platforms.split(","):
         jax.config.update("jax_platforms", env_platforms)
 
+    from hpccg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.init_distributed:
         jax.distributed.initialize()
     # multi-host: only process 0 prints/writes (every process still computes)

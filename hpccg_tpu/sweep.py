@@ -64,6 +64,9 @@ def main(argv=None) -> int:
 
     import jax
 
+    from hpccg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.init_distributed:
         jax.distributed.initialize()
     if args.platform == "cpu":
