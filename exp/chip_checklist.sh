@@ -10,6 +10,10 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# persistent XLA compile cache (the exp scripts don't call utils/cache.py
+# themselves): re-runs of this batch skip the minutes-long f64 compiles
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/hpccg_tpu/xla}"
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 declare -a NAMES RCS
 run() { # run <name> <timeout_s> <cmd...>
@@ -51,6 +55,9 @@ run dd-bench     2400 python exp/dd_bench.py
 
 # 5. gather-ELL bandwidth sweep (expected 13-25 Gnnz/s by bandwidth)
 run gell-bench   2400 python exp/gell_bench.py
+
+# 6. dd-tier speeds: gather-ELL dd matvec + pallas_dd stencil matvec/CG
+run dd-tiers     3000 python exp/dd_tiers_bench.py
 
 echo "--- summary ---"
 paste <(printf '%s\n' "${NAMES[@]}") <(printf '%s\n' "${RCS[@]}")

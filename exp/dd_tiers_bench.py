@@ -59,10 +59,13 @@ def bench_gell_dd():
         cols = np.clip(rows + offs, 0, n - 1).astype(np.int32)
         vals = rng.uniform(-1, 1, size=(n, W))
         vals[:, 0] = 3.0 * W
+        # host leaves (io.py reader convention): prepare_gell reads with
+        # np.asarray; device leaves would round-trip the matrix through
+        # the tunnel before preprocessing
         ell = EllMatrix(
-            vals=jnp.asarray(vals, jnp.float64),
-            cols=jnp.asarray(cols),
-            valid=jnp.asarray(np.ones((n, W), bool)),
+            vals=vals.astype(np.float64),
+            cols=cols,
+            valid=np.ones((n, W), bool),
             total_nrow=n,
         )
         t0 = time.time()

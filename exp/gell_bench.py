@@ -18,8 +18,12 @@ def bench_bw(bw):
     cols = np.clip(rows + offs, 0, n - 1).astype(np.int32)
     vals = rng.uniform(-1, 1, size=(n, W)).astype(np.float32)
     vals[:, 0] = 3.0 * W
-    ell = EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
-                    valid=jnp.asarray(np.ones((n, W), bool)), total_nrow=n)
+    # host leaves on purpose (like io.py's reader): prepare_gell reads the
+    # arrays with np.asarray, and a device EllMatrix would pay a full
+    # tunnel round trip of the matrix before preprocessing (measured: the
+    # first such readback through a cold tunnel took ~20 min at 1M rows)
+    ell = EllMatrix(vals=vals, cols=cols,
+                    valid=np.ones((n, W), bool), total_nrow=n)
     t0 = time.time()
     G = prepare_gell(ell)
     log(f"bw={bw}: prepared K={G.k_chunks} in {time.time()-t0:.1f}s")
