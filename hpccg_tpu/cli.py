@@ -362,9 +362,30 @@ def main(argv=None) -> int:
                     f"matrices; this matrix ran {backend_used}",
                     file=sys.stderr,
                 )
+            spmv_bench_make_loop = spmv_bench_tier = None
             if not args.skip_kernel_bench:
-                # per-kernel micro-benchmarks are stencil-mesh specific
-                args.skip_kernel_bench = True
+                # per-kernel rows for the Time Summary (round-3 VERDICT #6):
+                # bench the distributed tier that actually solves. For the
+                # collective whole-solve backend the closest standalone
+                # kernel is the dia-halo tier's (the in-kernel-RDMA solve
+                # has no dispatchable SpMV); the tier label says what ran.
+                from hpccg_tpu.parallel.cg import make_distributed_spmv_bench
+
+                bench_A = (
+                    shards
+                    if backend_used == "distributed:gell-halo"
+                    else prob.A
+                )
+                try:
+                    spmv_bench_make_loop, spmv_bench_tier = (
+                        make_distributed_spmv_bench(mesh, bench_A, axis=axis)
+                    )
+                except (ValueError, TypeError) as e:
+                    print(
+                        f"# distributed kernel bench unavailable: {e}",
+                        file=sys.stderr,
+                    )
+                    args.skip_kernel_bench = True
     else:
         if len(args.dims) != 3:
             print("error: expected 'nx ny nz' or one data file", file=sys.stderr)
@@ -585,7 +606,25 @@ def main(argv=None) -> int:
         t_combo = time_loop_body(combo_body, (prob.x0, jnp.zeros((), dtype)))
         t_ddot1 = max(t_combo - t_wax1, 0.0)
 
-        if args.mesh > 1:
+        if args.mesh > 1 and file_mode:
+            # the distributed file-mode tier's per-shard kernel (built above
+            # by make_distributed_spmv_bench; exchange cost is separate, as
+            # in the reference's times[5])
+            from hpccg_tpu.utils.timing import time_loop_slope
+
+            slow_gather = (
+                spmv_bench_tier == "ell-allgather"
+                and prob.total_nrow >= 100_000
+            )
+            t_spmv1 = time_loop_slope(
+                spmv_bench_make_loop,
+                prob.x0,
+                # the all-gather path at scale runs ~0.14 Gnnz/s — shrink
+                # the slope legs so the bench does not dwarf the solve
+                iters=2 if slow_gather else 64,
+                spread=8 if slow_gather else 64,
+            )
+        elif args.mesh > 1:
             from jax.sharding import PartitionSpec as P
 
             from hpccg_tpu.parallel.cg import local_operator
@@ -727,10 +766,16 @@ def main(argv=None) -> int:
     ts.add("DDOT    ", t_ddot)
     ts.add("WAXPBY  ", t_waxpby)
     ts.add("SPARSEMV", t_spmv)
+    bench_tier_note = (
+        f" (SPARSEMV row benches the {spmv_bench_tier} per-shard kernel)"
+        if file_mode and args.mesh > 1 and not args.skip_kernel_bench
+        else ""
+    )
     ts.add(
         f"(DDOT/WAXPBY/SPARSEMV are phase-separated micro-benchmarks of the "
         f"dispatchable kernel tier; Total timed backend={backend_used or args.backend} "
-        f"— for fused/whole-solve backends the kernel rows are NOT components of Total)",
+        f"— for fused/whole-solve backends the kernel rows are NOT components of Total"
+        f"{bench_tier_note})",
         "",
     )
 

@@ -149,6 +149,28 @@ class TestCliFileMesh:
         assert r8["Number of iterations"] == r1["Number of iterations"]
         assert r8["Final residual"] < 1e-12 and r1["Final residual"] < 1e-12
 
+    @pytest.mark.slow
+    def test_file_mesh_kernel_rows_finite(self, tmp_path):
+        """Distributed file mode reports REAL (finite) DDOT/WAXPBY/SPARSEMV
+        Time Summary rows — round-3 VERDICT #6: the reference prints full
+        kernel breakdowns in file mode too (main.cpp:266-298). The SPARSEMV
+        row benches the tier that solved (here the dia-halo per-shard
+        kernel), named in the Time Summary note."""
+        path = self._write(tmp_path, ProblemConfig(5, 4, 16))
+        r8 = self._run(
+            [path, "--mesh", "8", "--max-iter", "10", "--json", "--quiet"]
+        )
+        ts = r8["Time Summary"]
+        for row in ("DDOT    ", "WAXPBY  ", "SPARSEMV"):
+            assert np.isfinite(ts[row]), (row, ts)
+        note = [k for k in ts if "SPARSEMV row benches" in k]
+        assert note and "dia-" in note[0]
+        mf = r8["MFLOPS Summary"]
+        assert np.isfinite(mf["SPARSEMV"]) and mf["SPARSEMV"] > 0
+        # the distributed-overheads block now also renders in file mode
+        assert "DDOT Timing Variations" in r8
+        assert "SPARSEMV OVERHEADS" in r8
+
 
 @pytest.mark.slow
 def test_file_mesh_scattered_band_goes_allgather(tmp_path):

@@ -242,7 +242,9 @@ def test_cli_file_mesh_gell_halo(tmp_path, capsys):
 
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
-        rc = main([path, "--mesh", "8"] + base)
+        # no --skip-kernel-bench on the mesh run: the Time Summary kernel
+        # rows must come from the gell per-shard kernel (VERDICT r3 #6)
+        rc = main([path, "--mesh", "8"] + base[:-3] + base[-2:])
     assert rc == 0
     err8 = capsys.readouterr().err
     assert "all-gather" not in err8
@@ -252,6 +254,10 @@ def test_cli_file_mesh_gell_halo(tmp_path, capsys):
     np.testing.assert_allclose(
         r8["Final residual"], r1["Final residual"], rtol=5e-3, atol=1e-6
     )
+    ts = r8["Time Summary"]
+    assert np.isfinite(ts["SPARSEMV"]) and np.isfinite(ts["DDOT    "])
+    note = [k for k in ts if "SPARSEMV row benches" in k]
+    assert note and "gell" in note[0]
 
 
 def test_gell_shards_is_pytree():
