@@ -89,6 +89,17 @@ def build_argparser() -> argparse.ArgumentParser:
         help="file mode: disable RCM bandwidth-reducing reordering (solve "
         "in the file's original row order even if a hidden band exists)",
     )
+    ap.add_argument(
+        "--stream-load",
+        action="store_true",
+        help="file mode at --mesh > 1: bounded-memory distributed loading — "
+        "each process streams ONLY its devices' row blocks straight onto "
+        "those devices (the reference's per-rank read, "
+        "read_HPC_row.cpp:255-293); the global matrix is never materialized "
+        "on any host. Trades structure analysis (RCM/DIA/gell need the "
+        "assembled matrix) for O(n/N) per-process memory: the solve runs "
+        "the general all-gather ELL path",
+    )
     ap.add_argument("--skip-kernel-bench", action="store_true", help="skip per-kernel micro-benchmarks")
     ap.add_argument(
         "--check",
@@ -209,7 +220,57 @@ def main(argv=None) -> int:
     file_mode = len(args.dims) == 1 and not args.dims[0].isdigit()
     mesh = None
     axis = "z"
-    if file_mode:
+    if file_mode and args.stream_load:
+        if args.mesh <= 1:
+            print(
+                "# --stream-load needs --mesh > 1 (distributed loading); "
+                "ignoring",
+                file=sys.stderr,
+            )
+            args.stream_load = False
+        elif args.backend not in ("auto", "ell"):
+            print(
+                f"# --stream-load runs the all-gather ELL path; ignoring "
+                f"--backend {args.backend}",
+                file=sys.stderr,
+            )
+            args.backend = "auto"
+    if file_mode and args.stream_load:
+        # bounded-memory distributed loading (round-3 VERDICT #4): blocks
+        # stream straight onto their devices; no host ever holds the matrix
+        from hpccg_tpu.io import read_hpc_row_sharded
+        from hpccg_tpu.parallel import make_distributed_ell_cg
+
+        mesh, axis = build_mesh()
+        prob, _x_file = read_hpc_row_sharded(args.dims[0], mesh, axis=axis, dtype=dtype)
+        perm = None
+        file_nrow = prob.total_nrow
+        nx = ny = nz = 0
+        print(
+            "# stream-load: per-device row blocks, all-gather ELL solve "
+            "(structure analysis skipped — it needs the assembled matrix)",
+            file=sys.stderr,
+        )
+        _esolve = make_distributed_ell_cg(
+            mesh, max_iter=args.max_iter, tolerance=args.tolerance, axis=axis
+        )
+        solve = partial(_esolve, prob.A)
+        backend_used = "distributed:ell-allgather(stream)"
+        spmv_bench_make_loop = spmv_bench_tier = None
+        if not args.skip_kernel_bench:
+            from hpccg_tpu.parallel.cg import make_distributed_spmv_bench
+
+            try:
+                spmv_bench_make_loop, spmv_bench_tier = (
+                    make_distributed_spmv_bench(mesh, prob.A, axis=axis)
+                )
+            except (ValueError, TypeError) as e:
+                print(
+                    f"# distributed kernel bench unavailable: {e}",
+                    file=sys.stderr,
+                )
+                args.skip_kernel_bench = True
+    elif file_mode:
         from hpccg_tpu.io import pad_problem_rows, read_hpc_row_structured
 
         prob, perm, report = read_hpc_row_structured(
@@ -237,11 +298,12 @@ def main(argv=None) -> int:
             want_collective = args.backend == "collective"
             if want_collective and args.method not in ("cg", "cg1"):
                 print(
-                    "# --backend collective implements the cg1 "
-                    f"(single-reduction) recurrence; ignoring --method "
-                    f"{args.method}",
+                    "# the collective DIA kernel implements the cg and cg1 "
+                    f"recurrences; ignoring --method {args.method} "
+                    "(running cg1)",
                     file=sys.stderr,
                 )
+                args.method = "cg1"
             elif not want_collective and (
                 args.method != "cg" or args.backend != "auto"
             ):
@@ -262,6 +324,21 @@ def main(argv=None) -> int:
             L = prob.total_nrow // args.mesh
             from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
 
+            from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
+
+            if isinstance(A, GellStackMatrix):
+                # wide-scatter tier at --mesh > 1: the strip stack is a
+                # single-device kernel (whole x VMEM-resident); distribute
+                # through the general all-gather path for now
+                from hpccg_tpu.ops.pallas.gell_stack import stack_to_ell
+
+                print(
+                    "# strip-stack tier is single-device; --mesh > 1 runs "
+                    "the all-gather ELL path for this matrix",
+                    file=sys.stderr,
+                )
+                prob = _dc.replace(prob, A=stack_to_ell(A))
+                A = prob.A
             if isinstance(A, GellMatrix):
                 # scattered-narrow-band tier at --mesh > 1: shard the tiles
                 # and ppermute the bandwidth strips into the window padding
@@ -298,15 +375,20 @@ def main(argv=None) -> int:
                     A, args.mesh, max_iter=args.max_iter
                 )
                 if c_ok:
+                    rec = (
+                        "reference cg recurrence, 2 in-kernel allreduces/iter"
+                        if args.method == "cg"
+                        else "cg1 single-reduction recurrence"
+                    )
                     print(
                         "# backend=collective: whole-solve kernel, in-kernel "
-                        "RDMA halo + allreduce (cg1 single-reduction "
-                        "recurrence, not the reference cg recurrence)",
+                        f"RDMA halo + allreduce ({rec})",
                         file=sys.stderr,
                     )
                     _csolve = make_collective_dia_cg(
                         mesh, max_iter=args.max_iter,
                         tolerance=args.tolerance, axis=axis,
+                        method=args.method,
                     )
                     solve = partial(_csolve, A)
                     backend_used = "distributed:dia-collective"

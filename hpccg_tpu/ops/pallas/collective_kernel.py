@@ -11,11 +11,13 @@ moves the communication *into* the kernel:
   of the pinned vector double as the receive buffers (the tail-of-x storage
   of exchange_externals.cpp:84, TPU-style);
 - allreduce: one 2-scalar reduction per iteration (the single-reduction
-  Chronopoulos-Gear recurrence, solver.cg_solve_single_reduction). On
-  power-of-two meshes (>2) it is a recursive-doubling butterfly
-  (log2(ndev) symmetric partner exchanges); otherwise each device
-  RDMA-broadcasts its (gamma, delta) row to every peer and waits for n-1
-  receipts.
+  Chronopoulos-Gear recurrence, solver.cg_solve_single_reduction) — or,
+  with method="cg", TWO one-scalar reductions per iteration implementing
+  the reference recurrence exactly (the two MPI_Allreduces of
+  HPCCG.cpp:367,381; _cg_whole_solve). On power-of-two meshes (>2) each
+  reduction is a recursive-doubling butterfly (log2(ndev) symmetric
+  partner exchanges); otherwise each device RDMA-broadcasts its partial
+  row to every peer and waits for n-1 receipts.
 
 Synchronization safety: a device's iteration-k+1 halo send happens only
 after it passed its iteration-k allreduce — and completing the allreduce
@@ -241,6 +243,89 @@ def _cg1_whole_solve(
     stats_ref[0, 3] = jnp.asarray(0.0, sdt)  # spare slot, defined
 
 
+def _cg_whole_solve(
+    b0,
+    x00,
+    exchange_and_apply,
+    allreduce2,
+    dot,
+    x_ref,
+    r_ref,
+    p_ref,
+    ap_ref,
+    x_out,
+    trace_ref,
+    stats_ref,
+    lo: int,
+    sz: int,
+    max_iter: int,
+    tol,
+):
+    """The REFERENCE recurrence (HPCCG.cpp:358-384) whole-solve driver: TWO
+    in-kernel allreduces per iteration — r.r before the p-update, p.Ap after
+    the halo'd apply — so `--backend collective --method cg` runs exactly
+    the recurrence the reference's two MPI_Allreduces implement
+    (HPCCG.cpp:367,381; round-3 VERDICT #3). Shares the stencil/DIA
+    exchange_and_apply and allreduce machinery with _cg1_whole_solve; the
+    exchanged vector here is p (the reference exchanges p at HPCCG.cpp:377).
+
+    Slot discipline: rounds strictly alternate parity — init r.r at slot 0,
+    then every iteration's r.r at slot 1 and p.Ap at slot 0 — so
+    consecutive allreduce rounds never share a landing buffer and slot
+    reuse two rounds later is ordered by the intervening full barrier
+    (the same proof as the module docstring's cg1 argument; the halo guard
+    single-buffering also holds: my iteration-k+1 p-send happens after my
+    k p.Ap allreduce, which transitively requires every neighbor to have
+    consumed its k halo).
+
+    Scalars-only allreduce reuse: each round reduces (value, 0) through the
+    2-scalar machinery and keeps the first lane.
+    """
+    w = pl.ds(lo, sz)
+    zero = jnp.asarray(0.0, b0.dtype)
+    trace_ref[:] = jnp.full_like(trace_ref, jnp.nan)
+    # --- init (ref HPCCG.cpp:347-354): p = x0; Ap = A p; r = b - Ap ---
+    x_ref[w] = x00
+    p_ref[w] = x00
+    exchange_and_apply(p_ref, ap_ref, 0)
+    r_ref[w] = b0 - ap_ref[w]
+    rtrans0, _ = allreduce2(dot(r_ref, r_ref), zero, 0)
+    normr0 = jnp.sqrt(rtrans0)
+    trace_ref[0, :] = jnp.full((LANE,), normr0, trace_ref.dtype)
+
+    # carry: (k, rtrans, normr) — cond tests the loop-top normr exactly as
+    # the reference's `for k ... while normr > tol` (HPCCG.cpp:358)
+    def cond(c):
+        k, rtrans, normr = c
+        return jnp.logical_and(k < max_iter, normr > tol)
+
+    def body(c):
+        k, rtrans_old, _ = c
+        # allreduce #1: rtrans = r.r (at k==1 this bit-identically
+        # recomputes the init value, like the reference and cg_solve)
+        rtrans, _ = allreduce2(dot(r_ref, r_ref), zero, 1)
+        beta = jnp.where(k == 1, zero, rtrans / rtrans_old)
+        p_ref[w] = r_ref[w] + beta * p_ref[w]
+        normr = jnp.sqrt(rtrans)
+        trace_ref[pl.ds(k, 1), :] = jnp.full((1, LANE), normr, trace_ref.dtype)
+        exchange_and_apply(p_ref, ap_ref, 1)
+        # allreduce #2: alpha = rtrans / p.Ap
+        pap, _ = allreduce2(dot(p_ref, ap_ref), zero, 0)
+        alpha = rtrans / pap
+        x_ref[w] = x_ref[w] + alpha * p_ref[w]
+        r_ref[w] = r_ref[w] - alpha * ap_ref[w]
+        return (k + 1, rtrans, normr)
+
+    k0 = jnp.asarray(1, jnp.int32)
+    k, rtrans, normr = jax.lax.while_loop(cond, body, (k0, rtrans0, normr0))
+    x_out[:] = x_ref[w]
+    sdt = stats_ref.dtype
+    stats_ref[0, 0] = normr.astype(sdt)
+    stats_ref[0, 1] = rtrans.astype(sdt)
+    stats_ref[0, 2] = (k - 1).astype(sdt)
+    stats_ref[0, 3] = jnp.asarray(0.0, sdt)  # spare slot, defined
+
+
 def _kernel(
     b_ref,
     x0_ref,
@@ -273,6 +358,7 @@ def _kernel(
     axis: str,
     max_iter: int,
     tolerance: float,
+    method: str = "cg1",
 ):
     dtype = b_ref.dtype
     nx, ny, nz = op.nx, op.ny, op.nz
@@ -374,12 +460,14 @@ def _kernel(
     # Guard planes: only the rows that STAY zero (true domain boundaries)
     # are zeroed — interior guards are written by RDMA, and the reader's
     # wait_recv orders the write before any read, so no startup barrier is
-    # needed. u is never exchanged; p/s inherit defined guards via the full
-    # r/u copies in the driver.
+    # needed. Only the EXCHANGED refs need edge guards (cg1: x then r
+    # every iteration; cg: p); u is never exchanged — zero for hygiene
+    # (cg1's p/s inherit defined guards via the full r/u copies).
     zero_row = jnp.zeros((1, ny_pad, nx_pad), dtype)
     u_ref[pl.ds(0, 1)] = zero_row
     u_ref[pl.ds(nzp + 1, 1)] = zero_row
-    for ref in (x_ref, r_ref):
+    exchanged = (x_ref, r_ref) if method == "cg1" else (p_ref,)
+    for ref in exchanged:
         @pl.when(my == 0)
         def _(ref=ref):
             ref[pl.ds(0, 1)] = zero_row
@@ -388,16 +476,28 @@ def _kernel(
         def _(ref=ref):
             ref[pl.ds(nzp + 1, 1)] = zero_row
 
-    _cg1_whole_solve(
+    driver_args = (
         b_ref[:] * valid,
         x0_ref[:] * valid,
         exchange_and_apply,
         allreduce2,
         dot,
-        x_ref, r_ref, p_ref, s_ref, u_ref,
-        x_out, trace_ref, stats_ref,
-        1, nzp, max_iter, tol,
     )
+    if method == "cg1":
+        _cg1_whole_solve(
+            *driver_args,
+            x_ref, r_ref, p_ref, s_ref, u_ref,
+            x_out, trace_ref, stats_ref,
+            1, nzp, max_iter, tol,
+        )
+    else:
+        # reference recurrence: s_ref doubles as Ap; u_ref stays unused
+        _cg_whole_solve(
+            *driver_args,
+            x_ref, r_ref, p_ref, s_ref,
+            x_out, trace_ref, stats_ref,
+            1, nzp, max_iter, tol,
+        )
 
 
 def cg_collective_padded(
@@ -410,11 +510,18 @@ def cg_collective_padded(
     max_iter: int,
     tolerance: float = 0.0,
     interpret: bool = False,
+    method: str = "cg1",
 ):
     """Per-shard whole-solve call; MUST run inside shard_map over `axis`.
 
     b_pad/x0_pad: this shard's (nzp, ny_pad, nx_pad) padded block (op_local
-    holds the local dims). Returns (x_pad, trace, stats)."""
+    holds the local dims). Returns (x_pad, trace, stats).
+
+    method: "cg1" (single in-kernel allreduce per iteration, the fast
+    default) or "cg" (the reference recurrence — two in-kernel allreduces,
+    HPCCG.cpp:367,381)."""
+    if method not in ("cg1", "cg"):
+        raise ValueError(f"collective kernel methods: cg1|cg, got {method!r}")
     nzp, ny_pad, nx_pad = padded_dims(op_local, b_pad.dtype, tz=1)
     dtype = b_pad.dtype
     assert b_pad.shape == (nzp, ny_pad, nx_pad)
@@ -430,6 +537,7 @@ def cg_collective_padded(
             axis=axis,
             max_iter=max_iter,
             tolerance=tolerance,
+            method=method,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -823,6 +931,7 @@ def _kernel_dia(
     axis: str,
     max_iter: int,
     tolerance: float,
+    method: str = "cg1",
 ):
     dtype = b_ref.dtype
     R = b_ref.shape[0]
@@ -928,7 +1037,10 @@ def _kernel_dia(
     for ref in (x_ref, r_ref, u_ref, p_ref, s_ref):
         if ghi > hbh:
             ref[pl.ds(glo + R + hbh, ghi - hbh)] = jnp.zeros((ghi - hbh, LANE), dtype)
-    for ref in (x_ref, r_ref):
+    # edge guards only on the EXCHANGED refs (cg1: x then r; cg: p) — an
+    # interior landing row is RDMA-written before any read
+    exchanged = (x_ref, r_ref) if method == "cg1" else (p_ref,)
+    for ref in exchanged:
         if hbl:
             @pl.when(my == 0)
             def _(ref=ref):
@@ -943,16 +1055,27 @@ def _kernel_dia(
     if hbh:
         u_ref[pl.ds(glo + R, hbh)] = jnp.zeros((hbh, LANE), dtype)
 
-    _cg1_whole_solve(
+    driver_args = (
         b_ref[:],
         x0_ref[:],
         exchange_and_apply,
         allreduce2,
         dot,
-        x_ref, r_ref, p_ref, s_ref, u_ref,
-        x_out, trace_ref, stats_ref,
-        glo, R, max_iter, tol,
     )
+    if method == "cg1":
+        _cg1_whole_solve(
+            *driver_args,
+            x_ref, r_ref, p_ref, s_ref, u_ref,
+            x_out, trace_ref, stats_ref,
+            glo, R, max_iter, tol,
+        )
+    else:
+        _cg_whole_solve(
+            *driver_args,
+            x_ref, r_ref, p_ref, s_ref,
+            x_out, trace_ref, stats_ref,
+            glo, R, max_iter, tol,
+        )
 
 
 def cg_collective_dia_padded(
@@ -966,12 +1089,18 @@ def cg_collective_dia_padded(
     max_iter: int,
     tolerance: float = 0.0,
     interpret: bool = False,
+    method: str = "cg1",
 ):
     """Per-shard whole-solve call; MUST run inside shard_map over `axis`.
 
     data3: this shard's (ndiag, R, LANE) diagonal data (zero-padded outside
     the global band); b2/x02: the shard's (R, LANE) row blocks. Returns
-    (x2, trace, stats)."""
+    (x2, trace, stats).
+
+    method: "cg1" (single in-kernel allreduce per iteration) or "cg" (the
+    reference recurrence — two in-kernel allreduces per iteration)."""
+    if method not in ("cg1", "cg"):
+        raise ValueError(f"collective kernel methods: cg1|cg, got {method!r}")
     R, _ = b2.shape
     dtype = b2.dtype
     offsets = tuple(int(o) for o in offsets)
@@ -987,6 +1116,7 @@ def cg_collective_dia_padded(
             axis=axis,
             max_iter=max_iter,
             tolerance=tolerance,
+            method=method,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

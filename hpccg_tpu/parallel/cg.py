@@ -224,22 +224,6 @@ def make_distributed_cg(
     # (a one-reduction method with backend == "collective" reaches here and
     # falls through: the collective kernel's in-kernel allreduce IS cg1)
 
-    if backend == "collective" and method == "cg":
-        # the collective whole-solve kernel's in-kernel allreduce IS the
-        # Chronopoulos-Gear single-reduction recurrence — equal to the
-        # reference recurrence only to rounding (and with the documented f32
-        # early-flush quirk, solver.cg_solve_single_reduction). Say so
-        # rather than silently substituting.
-        import warnings
-
-        warnings.warn(
-            "backend='collective' implements the cg1 (single-reduction) "
-            "recurrence, not the reference 'cg' recurrence; pass "
-            "method='cg1' to acknowledge, or backend='pallas' for the "
-            "reference recurrence with ppermute halo",
-            stacklevel=2,
-        )
-
     # backend='collective' over a 2-D ('host','z') mesh: the kernels compute
     # partners on the FLATTENED logical index (lax.axis_index of the axis
     # tuple) and address RDMA by scalar LOGICAL device id, which Mosaic
@@ -252,7 +236,9 @@ def make_distributed_cg(
         # RDMA halo exchange + in-kernel scalar allreduce, zero XLA dispatch
         # per iteration (ops/pallas/collective_kernel.py). method="pipecg"
         # selects the communication-hiding variant (the allreduce RDMAs fly
-        # while the stencil applies); cg/cg1 use the single-reduction kernel.
+        # while the stencil applies); method="cg" runs the REFERENCE
+        # recurrence with two in-kernel allreduces per iteration
+        # (HPCCG.cpp:367,381); method="cg1" the single-reduction kernel.
         from hpccg_tpu.ops.pallas.collective_kernel import (
             cg_collective_padded,
             cg_collective_pipelined_padded,
@@ -290,6 +276,7 @@ def make_distributed_cg(
             check_vma=False,
         )
         def solve_collective(b, x0):
+            kw = {} if pipelined else {"method": method}
             x_pad, trace, stats = kernel_call(
                 op_local,
                 pad_plane3(op_local, b, 1),
@@ -298,6 +285,7 @@ def make_distributed_cg(
                 axis=axis,
                 max_iter=max_iter,
                 tolerance=tolerance,
+                **kw,
             )
             return CGResult(
                 x=unpad_plane3(op_local, x_pad),
@@ -1229,15 +1217,18 @@ def make_collective_dia_cg(
     max_iter: int,
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
+    method: str = "cg1",
 ):
     """Collective whole-solve CG for a banded explicit matrix: the entire
     multi-chip solve is ONE Pallas call per shard, with the band-strip halo
     as in-kernel ICI RDMA and the per-iteration scalar allreduce in-kernel —
     zero XLA dispatch anywhere in the loop. The loaded-matrix analog of
-    backend='collective' for generated problems (same cg1 single-reduction
-    recurrence, allreduce machinery, and parity double-buffering; reference
-    spec HPC_sparsemv.cpp:68-87 + exchange_externals.cpp:51-131 + the two
-    MPI_Allreduces of HPCCG.cpp:367,381 fused to one).
+    backend='collective' for generated problems (same allreduce machinery
+    and parity double-buffering; reference spec HPC_sparsemv.cpp:68-87 +
+    exchange_externals.cpp:51-131). method="cg1" fuses the two
+    MPI_Allreduces of HPCCG.cpp:367,381 into one single-reduction round;
+    method="cg" runs the reference recurrence with both in-kernel
+    allreduces.
 
     Constraints (ValueError otherwise, with the fallback named):
     - f32 data (Mosaic has no f64; use make_distributed_dia_cg's dd tier);
@@ -1296,7 +1287,7 @@ def make_collective_dia_cg(
         b2 = jax.device_put(jnp.asarray(b).reshape(ndev * R, LANE), sh)
         x02 = jax.device_put(jnp.asarray(x0).reshape(ndev * R, LANE), sh)
 
-        jit_key = (offs, R)
+        jit_key = (offs, R, method)
         cached = _jit_cache.get(jit_key)
         if cached is not None:
             return cached(data4, b2, x02)
@@ -1319,6 +1310,7 @@ def make_collective_dia_cg(
                 axis=axis,
                 max_iter=max_iter,
                 tolerance=tolerance,
+                method=method,
             )
             return CGResult(
                 x=x2.reshape(-1),

@@ -50,6 +50,43 @@ def test_collective_dia_matches_cg1(ndev):
     assert float(jnp.max(jnp.abs(rc.x - xexact))) < 1e-3
 
 
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_collective_dia_cg_matches_reference_recurrence(ndev):
+    """method='cg' through the collective DIA kernel: two in-kernel
+    allreduces per iteration, trace parity vs the single-device reference
+    recurrence (round-3 VERDICT #3)."""
+    n = 2048
+    A = _banded(n)
+    b, x0, xexact = _problem(A)
+    rc = make_collective_dia_cg(make_mesh(ndev), max_iter=20, method="cg")(
+        A, b, x0
+    )
+    r1 = make_cg(A, max_iter=20, tolerance=0.0, method="cg")(b, x0)
+    assert int(rc.niters) == int(r1.niters)
+    tc, t1 = np.asarray(rc.trace), np.asarray(r1.trace)
+    good = np.isfinite(t1) & (t1 > 1e-6 * t1[0])
+    np.testing.assert_allclose(tc[good], t1[good], rtol=2e-4)
+    assert float(jnp.max(jnp.abs(rc.x - xexact))) < 1e-3
+
+
+def test_collective_dia_cg_race_free(monkeypatch):
+    from hpccg_tpu.ops.pallas import collective_kernel
+
+    monkeypatch.setattr(collective_kernel, "DETECT_RACES", True)
+    n = 2048
+    A = _banded(n, span=150, ndiag_draw=8, seed=2)
+    b, x0, _ = _problem(A)
+    res = make_collective_dia_cg(make_mesh(4), max_iter=8, method="cg")(A, b, x0)
+    assert float(res.normr) < float(res.trace[0])
+
+    from jax._src.pallas.mosaic.interpret import interpret_pallas_call as _ipc
+
+    assert getattr(_ipc, "races", None) is not None, (
+        "jax race-detector internals moved; update this test"
+    )
+    assert not _ipc.races.races_found
+
+
 def test_collective_dia_diag_only_no_exchange():
     """offsets=(0,): hbl=hbh=0 — the no-RDMA degenerate band still solves
     (pure elementwise system, converges in one iteration)."""
@@ -132,7 +169,9 @@ def test_cli_file_mode_collective(tmp_path, capsys):
                    "--skip-kernel-bench", "--json", "--quiet"])
     assert rc == 0
     err = capsys.readouterr().err
-    assert "cg1 single-reduction recurrence" in err
+    # default --method cg now genuinely runs the reference recurrence
+    # in-kernel (round-4: the warn-and-substitute is gone)
+    assert "reference cg recurrence" in err
     out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     r0 = float(jnp.sqrt(jnp.vdot(b, b)))  # x0 = 0 -> initial residual = ||b||
     assert out["Final residual"] < 1e-2 * r0

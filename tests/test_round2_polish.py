@@ -19,16 +19,26 @@ from hpccg_tpu.solver import make_cg, resolve_backend
 
 
 @pytest.mark.slow
-def test_collective_with_method_cg_warns():
-    """backend='collective' + method='cg' must announce the cg1 substitution
-    (VERDICT weak #1) — and still solve."""
+def test_collective_with_method_cg_honored():
+    """backend='collective' + method='cg' runs the REFERENCE recurrence
+    in-kernel (round-4: the round-3 warn-and-substitute is gone) — no
+    warning, and the trace matches the shard_map cg solve."""
+    import numpy as np
+    import warnings
+
     cfg = ProblemConfig(4, 3, 2)
     mesh = make_mesh(2)
     prob = generate_problem_sharded(cfg, mesh)
-    with pytest.warns(UserWarning, match="cg1"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         solve = make_distributed_cg(cfg, mesh, max_iter=10, backend="collective")
     res = solve(prob.b, prob.x0)
-    assert float(res.normr) < float(res.trace[0])
+    r1 = make_distributed_cg(cfg, mesh, max_iter=10, method="cg")(
+        prob.b, prob.x0
+    )
+    tc, t1 = np.asarray(res.trace), np.asarray(r1.trace)
+    good = np.isfinite(t1) & (t1 > 1e-10 * t1[0])
+    np.testing.assert_allclose(tc[good], t1[good], rtol=1e-9)
 
 
 def test_whole_solve_backend_downgrade_warns():
