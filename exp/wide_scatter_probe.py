@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Wide-scatter SpMV tier probe (round-4 VERDICT #1).
+
+The target class: a randomly permuted 3-D stencil matrix — RCM-irreducible
+(optimal bandwidth Theta(n^(2/3))), the one class where round 3 had only the
+honest XLA take-gather fallback (~0.14 Gnnz/s). Candidates measured here on
+the real chip:
+
+1. strip-bucketed gather stack (ops/pallas/gell_stack.py) at strip widths
+   8/16/32 chunks — the productionized tier;
+2. the XLA take-gather ELL path (the round-3 fallback, the 10x bar's base);
+3. COO segment-sum (gather + scatter — expected to lose: adds a scatter);
+4. MXU block-dense: ANALYTIC bytes bound from the measured tile occupancy
+   (the dense stream pays occupied_tiles * 64 KiB vs the stack's 6 B/slot)
+   — printed, not built, because the bound alone loses by orders of
+   magnitude.
+
+Usage: python exp/wide_scatter_probe.py [nx] (default 100 -> n = 1e6)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from hpccg_tpu import ProblemConfig
+from hpccg_tpu.models.stencil import generate_ell
+from hpccg_tpu.operators import EllMatrix
+from hpccg_tpu.reorder import bandwidth, permute_ell, rcm_permutation
+from hpccg_tpu.ops.pallas.gell_stack import (
+    prepare_gell_stack,
+    spmv_gell_stack,
+    stack_cost_model,
+)
+from hpccg_tpu.utils.timing import fence, time_loop_slope
+
+
+def slope_matvec(matvec, x, iters=8, spread=16):
+    """Per-matvec seconds via chained rescaled applications."""
+
+    def make_loop(k):
+        @jax.jit
+        def loop(v):
+            return jax.lax.fori_loop(
+                0, k, lambda i, c: (matvec(c) * (1.0 / 54.0)).astype(c.dtype), v
+            )
+
+        return loop
+
+    return time_loop_slope(make_loop, x, iters=iters, spread=spread)
+
+
+def main():
+    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    cfg = ProblemConfig(nx, nx, nx, dtype=jnp.float32)
+    print(f"# building permuted {nx}^3 stencil (n = {nx**3})...", flush=True)
+    t0 = time.time()
+    prob = generate_ell(cfg)
+    n = prob.A.local_nrow
+    A0 = EllMatrix(
+        vals=np.asarray(prob.A.vals, np.float32),
+        cols=np.asarray(prob.A.cols),
+        valid=np.asarray(prob.A.valid),
+        start_row=0,
+        total_nrow=n,
+    )
+    rng = np.random.default_rng(0)
+    Ap = permute_ell(A0, rng.permutation(n))
+    bw0 = bandwidth(Ap)
+    print(f"# permuted bandwidth: {bw0}; running RCM...", flush=True)
+    perm = rcm_permutation(Ap)
+    Ar = permute_ell(Ap, perm)
+    bw1 = bandwidth(Ar)
+    nnz = int(np.asarray(Ar.valid).sum())
+    print(
+        f"# RCM bandwidth: {bw1} (~n^(2/3) = {int(n ** (2 / 3))}); "
+        f"nnz = {nnz}; prep {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    results = {}
+
+    # oracle for correctness
+    rows_c, cols_c, vals_c = Ar.to_coo()
+    y_ref = np.zeros(n)
+    np.add.at(y_ref, rows_c, vals_c * np.asarray(x)[cols_c.astype(np.int64)])
+
+    # --- candidate 1: strip-bucketed gather stack ---
+    for sc in (8, 16, 32):
+        ok, model_rate, wtot = stack_cost_model(Ar, strip_chunks=sc)
+        if not ok:
+            print(f"stack[{sc}]: unsupported (wtot={wtot})", flush=True)
+            continue
+        t0 = time.time()
+        S = prepare_gell_stack(Ar, strip_chunks=sc)
+        prep_s = time.time() - t0
+        y = np.asarray(spmv_gell_stack(S, x))
+        err = np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref))
+        assert err < 1e-4, err
+        t = slope_matvec(lambda v, S=S: spmv_gell_stack(S, v), x, iters=8, spread=32)
+        rate = nnz / t / 1e9
+        results[f"stack[{sc}]"] = rate
+        print(
+            f"stack[{sc}ch]: {len(S.strips)} strips, wtot {S.wtot} "
+            f"(inflation {S.wtot * n / nnz:.1f}x), prep {prep_s:.1f}s, "
+            f"matvec {t * 1e3:.2f} ms = {rate:.2f} Gnnz/s "
+            f"(model {model_rate:.2f}), rel err {err:.1e}",
+            flush=True,
+        )
+
+    # --- candidate 2: XLA take-gather ELL (the round-3 fallback) ---
+    Ad = EllMatrix(
+        vals=jnp.asarray(Ar.vals), cols=jnp.asarray(Ar.cols),
+        valid=jnp.asarray(Ar.valid), start_row=0, total_nrow=n,
+    )
+    t = slope_matvec(lambda v: Ad.matvec(v), x, iters=1, spread=8)
+    results["ell-take"] = nnz / t / 1e9
+    print(
+        f"ell-take:  matvec {t * 1e3:.2f} ms = {results['ell-take']:.3f} Gnnz/s",
+        flush=True,
+    )
+
+    # --- candidate 3: COO segment-sum (gather + scatter) ---
+    rows_j = jnp.asarray(rows_c.astype(np.int32))
+    cols_j = jnp.asarray(cols_c.astype(np.int32))
+    vals_j = jnp.asarray(vals_c, jnp.float32)
+
+    def coo_matvec(v):
+        return jax.ops.segment_sum(
+            vals_j * v[cols_j], rows_j, num_segments=n
+        )
+
+    t = slope_matvec(coo_matvec, x, iters=1, spread=8)
+    results["coo-segsum"] = nnz / t / 1e9
+    print(
+        f"coo-segsum: matvec {t * 1e3:.2f} ms = {results['coo-segsum']:.3f} Gnnz/s",
+        flush=True,
+    )
+
+    # --- candidate 4: MXU block-dense, analytic bytes bound ---
+    TS = 128
+    tr = rows_c // TS
+    tc = cols_c // TS
+    occupied = len(np.unique(tr.astype(np.int64) * ((n // TS) + 1) + tc))
+    tile_bytes = occupied * TS * TS * 4
+    t_bound = tile_bytes / 716e9  # measured read-dominated HBM rate
+    print(
+        f"block-dense bound: {occupied} occupied 128x128 tiles "
+        f"({nnz / (occupied * TS * TS) * 100:.2f}% occupancy), "
+        f"{tile_bytes / 1e9:.1f} GB/matvec -> >= {t_bound * 1e3:.1f} ms "
+        f"= <= {nnz / t_bound / 1e9:.3f} Gnnz/s AT BEST (loses)",
+        flush=True,
+    )
+
+    best = max(results, key=results.get)
+    base = results.get("ell-take", 0.14)
+    print(
+        f"\nWINNER: {best} at {results[best]:.2f} Gnnz/s = "
+        f"{results[best] / base:.0f}x the take-gather fallback",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

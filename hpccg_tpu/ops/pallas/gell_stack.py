@@ -1,0 +1,366 @@
+"""Strip-bucketed gather-ELL SpMV — the WIDE-scatter tier.
+
+Closes the last capability class where the reference's any-CSR-at-memory-
+speed SpMV (HPC_sparsemv.cpp:68-87) had no fast TPU counterpart: matrices
+whose band stays too wide for the windowed gather kernel even after RCM
+(k_chunks > 32 — e.g. a randomly permuted 3-D stencil, whose optimal
+bandwidth is Theta(n^(2/3))). The round-3 fallback was the honest-but-slow
+XLA take gather (~0.14 Gnnz/s); this kernel restores the vreg-local lane
+gather (~279 G elems/s probed) by BUCKETING nonzeros by diagonal strip:
+
+- the offset range [-bw_lo, bw_hi] is cut into strips of ``strip_chunks``
+  128-lane chunks, aligned to the chunk grid;
+- each row's entries are re-sorted into per-strip ELL slots (the slot
+  inflation is the max-per-row count within each strip, summed over
+  strips — for scattered 27-nnz rows over S strips, roughly
+  S * max Binomial(27, 1/S), a small constant factor);
+- ONE pallas call per matvec: for each 1024-row tile the kernel loads each
+  strip's (8 + strip_chunks)-chunk x window with a strip-STATIC offset
+  (``pl.ds(t*SUB + woff_s, k_s)``) and runs gell_kernel's chunk-scan lane
+  gather over that strip's slots, with per-slot static [lo, hi] bounds.
+
+Cost shape: 6 B/slot streamed (f32 val + i16 window-local index) + ~4 VPU
+ops per (slot, scanned chunk); the whole padded x stays VMEM-resident
+(same reach limit as gell_kernel: ~24M f32 rows). Unlike the plain
+windowed kernel there is NO bandwidth cap — strips tile any band that
+fits x in VMEM.
+
+The alternatives measured before shipping this design (exp/
+wide_scatter_probe.py + PERF.md round 4): MXU block-dense tiles lose by
+memory traffic (a permuted stencil's 128x128 tiles are ~0.1% occupied, so
+the dense stream pays ~1000x the bytes), and sort+segment-sum COO loses to
+the scatter on the output side. Reference spec: HPC_sparsemv.cpp:68-87.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpccg_tpu.ops.pallas.ddmath import i0 as _i0
+from hpccg_tpu.ops.pallas.gell_kernel import (
+    LANE,
+    RT,
+    SUB,
+    _cdiv,
+    _lane_take,
+    _normalize_sorted,
+)
+
+STACK_VMEM_LIMIT = 100 << 20
+
+
+def gell_stack_supported(n: int, max_end_chunk: int, wtot: int, dd: bool = False) -> bool:
+    """True when the padded x (VMEM-resident, like gell_kernel) plus the
+    double-buffered slot blocks fit the kernel budget."""
+    if wtot <= 0:
+        return False
+    xp_bytes = (8 if dd else 4) * max_end_chunk * LANE
+    blocks = (6 if dd else 4) * wtot * SUB * LANE  # (vals f32 + li i16) x2
+    return xp_bytes + blocks + (4 << 20) <= STACK_VMEM_LIMIT
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals3", "li3"],
+    meta_fields=["n", "wtot", "strips", "pbl", "xp_chunks", "total_nrow", "nnz_count"],
+)
+@dataclasses.dataclass(frozen=True)
+class GellStackMatrix:
+    """Prepared strip-bucketed gather-ELL operator (f32).
+
+    vals3/li3: (T, wtot, 8, 128) — all strips' ELL slots concatenated along
+    the width axis; slot columns [w0_s, w0_s + width_s) belong to strip s
+    and carry window-local indices relative to that strip's per-tile window
+    start (chunk ``t*8 + woff_s`` of the padded x). Invalid slots carry
+    val=0 with an in-window parked index.
+
+    strips: static tuple of (w0, width, woff, k_chunks, bounds) where
+    bounds is the per-slot ((lo, hi), ...) chunk-scan range.
+    """
+
+    vals3: jax.Array  # f32
+    li3: jax.Array  # i16
+    n: int
+    wtot: int
+    strips: tuple
+    pbl: int  # x zero-padding (elements) before row 0
+    xp_chunks: int  # total padded-x chunks the windows may touch
+    total_nrow: int
+    nnz_count: int
+
+    @property
+    def local_nrow(self) -> int:
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.vals3.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_count
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return spmv_gell_stack(self, x)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.matvec(x)
+
+    def to_coo(self):
+        """(rows, cols, vals) of stored nonzeros, row-major (zero-valued
+        slots — padding — are dropped, like DIA/gell)."""
+        import numpy as np
+
+        T = self.vals3.shape[0]
+        vals = np.asarray(self.vals3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
+        li = np.asarray(self.li3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
+        rows2 = np.arange(T * RT)[:, None]
+        tile_base = (rows2 // RT) * RT
+        # undo the per-strip window-local encoding: col = li + t*RT + f_s
+        f_by_slot = np.zeros(self.wtot, np.int64)
+        for w0, width_s, woff, _k, _b in self.strips:
+            f_by_slot[w0 : w0 + width_s] = woff * LANE - self.pbl
+        cols = li.astype(np.int64) + tile_base + f_by_slot[None, :]
+        keep = (vals != 0) & (rows2 < self.n)
+        rr = np.broadcast_to(rows2, vals.shape)[keep]
+        order = np.argsort(rr, kind="stable")
+        return rr[order], cols[keep][order], vals[keep][order]
+
+
+def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
+    """Host-side preprocessing of an EllMatrix into strip-bucketed form.
+
+    Raises ValueError when the matrix cannot ride this tier (f64 data, or
+    the VMEM-resident x / slot blocks exceed the kernel budget)."""
+    import numpy as np
+
+    if ell.start_row != 0:
+        raise ValueError("prepare_gell_stack needs the assembled matrix")
+    n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
+    if dd:
+        raise ValueError(
+            "gell_stack is f32-only (the f64 wide-scatter tier is the XLA "
+            "ELL path; dd variant not implemented)"
+        )
+    W_el = strip_chunks * LANE
+    pbl = _cdiv(bw_lo, LANE) * LANE
+    offs = np.where(valid, cols - np.arange(n)[:, None], 0)
+    # strip id on the chunk-aligned grid: s = (off + pbl) // W_el, so strip
+    # s's window starts at element f_s = s*W_el - pbl (chunk-aligned)
+    sid = ((offs + pbl) // W_el).astype(np.int64)
+    S = int(sid[valid].max()) + 1 if valid.any() else 1
+
+    T = _cdiv(n, RT)
+    npad = T * RT
+    k_s = SUB + strip_chunks  # fixed per-strip window: 8 tile chunks + strip
+    assert k_s * LANE <= 32767  # li fits int16
+
+    tile_base = (np.arange(n) // RT) * RT
+
+    strip_arrays = []
+    strips_meta = []
+    w0 = 0
+    wtot = 0
+    for s in range(S):
+        sel = valid & (sid == s)
+        counts = sel.sum(axis=1)
+        width_s = int(counts.max()) if counts.size else 0
+        if width_s == 0:
+            continue
+        f_s = s * W_el - pbl
+        woff = (pbl + f_s) // LANE  # = s * strip_chunks
+        # scatter this strip's entries into (n, width_s) ELL slots, keeping
+        # the global column sort order (a subsequence of sorted is sorted)
+        order = np.argsort(~sel, axis=1, kind="stable")  # strip slots first
+        sv = np.take_along_axis(np.where(sel, vals, 0.0), order, axis=1)[:, :width_s]
+        sc = np.take_along_axis(np.where(sel, cols, 0), order, axis=1)[:, :width_s]
+        sm = np.take_along_axis(sel, order, axis=1)[:, :width_s]
+        li_valid = sc - tile_base[:, None] - f_s
+        # per-slot static chunk bounds over valid entries + parking index
+        bounds = []
+        for w in range(width_s):
+            m = sm[:, w]
+            if m.any():
+                ci = li_valid[m, w] >> 7
+                bounds.append((int(ci.min()), int(ci.max())))
+            else:
+                bounds.append((0, 0))
+        fallback = np.asarray([lo * LANE for lo, _ in bounds])[None, :]
+        li = np.where(sm, li_valid, fallback)
+        assert li.min() >= 0 and li.max() < k_s * LANE, (s, li.min(), li.max())
+        strip_arrays.append((np.where(sm, sv, 0.0), li))
+        strips_meta.append((w0, width_s, int(woff), k_s, tuple(bounds)))
+        w0 += width_s
+        wtot += width_s
+
+    if not strips_meta:
+        # all-zero matrix: one empty strip keeps the shapes legal
+        strip_arrays.append((np.zeros((n, 1)), np.zeros((n, 1), np.int64)))
+        strips_meta.append((0, 1, 0, k_s, ((0, 0),)))
+        wtot = 1
+
+    # the furthest chunk any tile's window touches
+    xp_chunks = max(
+        (T - 1) * SUB + woff + k for (_w0, _ws, woff, k, _b) in strips_meta
+    )
+    if not gell_stack_supported(n, xp_chunks, wtot):
+        raise ValueError(
+            f"{n} rows x {wtot} stacked slots: the VMEM-resident x window / "
+            "slot blocks exceed the kernel budget (gell_stack_supported)"
+        )
+
+    vp = np.zeros((npad, wtot), np.float32)
+    lp = np.zeros((npad, wtot), np.int64)
+    col = 0
+    for (sv, li), (w0_, width_s, _woff, _k, bounds) in zip(strip_arrays, strips_meta):
+        vp[:n, col : col + sv.shape[1]] = sv
+        lp[:n, col : col + li.shape[1]] = li
+        # tile-pad rows park at each slot's lo chunk
+        lp[n:, col : col + li.shape[1]] = np.asarray(
+            [lo * LANE for lo, _ in bounds]
+        )[None, :]
+        col += sv.shape[1]
+
+    def _tile3(a):
+        return np.ascontiguousarray(
+            a.reshape(T, SUB, LANE, wtot).transpose(0, 3, 1, 2)
+        )
+
+    return GellStackMatrix(
+        vals3=jnp.asarray(_tile3(vp)),
+        li3=jnp.asarray(_tile3(lp).astype(np.int16)),
+        n=n,
+        wtot=wtot,
+        strips=tuple(strips_meta),
+        pbl=pbl,
+        xp_chunks=int(xp_chunks),
+        total_nrow=ell.total_nrow or n,
+        nnz_count=int(ell.nnz),
+    )
+
+
+def _kernel_stack(xp_ref, vals_ref, li_ref, y_ref, *, strips: tuple):
+    t = pl.program_id(0)
+    acc = jnp.zeros((SUB, LANE), xp_ref.dtype)
+    for w0, width_s, woff, k_s, bounds in strips:
+        # this strip's x window: k_s chunks starting at its static offset
+        xw = xp_ref[pl.ds(t * SUB + woff, k_s)]  # (k_s, 128)
+        for j in range(width_s):
+            w = w0 + j
+            li = li_ref[0, w].astype(jnp.int32)
+            ll = jnp.bitwise_and(li, LANE - 1)
+            ci = jnp.right_shift(li, 7)
+            g = jnp.zeros((SUB, LANE), xp_ref.dtype)
+            lo, hi = bounds[j]
+            for k in range(lo, hi + 1):
+                chunk = jnp.broadcast_to(xw[k : k + 1], (SUB, LANE))
+                g = jnp.where(ci == k, _lane_take(chunk, ll), g)
+            acc = acc + vals_ref[0, w] * g
+    y_ref[0] = acc
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _spmv_stack(vals3, li3, xp2, strips: tuple, interpret: bool):
+    T = vals3.shape[0]
+    wtot = vals3.shape[1]
+    z = _i0()  # i32-pinned index-map literals (the Mosaic-under-x64 hazard)
+    return pl.pallas_call(
+        partial(_kernel_stack, strips=strips),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(xp2.shape, lambda t: (z, z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wtot, SUB, LANE), lambda t: (t, z, z, z)),
+            pl.BlockSpec((1, wtot, SUB, LANE), lambda t: (t, z, z, z)),
+        ],
+        out_specs=pl.BlockSpec((1, SUB, LANE), lambda t: (t, z, z)),
+        out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), vals3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=STACK_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xp2, vals3, li3)
+
+
+def spmv_gell_stack(
+    A: GellStackMatrix, x: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """y = A @ x in ONE pallas call: per tile, each strip's window is loaded
+    at its static offset and its slots chunk-scanned (gell_kernel's lane
+    gather)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xp = jnp.zeros((A.xp_chunks * LANE,), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (A.pbl,))
+    y = _spmv_stack(A.vals3, A.li3, xp.reshape(-1, LANE), A.strips, interpret)
+    return y.reshape(-1)[: A.n]
+
+
+def stack_to_ell(A: GellStackMatrix):
+    """Reconstruct the padded-ELL form (lossless: stacks never store zero
+    entries — auto_structure excludes them)."""
+    import numpy as np
+
+    from hpccg_tpu.operators import EllMatrix
+
+    rows, cols, vals = A.to_coo()
+    n = A.n
+    counts = np.bincount(rows, minlength=n) if len(rows) else np.zeros(n, np.int64)
+    width = max(int(counts.max()) if counts.size else 0, 1)
+    ev = np.zeros((n, width))
+    ec = np.zeros((n, width), np.int32)
+    evalid = np.zeros((n, width), bool)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(rows)) - offs[rows]
+    ev[rows, slot] = vals
+    ec[rows, slot] = cols
+    evalid[rows, slot] = True
+    return EllMatrix(
+        vals=jnp.asarray(ev, jnp.float32),
+        cols=jnp.asarray(ec),
+        valid=jnp.asarray(evalid),
+        start_row=0,
+        total_nrow=A.total_nrow or n,
+    )
+
+
+def stack_cost_model(ell, *, strip_chunks: int = 16):
+    """(ok, gnnz_rate, wtot) — the chooser's model WITHOUT building the
+    operator: per-slot cost ~ 0.027 + 0.0014 * k ns (gell_kernel's measured
+    fit, k = the strip window's chunk count) divided by the slot inflation
+    wtot * n / nnz. One vectorized pass over the entries."""
+    import numpy as np
+
+    n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
+    if dd:
+        return False, 0.0, 0
+    W_el = strip_chunks * LANE
+    pbl = _cdiv(bw_lo, LANE) * LANE
+    offs = np.where(valid, cols - np.arange(n)[:, None], 0)
+    sid = np.where(valid, (offs + pbl) // W_el, -1)
+    S = int(sid.max()) + 1 if valid.any() else 0
+    if S <= 0:
+        return False, 0.0, 0
+    # per-strip width = max per-row count, one strip at a time (an (n, S)
+    # dense count array would cost n*S*8 B of host scratch at 1M-row scale)
+    wtot = 0
+    for s in range(S):
+        c = (sid == s).sum(axis=1)
+        wtot += int(c.max()) if c.size else 0
+    nnz = int(valid.sum())
+    if nnz == 0:
+        return False, 0.0, 0
+    k_s = SUB + strip_chunks
+    T = _cdiv(n, RT)
+    xp_chunks = (T - 1) * SUB + S * strip_chunks + k_s
+    if not gell_stack_supported(n, xp_chunks, wtot):
+        return False, 0.0, wtot
+    inflation = (wtot * n) / nnz
+    rate = (1.0 / (0.027 + 0.0014 * k_s)) / max(inflation, 1.0)
+    return True, rate, wtot

@@ -20,10 +20,12 @@ def spmv(A, x: jax.Array, *, backend: str = "auto") -> jax.Array:
     if backend in ("auto", "stencil", "ell", "dia"):
         from hpccg_tpu.ops.pallas.dia_kernel import PreparedDia, PreparedDiaDD
         from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
+        from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
 
         if isinstance(
             A,
-            (StencilOperator, EllMatrix, DiaMatrix, PreparedDia, PreparedDiaDD, GellMatrix),
+            (StencilOperator, EllMatrix, DiaMatrix, PreparedDia, PreparedDiaDD,
+             GellMatrix, GellStackMatrix),
         ):
             return A.matvec(x)
         raise TypeError(f"unknown operator type {type(A)}")

@@ -16,12 +16,14 @@ never inside the iteration.
 
 ``rcm_permutation`` computes the reverse Cuthill-McKee ordering (scipy's
 csgraph implementation, with a self-contained NumPy BFS fallback), and
-``auto_structure`` is the policy: direct DIA if already banded, RCM + DIA if
-reordering exposes a band, otherwise keep ELL (with the documented gather
-penalty). A matrix whose nonzeros stay scattered across O(nnz) distinct
-diagonals after RCM — e.g. a randomly permuted 3-D stencil, whose optimal
-bandwidth is Theta(n^(2/3)) — has no gather-free representation on this
-hardware; auto_structure reports that honestly instead of inflating storage.
+``auto_structure`` is the policy: direct DIA if already banded; RCM + DIA if
+reordering exposes a band; the windowed gather-ELL kernel for scattered
+narrow bands; the strip-bucketed gather STACK (round 4,
+ops/pallas/gell_stack.py) for wide scatter — e.g. a randomly permuted 3-D
+stencil, whose optimal bandwidth is Theta(n^(2/3)) and which round 3 could
+only run through the XLA take gather (~0.14 Gnnz/s; the stack measured
+~20-40x that, see PERF.md round 4). Plain ELL remains the fallback for f64
+wide scatter and matrices storing explicit zeros.
 """
 
 from __future__ import annotations
@@ -277,6 +279,40 @@ def auto_structure(
                     (None, None, k),
                 )
             )
+        # wide-scatter tier (round-4): strip-bucketed gather stack — the
+        # band is cut into chunk-aligned strips, each riding gell's lane
+        # gather at a strip-static window offset, so there is NO bandwidth
+        # cap (the class where the plain window overflows 32 chunks, e.g.
+        # a randomly permuted stencil after RCM). f32 only; the model
+        # sweeps the strip width and books the best.
+        if (
+            allow_gell
+            and not f64
+            and np.asarray(mat.vals).dtype.itemsize == 4
+            and no_stored_zeros
+        ):
+            from hpccg_tpu.ops.pallas.gell_stack import (
+                prepare_gell_stack,
+                stack_cost_model,
+            )
+
+            best = None
+            for sc in (8, 16, 32):
+                s_ok, s_rate, _wtot = stack_cost_model(mat, strip_chunks=sc)
+                if s_ok and (best is None or s_rate > best[1]):
+                    best = (sc, s_rate)
+            if best is not None:
+                sc, s_rate = best
+                out.append(
+                    (
+                        s_rate,
+                        "gstack" + tag,
+                        lambda mat=mat, sc=sc: prepare_gell_stack(
+                            mat, strip_chunks=sc
+                        ),
+                        (None, None, 8 + sc),  # per-strip window chunks
+                    )
+                )
         return out, bw, no_stored_zeros
 
     cands0, bw0, zeros_ok0 = candidates(A, "")
@@ -305,11 +341,12 @@ def auto_structure(
         rate, kind, build, (ndiag, inflation, k), cperm = max(
             cands, key=lambda c: c[0]
         )
-        detail = (
-            f"{ndiag} diagonals at {inflation:.1f}x slot inflation"
-            if kind.startswith("dia")
-            else f"{k}-chunk gather window"
-        )
+        if kind.startswith("dia"):
+            detail = f"{ndiag} diagonals at {inflation:.1f}x slot inflation"
+        elif kind.startswith("gstack"):
+            detail = f"strip-bucketed gather, {k}-chunk strip windows"
+        else:
+            detail = f"{k}-chunk gather window"
         if kind.endswith("+rcm"):
             detail = f"RCM reduced bandwidth {bw0} -> {bw1}; " + detail
         return build(), cperm, StructureReport(
