@@ -60,15 +60,27 @@ def main():
     cfg = ProblemConfig(nx, nx, nx, dtype=jnp.float32)
     print(f"# building permuted {nx}^3 stencil (n = {nx**3})...", flush=True)
     t0 = time.time()
-    prob = generate_ell(cfg)
-    n = prob.A.local_nrow
-    A0 = EllMatrix(
-        vals=np.asarray(prob.A.vals, np.float32),
-        cols=np.asarray(prob.A.cols),
-        valid=np.asarray(prob.A.valid),
-        start_row=0,
-        total_nrow=n,
-    )
+    n = nx**3
+    # HOST-side assembly (csrc generate_ell): pulling a device-generated
+    # matrix back through the axon tunnel costs ~2.5 s/MB of readback
+    from hpccg_tpu import native
+
+    host = native.generate_ell_host(nx, nx, nx)
+    if host is not None:
+        vals_h, cols_h, valid_h, _b, _nnz = host
+        A0 = EllMatrix(
+            vals=vals_h.astype(np.float32), cols=cols_h, valid=valid_h,
+            start_row=0, total_nrow=n,
+        )
+    else:
+        prob = generate_ell(cfg)
+        A0 = EllMatrix(
+            vals=np.asarray(prob.A.vals, np.float32),
+            cols=np.asarray(prob.A.cols),
+            valid=np.asarray(prob.A.valid),
+            start_row=0,
+            total_nrow=n,
+        )
     rng = np.random.default_rng(0)
     Ap = permute_ell(A0, rng.permutation(n))
     bw0 = bandwidth(Ap)

@@ -91,13 +91,23 @@ def cg_solve(
 
     trace0 = jnp.full((max(max_iter, 1),), jnp.nan, dtype).at[0].set(normr0)
 
+    # The reference computes rtrans = r.r at the loop TOP (HPCCG.cpp:367);
+    # here the same dot is evaluated fused with the r-update at the previous
+    # iteration's END and CARRIED (rr_next below) — identical input array,
+    # identical reduction, identical value, but inside the while_loop body
+    # XLA fuses the reduce into the r-update's elementwise fusion, saving a
+    # full re-read of r per iteration at HBM-resident sizes (a loop-top dot
+    # on a carried array cannot fuse across the loop boundary). At k==1 the
+    # carried value IS the init r.r — the reference's bit-identical
+    # recompute, by construction.
+
     def cond(carry):
         k, x, r, p, Ap, rtrans, normr, trace = carry
         return jnp.logical_and(k < max_iter, normr > tol)
 
     def body(carry):
-        k, x, r, p, Ap_dead, rtrans_old, _, trace = carry
-        rtrans = dot(r, r)  # at k==1 this bit-identically recomputes r.r
+        k, x, r, p, Ap_dead, rr_pair, _, trace = carry
+        rtrans, rtrans_old = rr_pair
         beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rtrans_old)
         p = r + beta * p
         normr = jnp.sqrt(rtrans)
@@ -113,12 +123,18 @@ def cg_solve(
             alpha = rtrans / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        return (k + 1, x, r, p, Ap, rtrans, normr, trace)
+        rr_next = dot(r, r)  # fuses with the r-update (see note above)
+        return (k + 1, x, r, p, Ap, (rr_next, rtrans), normr, trace)
 
     k0 = jnp.asarray(1, jnp.int32)
-    carry = (k0, x0, r, p, Ap, rtrans, normr0, trace0)
-    k, x, r, p, Ap, rtrans, normr, trace = jax.lax.while_loop(cond, body, carry)
-    return CGResult(x=x, niters=k - 1, normr=normr, rtrans=rtrans, trace=trace)
+    carry = (k0, x0, r, p, Ap, (rtrans, rtrans), normr0, trace0)
+    k, x, r, p, Ap, rr_pair, normr, trace = jax.lax.while_loop(cond, body, carry)
+    # exit semantics: the reference leaves the loop with normr/rtrans as of
+    # its last top-of-loop evaluation; rr_pair[1] is that value (rr_pair[0]
+    # is one update newer — never consumed by a loop top)
+    return CGResult(
+        x=x, niters=k - 1, normr=normr, rtrans=rr_pair[1], trace=trace
+    )
 
 
 def cg_solve_single_reduction(

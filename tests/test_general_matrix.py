@@ -217,10 +217,12 @@ class TestReorder:
         # permuted stencil is now SERVED (gell) rather than ELL-fallback
         assert report.format in ("gell", "gell+rcm", "dia+rcm"), report
 
-    def test_auto_structure_wide_scatter_stays_ell(self):
+    def test_auto_structure_wide_scatter_rides_stack(self):
         """Genuinely wide scatter — random columns across the whole range,
-        too wide for any window after RCM — must fall back to ELL with an
-        honest reason, not inflate storage."""
+        too wide for the plain gather window even after RCM. Round 3 fell
+        back to ELL here; round 4's strip-bucketed gather stack covers the
+        class (f32), and the chooser must pick it with a correct operator."""
+        from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
         from hpccg_tpu.reorder import auto_structure
 
         rng = np.random.default_rng(9)
@@ -237,8 +239,47 @@ class TestReorder:
             valid=jnp.asarray(valid), total_nrow=n,
         )
         A, perm_out, report = auto_structure(ell, max_inflation=8.0)
+        assert report.format.startswith("gstack"), report
+        assert isinstance(A, GellStackMatrix)
+        # parity through the chosen operator (in whichever basis it chose)
+        x = np.asarray(rng.standard_normal(n), np.float32)
+        src = ell if perm_out is None else None
+        if src is None:
+            from hpccg_tpu.reorder import permute_ell
+
+            src = permute_ell(
+                EllMatrix(vals=vals, cols=cols, valid=valid, total_nrow=n),
+                perm_out,
+            )
+        rows_c, cols_c, vals_c = src.to_coo()
+        y_ref = np.zeros(n)
+        np.add.at(
+            y_ref, np.asarray(rows_c),
+            np.asarray(vals_c) * x[np.asarray(cols_c, np.int64)],
+        )
+        y = np.asarray(A.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)) < 1e-5
+
+    def test_auto_structure_f64_wide_scatter_stays_ell(self):
+        """The stack tier is f32-only: f64 wide scatter still falls back to
+        ELL with the honest reason."""
+        from hpccg_tpu.reorder import auto_structure
+
+        rng = np.random.default_rng(10)
+        n, width = 6000, 4
+        cols = np.zeros((n, width), np.int32)
+        vals = np.zeros((n, width))
+        valid = np.ones((n, width), bool)
+        for i in range(n):
+            js = rng.choice(n, size=width - 1, replace=False)
+            cols[i] = np.r_[i, js]
+            vals[i] = np.r_[10.0, rng.uniform(-0.1, 0.1, width - 1)]
+        ell = EllMatrix(
+            vals=jnp.asarray(vals, jnp.float64), cols=jnp.asarray(cols),
+            valid=jnp.asarray(valid), total_nrow=n,
+        )
+        A, perm_out, report = auto_structure(ell, max_inflation=8.0)
         assert report.format == "ell", report
-        assert A is ell and perm_out is None
         assert "no gather-free structure" in report.reason
 
 
