@@ -40,6 +40,20 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=64, help="slope-timing base iterations")
     ap.add_argument("--platform", default=None, help="cpu to force virtual devices")
     ap.add_argument(
+        "--pod-model",
+        action="store_true",
+        help="after the measured points, emit analytic pod predictions "
+        "(utils/podmodel.py): per-iteration time and weak-scaling "
+        "efficiency at 4..256 chips derived from the first measured "
+        "point's per-shard compute time + stated v5e ICI/DCN figures — "
+        "the falsifiable claim a real pod run validates",
+    )
+    ap.add_argument(
+        "--ici-domain", type=int, default=256,
+        help="pod model: chips per ICI domain (a v5e pod = 256); domain "
+        "boundaries ride DCN",
+    )
+    ap.add_argument(
         "--init-distributed",
         action="store_true",
         help="call jax.distributed.initialize() first (multi-host pods)",
@@ -196,7 +210,47 @@ def main(argv=None) -> int:
                 "efficiency_vs_first": [round(e, 3) for e in eff],
             }
         )
+    if args.pod_model and results:
+        from hpccg_tpu.utils.podmodel import PodModelParams, predict_weak_scaling
+
+        # basis: the smallest measured mesh (ideally 1 — pure per-shard
+        # compute, no communication in the measured number)
+        base = min(results, key=lambda r: r["mesh"])
+        t_compute = base["cg_iter_us"] * 1e-6
+        nx_, ny_ = base["local_dims"][0], base["local_dims"][1]
+        params = PodModelParams(ici_domain=args.ici_domain)
+        preds = predict_weak_scaling(
+            t_compute,
+            nx=nx_,
+            ny=ny_,
+            itemsize=dtype.itemsize,
+            params=params,
+        )
+        emit(
+            {
+                "pod_model": {
+                    "basis": {
+                        "measured_point": base,
+                        "platform": jax.default_backend(),
+                        "params": dataclasses_asdict(params),
+                    },
+                    "note": (
+                        "analytic prediction from the measured per-shard "
+                        "iteration + stated public v5e ICI/DCN figures "
+                        "(utils/podmodel.py); NOT a measurement — the first "
+                        "real pod run validates/calibrates it"
+                    ),
+                    "predictions": preds,
+                }
+            }
+        )
     return 0
+
+
+def dataclasses_asdict(obj):
+    import dataclasses as _dc
+
+    return _dc.asdict(obj)
 
 
 if __name__ == "__main__":

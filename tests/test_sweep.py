@@ -88,3 +88,64 @@ def test_halo_overlap_matches_nonoverlap():
                 return np.asarray(f(x))
 
             np.testing.assert_allclose(run(True), run(False), rtol=1e-14)
+
+
+@pytest.mark.quick
+def test_pod_model_predictions():
+    """The analytic pod model (round-4): monotone degradation with mesh
+    size, method ordering pipecg >= cg1 >= cg at fixed mesh, and exact
+    single-device identity."""
+    from hpccg_tpu.utils.podmodel import (
+        PodModelParams,
+        predict_iteration,
+        predict_weak_scaling,
+    )
+
+    t = 10e-6  # measured-style 10 us/iter shard
+    one = predict_iteration(t, nx=64, ny=64, itemsize=4, ndev=1)
+    assert one["weak_efficiency"] == 1.0
+
+    rows = predict_weak_scaling(t, nx=64, ny=64, itemsize=4,
+                                meshes=(4, 16, 256))
+    by = {(r["ndev"], r["method"]): r for r in rows}
+    for nd in (4, 16, 256):
+        assert (
+            by[(nd, "pipecg")]["weak_efficiency"]
+            >= by[(nd, "cg1")]["weak_efficiency"]
+            >= by[(nd, "cg")]["weak_efficiency"]
+        )
+    # cg efficiency strictly degrades with mesh size (latency-bound)
+    assert (
+        by[(4, "cg")]["weak_efficiency"]
+        > by[(16, "cg")]["weak_efficiency"]
+        > by[(256, "cg")]["weak_efficiency"]
+    )
+    # a 256-chip v5e pod stays one ICI domain (no DCN rounds)
+    assert by[(256, "cg")]["pods"] == 1
+    # beyond one pod, DCN latency bites
+    big = predict_iteration(t, nx=64, ny=64, itemsize=4, ndev=512)
+    assert big["pods"] == 2
+    assert big["t_iter_us"] > by[(256, "cg")]["t_iter_us"]
+
+
+@pytest.mark.quick
+def test_sweep_pod_model_emits(capsys):
+    """--pod-model appends the prediction block after the measured points."""
+    import json as _json
+
+    from hpccg_tpu.sweep import main as sweep_main
+
+    rc = sweep_main(
+        ["weak", "--per-chip", "8", "--meshes", "1", "--iters", "2",
+         "--pod-model"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    blocks = [
+        _json.loads(line) for line in out.splitlines() if "pod_model" in line
+    ]
+    assert len(blocks) == 1
+    pm = blocks[0]["pod_model"]
+    assert pm["basis"]["measured_point"]["mesh"] == 1
+    assert {p["method"] for p in pm["predictions"]} == {"cg", "cg1", "pipecg"}
+    assert all(0 < p["weak_efficiency"] <= 1 for p in pm["predictions"])
