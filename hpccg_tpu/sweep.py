@@ -133,7 +133,9 @@ def main(argv=None) -> int:
             axis = "z"
         k1, k2 = args.iters + 1, 8 * args.iters + 1
         backend = args.backend
-        # the collective kernel's in-kernel allreduce is the cg1 recurrence
+        # the collective kernel supports cg and cg1 in-kernel (round 4);
+        # sweeps ride the single-reduction recurrence — the latency-bound
+        # regime these kernels exist for (cf. utils/podmodel.py)
         method = "cg1" if backend == "collective" else "cg"
         backend_used = backend
         if remainder:
