@@ -40,17 +40,20 @@ from hpccg_tpu.ops.pallas.gell_stack import (
 from hpccg_tpu.utils.timing import fence, time_loop_slope
 
 
-def slope_matvec(matvec, x, iters=8, spread=16):
-    """Per-matvec seconds via chained rescaled applications."""
+def slope_matvec(matvec, A, x, iters=8, spread=16):
+    """Per-matvec seconds via chained rescaled applications. A enters the
+    jitted loop as an ARGUMENT — a closure-captured operator serializes as
+    HLO constants (GBs for a 1M-row stack) and stalls the compile (the
+    round-2 pitfall, PERF.md)."""
 
     def make_loop(k):
         @jax.jit
-        def loop(v):
+        def loop(A_, v):
             return jax.lax.fori_loop(
-                0, k, lambda i, c: (matvec(c) * (1.0 / 54.0)).astype(c.dtype), v
+                0, k, lambda i, c: (matvec(A_, c) * (1.0 / 54.0)).astype(c.dtype), v
             )
 
-        return loop
+        return lambda v: loop(A, v)
 
     return time_loop_slope(make_loop, x, iters=iters, spread=spread)
 
@@ -115,7 +118,9 @@ def main():
         y = np.asarray(spmv_gell_stack(S, x))
         err = np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref))
         assert err < 1e-4, err
-        t = slope_matvec(lambda v, S=S: spmv_gell_stack(S, v), x, iters=8, spread=32)
+        t = slope_matvec(
+            lambda S_, v: spmv_gell_stack(S_, v), S, x, iters=8, spread=32
+        )
         rate = nnz / t / 1e9
         results[f"stack[{sc}]"] = rate
         print(
@@ -131,7 +136,7 @@ def main():
         vals=jnp.asarray(Ar.vals), cols=jnp.asarray(Ar.cols),
         valid=jnp.asarray(Ar.valid), start_row=0, total_nrow=n,
     )
-    t = slope_matvec(lambda v: Ad.matvec(v), x, iters=1, spread=8)
+    t = slope_matvec(lambda A_, v: A_.matvec(v), Ad, x, iters=1, spread=8)
     results["ell-take"] = nnz / t / 1e9
     print(
         f"ell-take:  matvec {t * 1e3:.2f} ms = {results['ell-take']:.3f} Gnnz/s",
@@ -143,12 +148,11 @@ def main():
     cols_j = jnp.asarray(cols_c.astype(np.int32))
     vals_j = jnp.asarray(vals_c, jnp.float32)
 
-    def coo_matvec(v):
-        return jax.ops.segment_sum(
-            vals_j * v[cols_j], rows_j, num_segments=n
-        )
+    def coo_matvec(coo, v):
+        vj, rj, cj = coo
+        return jax.ops.segment_sum(vj * v[cj], rj, num_segments=n)
 
-    t = slope_matvec(coo_matvec, x, iters=1, spread=8)
+    t = slope_matvec(coo_matvec, (vals_j, rows_j, cols_j), x, iters=1, spread=8)
     results["coo-segsum"] = nnz / t / 1e9
     print(
         f"coo-segsum: matvec {t * 1e3:.2f} ms = {results['coo-segsum']:.3f} Gnnz/s",
