@@ -107,7 +107,7 @@ def main():
     np.add.at(y_ref, rows_c, vals_c * np.asarray(x)[cols_c.astype(np.int64)])
 
     # --- candidate 1: strip-bucketed gather stack ---
-    for sc in (8, 16, 32):
+    for sc in (16, 32, 64):
         ok, model_rate, wtot = stack_cost_model(Ar, strip_chunks=sc)
         if not ok:
             print(f"stack[{sc}]: unsupported (wtot={wtot})", flush=True)

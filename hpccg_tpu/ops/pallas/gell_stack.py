@@ -177,19 +177,20 @@ def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
     run_start = np.maximum.accumulate(np.where(is_start, idx, 0), axis=1)
     slot_in_strip = idx - run_start  # per-entry slot within its strip
 
-    # per-strip widths: max run length per strip id
+    # per-strip widths: max run length per strip id (strip-at-a-time masked
+    # max — ufunc.at over 26M entries is far slower)
     widths = np.zeros(max(S, 1), np.int64)
-    if valid.any():
-        np.maximum.at(
-            widths, sid[valid].astype(np.int64), slot_in_strip[valid] + 1
-        )
+    for s in range(S):
+        m = sid == s
+        if m.any():
+            widths[s] = int(slot_in_strip[m].max()) + 1
     keep = np.nonzero(widths)[0]
     if keep.size == 0:
         # all-zero matrix: one empty strip keeps the shapes legal
         strips_meta = [(0, 1, 0, k_s, ((0, 0),))]
         wtot = 1
-        vp = np.zeros((npad, 1), np.float32)
-        lp = np.zeros((npad, 1), np.int64)
+        vp4 = np.zeros((T, 1, SUB, LANE), np.float32)
+        lp4 = np.zeros((T, 1, SUB, LANE), np.int16)
     else:
         # base output column per (kept) strip
         base = np.full(S, -1, np.int64)
@@ -197,35 +198,41 @@ def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
         wtot = int(widths[keep].sum())
 
         # window-local indices: li = col - tile_base - f_s with
-        # f_s = s*W_el - pbl
-        li_all = np.where(
-            valid,
-            cols - tile_base[:, None] - (sid * W_el - pbl),
-            0,
-        )
-        out_col = np.where(valid, base[np.clip(sid, 0, S - 1)] + slot_in_strip, 0)
-        rows_idx = np.broadcast_to(np.arange(n)[:, None], valid.shape)
-
-        vp = np.zeros((npad, wtot), np.float32)
-        lp_val = np.zeros((npad, wtot), np.int64)
-        filled = np.zeros((npad, wtot), bool)
+        # f_s = s*W_el - pbl. Flat (nnz,)-sized COO vectors only — dense
+        # (npad, wtot) int64 temporaries cost multi-GB passes at 1M x 600
         vsel = valid
-        vp[rows_idx[vsel], out_col[vsel]] = np.where(vsel, vals, 0.0)[vsel]
-        lp_val[rows_idx[vsel], out_col[vsel]] = li_all[vsel]
-        filled[rows_idx[vsel], out_col[vsel]] = True
+        row_flat = np.nonzero(vsel)[0]
+        li_flat = cols[vsel] - tile_base[row_flat] - (sid[vsel] * W_el - pbl)
+        out_flat = (base[sid[vsel]] + slot_in_strip[vsel]).astype(np.int64)
+        assert li_flat.min() >= 0 and li_flat.max() < k_s * LANE
 
-        # per-slot static chunk bounds over valid entries (ci = li >> 7)
-        ci_all = li_all >> 7
-        lo_b = np.full(wtot, np.iinfo(np.int64).max, np.int64)
+        # per-slot static chunk bounds (ci = li >> 7) via one sort +
+        # reduceat (ufunc.at is orders of magnitude slower at 26M entries)
+        ci_flat = li_flat >> 7
+        order = np.argsort(out_flat, kind="stable")
+        oc_sorted = out_flat[order]
+        ci_sorted = ci_flat[order]
+        starts = np.searchsorted(oc_sorted, np.arange(wtot))
+        ends = np.searchsorted(oc_sorted, np.arange(wtot), side="right")
+        lo_b = np.zeros(wtot, np.int64)
         hi_b = np.zeros(wtot, np.int64)
-        np.minimum.at(lo_b, out_col[vsel], ci_all[vsel])
-        np.maximum.at(hi_b, out_col[vsel], ci_all[vsel])
-        lo_b = np.where(lo_b == np.iinfo(np.int64).max, 0, lo_b)
+        nonempty = ends > starts
+        if nonempty.any():
+            lo_b[nonempty] = np.minimum.reduceat(ci_sorted, starts[nonempty])
+            hi_b[nonempty] = np.maximum.reduceat(ci_sorted, starts[nonempty])
 
-        # park unfilled slots at their slot's lo chunk
-        park = (lo_b * LANE)[None, :]
-        lp = np.where(filled, lp_val, park)
-        assert lp.min() >= 0 and lp.max() < k_s * LANE, (lp.min(), lp.max())
+        # park value per slot column, then scatter the real entries —
+        # DIRECTLY in the (T, wtot, 8, 128) tile layout (building (npad,
+        # wtot) and transposing paid a 28 s strided ascontiguousarray at
+        # 1M x 300)
+        vp4 = np.zeros((T, wtot, SUB, LANE), np.float32)
+        lp4 = np.empty((T, wtot, SUB, LANE), np.int16)
+        lp4[:] = (lo_b * LANE).astype(np.int16)[None, :, None, None]
+        t_i = row_flat // RT
+        s_i = (row_flat % RT) // LANE
+        l_i = row_flat % LANE
+        vp4[t_i, out_flat, s_i, l_i] = vals[vsel]
+        lp4[t_i, out_flat, s_i, l_i] = li_flat.astype(np.int16)
 
         strips_meta = []
         for s in keep:
@@ -246,14 +253,9 @@ def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
             "slot blocks exceed the kernel budget (gell_stack_supported)"
         )
 
-    def _tile3(a):
-        return np.ascontiguousarray(
-            a.reshape(T, SUB, LANE, wtot).transpose(0, 3, 1, 2)
-        )
-
     return GellStackMatrix(
-        vals3=jnp.asarray(_tile3(vp)),
-        li3=jnp.asarray(_tile3(lp).astype(np.int16)),
+        vals3=jnp.asarray(vp4),
+        li3=jnp.asarray(lp4),
         n=n,
         wtot=wtot,
         strips=tuple(strips_meta),

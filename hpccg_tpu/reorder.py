@@ -297,7 +297,7 @@ def auto_structure(
             )
 
             best = None
-            for sc in (8, 16, 32):
+            for sc in (8, 16, 32, 64):
                 s_ok, s_rate, _wtot = stack_cost_model(mat, strip_chunks=sc)
                 if s_ok and (best is None or s_rate > best[1]):
                     best = (sc, s_rate)
