@@ -314,31 +314,49 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
             mesh, axis = build_mesh()
-            # the collective kernel's RDMA strips are whole 128-element
-            # rows, so its padding unit is mesh*128 (identity pad rows —
-            # trajectory unchanged, io.pad_problem_rows)
-            prob = pad_problem_rows(
-                prob, args.mesh * 128 if want_collective else args.mesh
-            )
-            A = prob.A
-            L = prob.total_nrow // args.mesh
             from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
 
             from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
 
-            if isinstance(A, GellStackMatrix):
-                # wide-scatter tier at --mesh > 1: the strip stack is a
-                # single-device kernel (whole x VMEM-resident); distribute
-                # through the general all-gather path for now
-                from hpccg_tpu.ops.pallas.gell_stack import stack_to_ell
+            # the collective kernel's RDMA strips are whole 128-element
+            # rows, so its padding unit is mesh*128; the stack tier shards
+            # whole 1024-row tiles (identity pad rows — trajectory
+            # unchanged, io.pad_problem_rows)
+            pad_unit = args.mesh * 128 if want_collective else args.mesh
+            if isinstance(prob.A, GellStackMatrix):
+                pad_unit = args.mesh * 1024
+            prob = pad_problem_rows(prob, pad_unit)
+            A = prob.A
+            L = prob.total_nrow // args.mesh
 
-                print(
-                    "# strip-stack tier is single-device; --mesh > 1 runs "
-                    "the all-gather ELL path for this matrix",
-                    file=sys.stderr,
+            if isinstance(A, GellStackMatrix):
+                # wide-scatter tier at --mesh > 1: shard the tiles, run the
+                # strip kernel per shard on an all-gathered x (round-4
+                # known limit closed; the all-gather ELL path remains the
+                # fallback when a shard's window exceeds the VMEM budget)
+                from hpccg_tpu.ops.pallas.gell_stack import (
+                    stack_shard_geometry,
+                    stack_to_ell,
                 )
-                prob = _dc.replace(prob, A=stack_to_ell(A))
-                A = prob.A
+                from hpccg_tpu.parallel.cg import make_distributed_stack_cg
+
+                try:
+                    stack_shard_geometry(A, args.mesh)
+                except ValueError as e:
+                    print(
+                        f"# stack tier cannot shard: {e}; using the "
+                        "all-gather ELL path",
+                        file=sys.stderr,
+                    )
+                    prob = _dc.replace(prob, A=stack_to_ell(A))
+                    A = prob.A
+                else:
+                    _ssolve = make_distributed_stack_cg(
+                        mesh, max_iter=args.max_iter,
+                        tolerance=args.tolerance, axis=axis,
+                    )
+                    solve = partial(_ssolve, A)
+                    backend_used = "distributed:stack-allgather"
             if isinstance(A, GellMatrix):
                 # scattered-narrow-band tier at --mesh > 1: shard the tiles
                 # and ppermute the bandwidth strips into the window padding

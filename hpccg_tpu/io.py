@@ -726,6 +726,8 @@ def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None
         arrs["gell_bounds"] = np.asarray(A.slot_bounds or [], np.int32).reshape(-1, 2)
     elif type(A).__name__ == "GellStackMatrix":
         arrs["gstack_vals3"] = np.asarray(A.vals3)
+        if A.vals3lo is not None:
+            arrs["gstack_vals3lo"] = np.asarray(A.vals3lo)
         arrs["gstack_li3"] = np.asarray(A.li3)
         arrs["gstack_meta"] = np.asarray(
             [A.n, A.wtot, A.pbl, A.xp_chunks, A.total_nrow, A.nnz_count]
@@ -780,6 +782,9 @@ def load_problem(path: str) -> Tuple[Problem, dict]:
             strips.append((int(w0), int(width_s), int(woff), int(k), bs))
         A = GellStackMatrix(
             vals3=jnp.asarray(z["gstack_vals3"]),
+            vals3lo=jnp.asarray(z["gstack_vals3lo"])
+            if "gstack_vals3lo" in z
+            else None,
             li3=jnp.asarray(z["gstack_li3"]),
             n=n_, wtot=wtot_, strips=tuple(strips), pbl=pbl_,
             xp_chunks=xpc_, total_nrow=tot_, nnz_count=nnz_,

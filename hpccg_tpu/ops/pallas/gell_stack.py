@@ -23,7 +23,9 @@ Cost shape: 6 B/slot streamed (f32 val + i16 window-local index) + ~4 VPU
 ops per (slot, scanned chunk); the whole padded x stays VMEM-resident
 (same reach limit as gell_kernel: ~24M f32 rows). Unlike the plain
 windowed kernel there is NO bandwidth cap — strips tile any band that
-fits x in VMEM.
+fits x in VMEM. f64 matrices ride the double-float variant
+(spmv_gell_stack_dd): (hi, lo) f32 planes + gell_kernel._kernel_dd's
+compensated accumulation per strip (~1e-14 rel, ~2x the slot cost).
 
 The alternatives measured before shipping this design (exp/
 wide_scatter_probe.py + PERF.md round 4): MXU block-dense tiles lose by
@@ -55,6 +57,44 @@ from hpccg_tpu.ops.pallas.gell_kernel import (
 STACK_VMEM_LIMIT = 100 << 20
 
 
+def _strip_widths(sid, slot_in_strip, valid, width: int, S: int):
+    """Per-strip ELL width = the max per-row entry count within each strip,
+    in ONE pass over the valid entries.
+
+    Within a row sorted by column each strip's entries are a contiguous
+    run, so the per-(row, strip) count is the run length and the width is
+    1 + max slot_in_strip over the strip's entries. A bincount over the
+    combined (sid, slot) key replaces the strip-at-a-time masked max
+    (S passes over the full entry array — measured 160 s of a 189 s prep
+    at 1M x 27 x 246 strips; this pass is ~1 s)."""
+    import numpy as np
+
+    if S <= 0 or not valid.any():
+        return np.zeros(max(S, 1), np.int64)
+    key = sid[valid] * width + slot_in_strip[valid]
+    counts = np.bincount(key, minlength=S * width).reshape(S, width)
+    occupied = counts > 0
+    # last occupied slot column + 1 per strip (0 for empty strips)
+    return np.where(
+        occupied.any(axis=1), width - np.argmax(occupied[:, ::-1], axis=1), 0
+    ).astype(np.int64)
+
+
+def _strip_runs(sid, valid):
+    """(slot_in_strip) for each entry: position within its row's contiguous
+    run of same-strip entries (rows sorted by column => offsets sorted =>
+    each strip's entries form one run per row)."""
+    import numpy as np
+
+    w = sid.shape[1]
+    idx = np.arange(w)[None, :]
+    is_start = np.ones_like(valid)
+    if w > 1:
+        is_start[:, 1:] = sid[:, 1:] != sid[:, :-1]
+    run_start = np.maximum.accumulate(np.where(is_start, idx, 0), axis=1)
+    return idx - run_start
+
+
 def gell_stack_supported(n: int, max_end_chunk: int, wtot: int, dd: bool = False) -> bool:
     """True when the padded x (VMEM-resident, like gell_kernel) plus the
     double-buffered slot blocks fit the kernel budget."""
@@ -67,24 +107,28 @@ def gell_stack_supported(n: int, max_end_chunk: int, wtot: int, dd: bool = False
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals3", "li3"],
+    data_fields=["vals3", "li3", "vals3lo"],
     meta_fields=["n", "wtot", "strips", "pbl", "xp_chunks", "total_nrow", "nnz_count"],
 )
 @dataclasses.dataclass(frozen=True)
 class GellStackMatrix:
-    """Prepared strip-bucketed gather-ELL operator (f32).
+    """Prepared strip-bucketed gather-ELL operator.
 
     vals3/li3: (T, wtot, 8, 128) — all strips' ELL slots concatenated along
     the width axis; slot columns [w0_s, w0_s + width_s) belong to strip s
     and carry window-local indices relative to that strip's per-tile window
-    start (chunk ``t*8 + woff_s`` of the padded x). Invalid slots carry
+    start (chunk ``t*SUB + woff_s`` of the padded x). Invalid slots carry
     val=0 with an in-window parked index.
 
     strips: static tuple of (w0, width, woff, k_chunks, bounds) where
     bounds is the per-slot ((lo, hi), ...) chunk-scan range.
+
+    vals3lo (f64 matrices only): the exact f32 low halves of the values —
+    the dd tier streams (hi, lo) pairs through the compensated strip-gather
+    kernel (spmv_gell_stack_dd); None for f32 matrices.
     """
 
-    vals3: jax.Array  # f32
+    vals3: jax.Array  # f32 (the hi halves for f64 matrices)
     li3: jax.Array  # i16
     n: int
     wtot: int
@@ -93,6 +137,7 @@ class GellStackMatrix:
     xp_chunks: int  # total padded-x chunks the windows may touch
     total_nrow: int
     nnz_count: int
+    vals3lo: jax.Array | None = None
 
     @property
     def local_nrow(self) -> int:
@@ -100,13 +145,15 @@ class GellStackMatrix:
 
     @property
     def dtype(self):
-        return self.vals3.dtype
+        return jnp.dtype("float64") if self.vals3lo is not None else self.vals3.dtype
 
     @property
     def nnz(self) -> int:
         return self.nnz_count
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        if self.vals3lo is not None:
+            return spmv_gell_stack_dd(self, x)
         return spmv_gell_stack(self, x)
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -119,6 +166,12 @@ class GellStackMatrix:
 
         T = self.vals3.shape[0]
         vals = np.asarray(self.vals3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
+        if self.vals3lo is not None:
+            # f64 reconstruction from the (hi, lo) pair — double-float
+            # precision (~2^-49 rel), like every dd representation
+            vals = vals.astype(np.float64) + np.asarray(
+                self.vals3lo, np.float64
+            ).transpose(0, 2, 3, 1).reshape(T * RT, -1)
         li = np.asarray(self.li3).transpose(0, 2, 3, 1).reshape(T * RT, -1)
         rows2 = np.arange(T * RT)[:, None]
         tile_base = (rows2 // RT) * RT
@@ -136,18 +189,14 @@ class GellStackMatrix:
 def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
     """Host-side preprocessing of an EllMatrix into strip-bucketed form.
 
-    Raises ValueError when the matrix cannot ride this tier (f64 data, or
-    the VMEM-resident x / slot blocks exceed the kernel budget)."""
+    f64 matrices split into exact (hi, lo) f32 planes for the compensated
+    strip-gather kernel. Raises ValueError when the VMEM-resident x / slot
+    blocks exceed the kernel budget."""
     import numpy as np
 
     if ell.start_row != 0:
         raise ValueError("prepare_gell_stack needs the assembled matrix")
     n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
-    if dd:
-        raise ValueError(
-            "gell_stack is f32-only (the f64 wide-scatter tier is the XLA "
-            "ELL path; dd variant not implemented)"
-        )
     W_el = strip_chunks * LANE
     pbl = _cdiv(bw_lo, LANE) * LANE
     offs = np.where(valid, cols - np.arange(n)[:, None], 0)
@@ -169,27 +218,16 @@ def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
     # entries form a CONTIGUOUS RUN — slot-within-strip is position minus
     # run start, computed in one vectorized pass (no per-strip argsorts;
     # the per-strip loop was minutes at 1M x 27 x 60 strips).
-    w = sid.shape[1]
-    idx = np.arange(w)[None, :]
-    is_start = np.ones_like(valid)
-    if w > 1:
-        is_start[:, 1:] = sid[:, 1:] != sid[:, :-1]
-    run_start = np.maximum.accumulate(np.where(is_start, idx, 0), axis=1)
-    slot_in_strip = idx - run_start  # per-entry slot within its strip
+    slot_in_strip = _strip_runs(sid, valid)
 
-    # per-strip widths: max run length per strip id (strip-at-a-time masked
-    # max — ufunc.at over 26M entries is far slower)
-    widths = np.zeros(max(S, 1), np.int64)
-    for s in range(S):
-        m = sid == s
-        if m.any():
-            widths[s] = int(slot_in_strip[m].max()) + 1
+    # per-strip widths: max run length per strip id, one bincount pass
+    widths = _strip_widths(sid, slot_in_strip, valid, sid.shape[1], S)
     keep = np.nonzero(widths)[0]
     if keep.size == 0:
         # all-zero matrix: one empty strip keeps the shapes legal
         strips_meta = [(0, 1, 0, k_s, ((0, 0),))]
         wtot = 1
-        vp4 = np.zeros((T, 1, SUB, LANE), np.float32)
+        vp4 = np.zeros((T, 1, SUB, LANE), vdt)
         lp4 = np.zeros((T, 1, SUB, LANE), np.int16)
     else:
         # base output column per (kept) strip
@@ -225,7 +263,7 @@ def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
         # DIRECTLY in the (T, wtot, 8, 128) tile layout (building (npad,
         # wtot) and transposing paid a 28 s strided ascontiguousarray at
         # 1M x 300)
-        vp4 = np.zeros((T, wtot, SUB, LANE), np.float32)
+        vp4 = np.zeros((T, wtot, SUB, LANE), vdt)
         lp4 = np.empty((T, wtot, SUB, LANE), np.int16)
         lp4[:] = (lo_b * LANE).astype(np.int16)[None, :, None, None]
         t_i = row_flat // RT
@@ -247,14 +285,21 @@ def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
     xp_chunks = max(
         (T - 1) * SUB + woff + k for (_w0, _ws, woff, k, _b) in strips_meta
     )
-    if not gell_stack_supported(n, xp_chunks, wtot):
+    if not gell_stack_supported(n, xp_chunks, wtot, dd=dd):
         raise ValueError(
             f"{n} rows x {wtot} stacked slots: the VMEM-resident x window / "
             "slot blocks exceed the kernel budget (gell_stack_supported)"
         )
 
+    if dd:
+        vhi = vp4.astype(np.float32)
+        vlo = (vp4 - vhi.astype(np.float64)).astype(np.float32)
+        vals3, vals3lo = jnp.asarray(vhi), jnp.asarray(vlo)
+    else:
+        vals3, vals3lo = jnp.asarray(vp4), None
     return GellStackMatrix(
-        vals3=jnp.asarray(vp4),
+        vals3=vals3,
+        vals3lo=vals3lo,
         li3=jnp.asarray(lp4),
         n=n,
         wtot=wtot,
@@ -317,10 +362,188 @@ def spmv_gell_stack(
     gather)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert A.vals3lo is None, "f64 GellStackMatrix: use spmv_gell_stack_dd"
     xp = jnp.zeros((A.xp_chunks * LANE,), jnp.float32)
     xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (A.pbl,))
     y = _spmv_stack(A.vals3, A.li3, xp.reshape(-1, LANE), A.strips, interpret)
     return y.reshape(-1)[: A.n]
+
+
+def _kernel_stack_dd(
+    xph_ref, xpl_ref, valsh_ref, valsl_ref, li_ref, yhi_ref, ylo_ref,
+    *, strips: tuple,
+):
+    """Double-float strip-gather tile: gell_kernel._kernel_dd's compensated
+    accumulation (every product feeding the accumulators exact by split12
+    construction) with the shifted windows replaced by per-strip windows at
+    strip-static offsets."""
+    from hpccg_tpu.ops.pallas.ddmath import (
+        df_add, fast_two_sum, split12, two_sum,
+    )
+
+    t = pl.program_id(0)
+    f32 = jnp.float32
+    sh = jnp.zeros((SUB, LANE), f32)  # main double-f32 accumulator
+    sl = jnp.zeros((SUB, LANE), f32)
+    th = jnp.zeros((SUB, LANE), f32)  # eps-scale terms accumulator
+    tl = jnp.zeros((SUB, LANE), f32)
+    for w0, width_s, woff, k_s, bounds in strips:
+        xwh = xph_ref[pl.ds(t * SUB + woff, k_s)]  # (k_s, 128) hi window
+        xwl = xpl_ref[pl.ds(t * SUB + woff, k_s)]  # (k_s, 128) lo window
+        for j in range(width_s):
+            w = w0 + j
+            li = li_ref[0, w].astype(jnp.int32)
+            ll = jnp.bitwise_and(li, LANE - 1)
+            ci = jnp.right_shift(li, 7)
+            gh = jnp.zeros((SUB, LANE), f32)
+            gl = jnp.zeros((SUB, LANE), f32)
+            lo_b, hi_b = bounds[j]
+            for k in range(lo_b, hi_b + 1):
+                ch = jnp.broadcast_to(xwh[k : k + 1], (SUB, LANE))
+                cl = jnp.broadcast_to(xwl[k : k + 1], (SUB, LANE))
+                sel = ci == k
+                gh = jnp.where(sel, _lane_take(ch, ll), gh)
+                gl = jnp.where(sel, _lane_take(cl, ll), gl)
+            ah = valsh_ref[0, w]
+            al = valsl_ref[0, w]
+            a1, a2 = split12(ah)
+            x1, x2 = split12(gh)
+            p1 = a1 * x1  # exact (12b x 12b)
+            v, verr = two_sum(a1 * x2, a2 * x1)  # exact products
+            u = (a2 * x2 + ah * gl) + al * gh  # O(2^-24) terms
+            sh, sl = df_add(sh, sl, p1)
+            sh, sl = df_add(sh, sl, v)
+            th, tl = df_add(th, tl, verr + u)
+            sh, sl = fast_two_sum(sh, sl)  # renorm once per slot
+    s, e = two_sum(sh, th)
+    lo = (sl + tl) + e
+    hi, lo2 = fast_two_sum(s, lo)
+    yhi_ref[0] = hi
+    ylo_ref[0] = lo2
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _spmv_stack_dd(vals3, vals3lo, li3, xp2h, xp2l, strips: tuple, interpret: bool):
+    T = vals3.shape[0]
+    wtot = vals3.shape[1]
+    # this kernel ONLY runs under jax_enable_x64 (the f64 tier): index-map
+    # literals must be i32-pinned or Mosaic rejects the lowering
+    z = _i0()
+    xshape = xp2h.shape
+    return pl.pallas_call(
+        partial(_kernel_stack_dd, strips=strips),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(xshape, lambda t: (z, z), memory_space=pltpu.VMEM),  # xp hi
+            pl.BlockSpec(xshape, lambda t: (z, z), memory_space=pltpu.VMEM),  # xp lo
+            pl.BlockSpec((1, wtot, SUB, LANE), lambda t: (t, z, z, z)),
+            pl.BlockSpec((1, wtot, SUB, LANE), lambda t: (t, z, z, z)),
+            pl.BlockSpec((1, wtot, SUB, LANE), lambda t: (t, z, z, z)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, SUB, LANE), lambda t: (t, z, z)),
+            pl.BlockSpec((1, SUB, LANE), lambda t: (t, z, z)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=STACK_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xp2h, xp2l, vals3, vals3lo, li3)
+
+
+def spmv_gell_stack_dd(
+    A: GellStackMatrix, x: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """f64 y = A @ x through the double-float strip-gather kernel (~1e-14
+    rel) — the f64 WIDE-scatter tier (gell_kernel.spmv_gell_dd covers the
+    narrow-band case)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert A.vals3lo is not None, "f32 GellStackMatrix: use spmv_gell_stack"
+    xp = jnp.zeros((A.xp_chunks * LANE,), jnp.float64)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float64), (A.pbl,))
+    xh = xp.astype(jnp.float32)
+    xl = (xp - xh.astype(jnp.float64)).astype(jnp.float32)
+    yhi, ylo = _spmv_stack_dd(
+        A.vals3, A.vals3lo, A.li3, xh.reshape(-1, LANE), xl.reshape(-1, LANE),
+        A.strips, interpret,
+    )
+    y = yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
+    return y.reshape(-1)[: A.n]
+
+
+def stack_shard_geometry(A: GellStackMatrix, ndev: int):
+    """(T_local, xw_chunks) for running the stack kernel row-sharded over
+    ndev devices on an all-gathered x: shard r runs tiles [r*T_l, (r+1)*T_l)
+    with its x window sliced from the padded global x at chunk r*T_l*SUB —
+    the kernel's per-tile ``pl.ds(t*SUB + woff, k)`` indexing then works
+    unchanged with the LOCAL tile id. Raises when the padded rows do not
+    split into whole tiles per shard (pad with io.pad_problem_rows to a
+    ndev*1024 multiple) or a shard's window state exceeds the VMEM budget."""
+    T = A.vals3.shape[0]
+    if A.n != T * RT or T % ndev:
+        raise ValueError(
+            f"{A.n} rows / {T} tiles do not split into {ndev} whole-tile "
+            f"shards; pad rows to a multiple of {ndev * RT} "
+            "(io.pad_problem_rows)"
+        )
+    T_l = T // ndev
+    xw_chunks = (T_l - 1) * SUB + max(
+        woff + k for (_w0, _ws, woff, k, _b) in A.strips
+    )
+    if not gell_stack_supported(
+        T_l * RT, xw_chunks, A.wtot, dd=A.vals3lo is not None
+    ):
+        raise ValueError(
+            f"{T_l * RT}-row shards x {A.wtot} stacked slots: the shard's "
+            "x window / slot blocks exceed the kernel budget"
+        )
+    return T_l, xw_chunks
+
+
+def spmv_gell_stack_shard(
+    vals3: jax.Array,
+    li3: jax.Array,
+    x_global: jax.Array,
+    shard_idx,
+    *,
+    strips: tuple,
+    pbl: int,
+    xp_chunks: int,
+    xw_chunks: int,
+    vals3lo: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One shard's rows of the global matvec (inside shard_map): slice this
+    shard's xw_chunks-chunk window out of the padded global x at chunk
+    shard_idx*T_l*SUB and run the stack kernel over the shard's tiles.
+    x_global is the all-gathered solution vector — the wide-scatter class
+    has no neighbor-halo structure, so the comm plan is one all_gather per
+    matvec and the speedup is the sharded kernel compute."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T_l = vals3.shape[0]
+    dd = vals3lo is not None
+    xp = jnp.zeros((xp_chunks * LANE,), jnp.float64 if dd else jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, x_global.astype(xp.dtype), (pbl,))
+    xw = jax.lax.dynamic_slice(
+        xp.reshape(-1, LANE),
+        (jnp.int32(shard_idx) * jnp.int32(T_l * SUB), _i0()),
+        (xw_chunks, LANE),
+    )
+    if dd:
+        xh = xw.astype(jnp.float32)
+        xl = (xw - xh.astype(jnp.float64)).astype(jnp.float32)
+        yhi, ylo = _spmv_stack_dd(vals3, vals3lo, li3, xh, xl, strips, interpret)
+        y = yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
+    else:
+        y = _spmv_stack(vals3, li3, xw, strips, interpret)
+    return y.reshape(-1)
 
 
 def stack_to_ell(A: GellStackMatrix):
@@ -343,7 +566,7 @@ def stack_to_ell(A: GellStackMatrix):
     ec[rows, slot] = cols
     evalid[rows, slot] = True
     return EllMatrix(
-        vals=jnp.asarray(ev, jnp.float32),
+        vals=jnp.asarray(ev, A.dtype),
         cols=jnp.asarray(ec),
         valid=jnp.asarray(evalid),
         start_row=0,
@@ -359,7 +582,9 @@ def stack_cost_model(ell, *, strip_chunks: int = 16):
     import numpy as np
 
     n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
-    if dd:
+    if dd and jax.default_backend() != "tpu":
+        # the interpret-mode dd strip gather off-chip is slower than the
+        # exact XLA/ELL paths (same policy as gell_kernel's dd tier)
         return False, 0.0, 0
     W_el = strip_chunks * LANE
     pbl = _cdiv(bw_lo, LANE) * LANE
@@ -368,20 +593,23 @@ def stack_cost_model(ell, *, strip_chunks: int = 16):
     S = int(sid.max()) + 1 if valid.any() else 0
     if S <= 0:
         return False, 0.0, 0
-    # per-strip width = max per-row count, one strip at a time (an (n, S)
-    # dense count array would cost n*S*8 B of host scratch at 1M-row scale)
-    wtot = 0
-    for s in range(S):
-        c = (sid == s).sum(axis=1)
-        wtot += int(c.max()) if c.size else 0
+    # per-strip width = max per-row count = max run length (rows sorted by
+    # column), one bincount pass — same path as prepare_gell_stack
+    wtot = int(
+        _strip_widths(sid, _strip_runs(sid, valid), valid, sid.shape[1], S).sum()
+    )
     nnz = int(valid.sum())
     if nnz == 0:
         return False, 0.0, 0
     k_s = SUB + strip_chunks
     T = _cdiv(n, RT)
     xp_chunks = (T - 1) * SUB + S * strip_chunks + k_s
-    if not gell_stack_supported(n, xp_chunks, wtot):
+    if not gell_stack_supported(n, xp_chunks, wtot, dd=dd):
         return False, 0.0, wtot
     inflation = (wtot * n) / nnz
     rate = (1.0 / (0.027 + 0.0014 * k_s)) / max(inflation, 1.0)
+    if dd:
+        # two gathers + the compensated products roughly double the
+        # per-slot VPU work (the gell dd tier's measured factor)
+        rate *= 0.5
     return True, rate, wtot

@@ -16,6 +16,7 @@ from hpccg_tpu.parallel.cg import (
     make_distributed_dia_cg,
     make_distributed_ell_cg,
     make_distributed_gell_cg,
+    make_distributed_stack_cg,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "make_distributed_dia_cg",
     "make_distributed_ell_cg",
     "make_distributed_gell_cg",
+    "make_distributed_stack_cg",
 ]

@@ -840,6 +840,107 @@ def make_distributed_gell_cg(
     return solve
 
 
+def make_distributed_stack_cg(
+    mesh: Mesh,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: Axis = Z_AXIS,
+):
+    """Distributed CG for the WIDE-scatter class: rows block-sharded, each
+    shard running the strip-bucketed gather-stack kernel over its tiles on
+    an all-gathered x.
+
+    Wide scatter has no neighbor-halo structure (entries reach
+    O(bandwidth) ~ n columns), so the comm plan is the general gather —
+    the reference's gather-list path (make_local_matrix.cpp) degenerating
+    to everyone-needs-everything. Unlike the all-gather ELL fallback
+    (jnp.take, measured ~0.14 Gnnz/s) the per-shard compute here is the
+    lane-gather stack kernel: the all_gather streams n*itemsize bytes per
+    iteration at ICI rates while the kernel cost divides by ndev.
+    f64 matrices ride the double-float strip kernel per shard.
+
+    Returns solve(A, b, x0) with A a prepared GellStackMatrix whose rows
+    split into whole 1024-row tiles per shard (io.pad_problem_rows to a
+    ndev*1024 multiple first)."""
+    from hpccg_tpu.ops.pallas.gell_stack import (
+        GellStackMatrix,
+        spmv_gell_stack_shard,
+        stack_shard_geometry,
+    )
+
+    ndev = axis_size(mesh, axis)
+    _jit_cache: dict = _BoundedCache()
+
+    def solve(A, b, x0):
+        if not isinstance(A, GellStackMatrix):
+            raise ValueError(
+                "pass a prepared GellStackMatrix (auto_structure / "
+                "prepare_gell_stack)"
+            )
+        T_l, xw_chunks = stack_shard_geometry(A, ndev)
+        dd = A.vals3lo is not None
+        wtot = A.wtot
+        vec_sh = NamedSharding(mesh, P(axis))
+        mat_sh = NamedSharding(mesh, P(axis))
+        b = jax.device_put(b, vec_sh)
+        x0 = jax.device_put(x0, vec_sh)
+        shard_shape = (ndev, T_l, wtot, 8, 128)
+        v5 = jax.device_put(A.vals3.reshape(shard_shape), mat_sh)
+        l5 = jax.device_put(A.li3.reshape(shard_shape), mat_sh)
+        v5lo = (
+            jax.device_put(A.vals3lo.reshape(shard_shape), mat_sh)
+            if dd
+            else jnp.zeros((ndev,))
+        )
+        kw = dict(
+            strips=A.strips,
+            pbl=A.pbl,
+            xp_chunks=A.xp_chunks,
+            xw_chunks=xw_chunks,
+        )
+        jit_key = (T_l, wtot, dd, A.strips, A.pbl, A.xp_chunks)
+        cached = _jit_cache.get(jit_key)
+        if cached is not None:
+            return cached(v5, v5lo, l5, b, x0)
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            check_vma=False,
+        )
+        def _solve(v5_, v5lo_, l5_, b_l, x0_l):
+            r = jax.lax.axis_index(axis)
+
+            def matvec(v):
+                xg = jax.lax.all_gather(v, axis, tiled=True)
+                return spmv_gell_stack_shard(
+                    v5_[0],
+                    l5_[0],
+                    xg,
+                    r,
+                    vals3lo=v5lo_[0] if dd else None,
+                    **kw,
+                )
+
+            return cg_solve(
+                matvec,
+                b_l,
+                x0_l,
+                max_iter=max_iter,
+                tolerance=tolerance,
+                dot=lambda u, w: ddot(u, w, axis_name=axis),
+            )
+
+        _jit_cache[jit_key] = _solve
+        return _solve(v5, v5lo, l5, b, x0)
+
+    return solve
+
+
 def dia_halo_plan(A, L: int):
     """(ok, tier, reason): can this DiaMatrix ride the ppermute banded-halo
     path on L-row shards, and on which per-shard kernel tier — "pallas"
@@ -1338,7 +1439,8 @@ def make_distributed_spmv_bench(mesh: Mesh, A, *, axis: Axis = Z_AXIS):
     the solvers run; the all-gather ELL loop keeps its all_gather (for
     that path the gather IS the matvec structure).
 
-    ``A``: a GellShards (windowed gather tier), DiaMatrix (banded halo
+    ``A``: a GellStackMatrix (wide-scatter stack tier, all-gathered x),
+    GellShards (windowed gather tier), DiaMatrix (banded halo
     tiers — also the closest standalone kernel for the collective
     whole-solve backend), or assembled EllMatrix (all-gather fallback).
     make_loop(k) returns a callable of one P(axis)-shardable global
@@ -1352,11 +1454,45 @@ def make_distributed_spmv_bench(mesh: Mesh, A, *, axis: Axis = Z_AXIS):
         spmv_gell_shard,
         spmv_gell_shard_dd,
     )
+    from hpccg_tpu.ops.pallas.gell_stack import (
+        GellStackMatrix,
+        spmv_gell_stack_shard,
+        stack_shard_geometry,
+    )
 
     ndev = axis_size(mesh, axis)
     sh = NamedSharding(mesh, P(axis))
 
-    if isinstance(A, GellShards):
+    if isinstance(A, GellStackMatrix):
+        # wide-scatter stack tier: per-shard strip kernel on an
+        # all-gathered x (the gather IS the matvec structure, like the
+        # ell-allgather row — it stays inside the timed loop)
+        T_l, xw_chunks = stack_shard_geometry(A, ndev)
+        dd = A.vals3lo is not None
+        shard_shape = (ndev, T_l, A.wtot, 8, 128)
+        kw = dict(
+            strips=A.strips, pbl=A.pbl, xp_chunks=A.xp_chunks,
+            xw_chunks=xw_chunks,
+        )
+        leaves = tuple(
+            jax.device_put(a.reshape(shard_shape), sh)
+            for a in ((A.vals3, A.vals3lo, A.li3) if dd else (A.vals3, A.li3))
+        )
+        specs = (P(axis),) * len(leaves)
+
+        def shard_matvec(mats, v):
+            xg = jax.lax.all_gather(v, axis, tiled=True)
+            r = jax.lax.axis_index(axis)
+            if dd:
+                v5, v5lo, l5 = mats
+                return spmv_gell_stack_shard(
+                    v5[0], l5[0], xg, r, vals3lo=v5lo[0], **kw
+                )
+            v5, l5 = mats
+            return spmv_gell_stack_shard(v5[0], l5[0], xg, r, **kw)
+
+        tier = "stack-dd-allgather" if dd else "stack-allgather"
+    elif isinstance(A, GellShards):
         dd = A.vals4lo is not None
         kw = dict(
             L=A.L, width=A.width, k_chunks=A.k_chunks, pbl=A.pbl,

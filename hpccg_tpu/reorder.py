@@ -22,8 +22,9 @@ narrow bands; the strip-bucketed gather STACK (round 4,
 ops/pallas/gell_stack.py) for wide scatter — e.g. a randomly permuted 3-D
 stencil, whose optimal bandwidth is Theta(n^(2/3)) and which round 3 could
 only run through the XLA take gather (~0.14 Gnnz/s; the stack measured
-~20-40x that, see PERF.md round 4). Plain ELL remains the fallback for f64
-wide scatter and matrices storing explicit zeros.
+~20-40x that, see PERF.md round 4). f64 wide scatter rides the stack's
+double-float variant on TPU. Plain ELL remains the fallback for matrices
+storing explicit zeros (and f64 wide scatter off-chip).
 """
 
 from __future__ import annotations
@@ -283,14 +284,11 @@ def auto_structure(
         # band is cut into chunk-aligned strips, each riding gell's lane
         # gather at a strip-static window offset, so there is NO bandwidth
         # cap (the class where the plain window overflows 32 chunks, e.g.
-        # a randomly permuted stencil after RCM). f32 only; the model
-        # sweeps the strip width and books the best.
-        if (
-            allow_gell
-            and not f64
-            and np.asarray(mat.vals).dtype.itemsize == 4
-            and no_stored_zeros
-        ):
+        # a randomly permuted stencil after RCM). f64 rides the
+        # double-float strip kernel on TPU (stack_cost_model gates the
+        # backend and halves the rate); the model sweeps the strip width
+        # and books the best.
+        if allow_gell and no_stored_zeros:
             from hpccg_tpu.ops.pallas.gell_stack import (
                 prepare_gell_stack,
                 stack_cost_model,

@@ -178,10 +178,205 @@ def test_stack_cost_model_agrees_with_build():
     assert S.wtot == wtot
 
 
-def test_stack_rejects_f64():
-    A = _wide_scatter(4096, 5, 1500, seed=11)
+def _wide_scatter_f64(n, per_row, bw, seed=0, spread=True):
+    """f64 wide-band ELL whose values (magnitude-spread across ~2^40) lose
+    accuracy when rounded to f32 — distinguishes the compensated dd kernel
+    from a plain f32 run."""
     import dataclasses
 
-    A64 = dataclasses.replace(A, vals=np.asarray(A.vals, np.float64))
-    with pytest.raises(ValueError, match="f32"):
-        prepare_gell_stack(A64)
+    A = _wide_scatter(n, per_row, bw, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    vals = np.asarray(A.vals, np.float64)
+    if spread:
+        vals = vals * np.exp2(rng.integers(-20, 21, vals.shape).astype(np.float64))
+        vals[:, 0] = np.abs(vals).sum(axis=1) + 1.0  # keep dominance
+        vals = np.where(np.asarray(A.valid), vals, 0.0)
+    return dataclasses.replace(A, vals=vals)
+
+
+def test_stack_dd_matvec_matches_f64_oracle():
+    """The double-float strip kernel: ~1e-13 rel vs the f64 oracle where a
+    plain f32 pass of the same matrix is ~1e-7 — the dd planes are real."""
+    from hpccg_tpu.ops.pallas.gell_stack import spmv_gell_stack_dd
+
+    A64 = _wide_scatter_f64(12000, 7, 4000, seed=11)
+    S = prepare_gell_stack(A64, strip_chunks=16)
+    assert S.vals3lo is not None and S.dtype == jnp.float64
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(12000)
+    y = np.asarray(spmv_gell_stack_dd(S, jnp.asarray(x, jnp.float64)))
+    y_ref = _coo_matvec(A64, x)
+    scale = np.max(np.abs(y_ref))
+    err_dd = np.max(np.abs(y - y_ref)) / scale
+    assert err_dd < 1e-12, err_dd
+    # the f32-rounded matrix is measurably worse on the same input
+    S32 = prepare_gell_stack(
+        EllMatrix(
+            vals=np.asarray(A64.vals, np.float32),
+            cols=np.asarray(A64.cols), valid=np.asarray(A64.valid),
+            start_row=0, total_nrow=A64.total_nrow,
+        ),
+        strip_chunks=16,
+    )
+    y32 = np.asarray(spmv_gell_stack(S32, jnp.asarray(x, jnp.float32)))
+    err_f32 = np.max(np.abs(y32 - y_ref)) / scale
+    assert err_f32 > 100 * max(err_dd, 1e-16), (err_f32, err_dd)
+
+
+def test_stack_dd_cg_solve_parity():
+    """CG through make_cg on the dd stack matches the f64 ELL oracle
+    trajectory."""
+    import dataclasses
+
+    A64 = _wide_scatter_f64(8192, 7, 2500, seed=13, spread=False)
+    S = prepare_gell_stack(A64, strip_chunks=16)
+    n = A64.local_nrow
+    b = jnp.asarray(_coo_matvec(A64, np.ones(n)), jnp.float64)
+    x0 = jnp.zeros(n, jnp.float64)
+    Ad = dataclasses.replace(
+        A64,
+        vals=jnp.asarray(A64.vals),
+        cols=jnp.asarray(A64.cols),
+        valid=jnp.asarray(A64.valid),
+    )
+    r_stack = make_cg(S, max_iter=15, tolerance=0.0)(b, x0)
+    r_ell = make_cg(Ad, max_iter=15, tolerance=0.0)(b, x0)
+    ts, te = np.asarray(r_stack.trace), np.asarray(r_ell.trace)
+    good = np.isfinite(te) & (te > 1e-8 * te[0])
+    np.testing.assert_allclose(ts[good], te[good], rtol=1e-9)
+
+
+def test_stack_dd_save_load_round_trip(tmp_path):
+    from hpccg_tpu.io import load_problem, save_problem
+    from hpccg_tpu.models.stencil import Problem
+
+    A64 = _wide_scatter_f64(4096, 5, 1500, seed=14)
+    S = prepare_gell_stack(A64, strip_chunks=8)
+    n = A64.local_nrow
+    prob = Problem(
+        A=S,
+        b=jnp.ones(n, jnp.float64),
+        x0=jnp.zeros(n, jnp.float64),
+        xexact=jnp.ones(n, jnp.float64),
+        total_nrow=n, total_nnz_model=S.nnz, total_nnz_exact=S.nnz,
+    )
+    path = str(tmp_path / "stack_dd.npz")
+    save_problem(path, prob)
+    prob2, _state = load_problem(path)
+    assert isinstance(prob2.A, GellStackMatrix)
+    assert prob2.A.vals3lo is not None and prob2.A.dtype == jnp.float64
+    x = jnp.asarray(np.random.default_rng(15).standard_normal(n), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(prob2.A.matvec(x)), np.asarray(S.matvec(x)), rtol=1e-12
+    )
+
+
+def test_stack_dd_to_ell_round_trip_keeps_f64():
+    A64 = _wide_scatter_f64(4096, 5, 1500, seed=16)
+    S = prepare_gell_stack(A64, strip_chunks=8)
+    back = stack_to_ell(S)
+    assert np.asarray(back.vals).dtype == np.float64
+    r0, c0, v0 = A64.to_coo()
+    r1, c1, v1 = back.to_coo()
+    o0 = np.lexsort((c0, r0))
+    o1 = np.lexsort((np.asarray(c1), np.asarray(r1)))
+    np.testing.assert_array_equal(np.asarray(r1)[o1], r0[o0])
+    # values survive at double-float precision (~2^-49 rel)
+    np.testing.assert_allclose(np.asarray(v1)[o1], v0[o0], rtol=1e-13)
+
+
+def test_chooser_routes_f64_wide_scatter_to_stack_on_tpu(monkeypatch):
+    """On TPU the f64 wide-scatter class rides the dd stack (off-chip it
+    stays ELL — test_general_matrix pins that side). Simulated by patching
+    the backend probe; the kernel itself runs in interpret mode."""
+    from hpccg_tpu.ops.pallas import gell_stack as gs_mod
+    from hpccg_tpu.ops.pallas.gell_stack import spmv_gell_stack_dd
+
+    monkeypatch.setattr(gs_mod.jax, "default_backend", lambda: "tpu")
+    A64 = _wide_scatter_f64(12000, 7, 4000, seed=17)
+    op, perm, report = auto_structure(A64, max_inflation=8.0)
+    assert report.format.startswith("gstack"), report
+    assert isinstance(op, GellStackMatrix) and op.vals3lo is not None
+    src = A64 if perm is None else permute_ell(A64, perm)
+    x = np.random.default_rng(18).standard_normal(12000)
+    y = np.asarray(spmv_gell_stack_dd(op, jnp.asarray(x), interpret=True))
+    y_ref = _coo_matvec(src, x)
+    assert np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)) < 1e-12
+
+
+# ---- distributed stack tier (per-shard strip kernel on all-gathered x) ----
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_distributed_stack_matches_single_device(ndev):
+    """The sharded stack solve reproduces the single-device trajectory:
+    same kernel per shard (local tiles, window sliced from the padded
+    global x at the shard base), psum ddots."""
+    from hpccg_tpu.parallel import make_distributed_stack_cg, make_mesh
+
+    n = 8192  # = 8 tiles: whole tiles per shard at 2/4/8 devices
+    A = _wide_scatter(n, 7, 2500, seed=20)
+    S = prepare_gell_stack(A, strip_chunks=16)
+    b = jnp.asarray(_coo_matvec(A, np.ones(n)), jnp.float32)
+    x0 = jnp.zeros(n, jnp.float32)
+    r_single = make_cg(S, max_iter=12, tolerance=0.0)(b, x0)
+    mesh = make_mesh(ndev)
+    solve = make_distributed_stack_cg(mesh, max_iter=12)
+    r_dist = solve(S, b, x0)
+    # per-shard partial ddots reduce in a different order than the
+    # single-device dot — ~5e-5 f32 trajectory noise over 12 iterations
+    # (the dd test below pins exactness at f64 scale); same tolerance
+    # convention as test_distributed_gell
+    np.testing.assert_allclose(
+        np.asarray(r_dist.trace), np.asarray(r_single.trace), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_dist.x), np.asarray(r_single.x), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_distributed_stack_dd_matches_single_device():
+    """f64 wide scatter distributed: per-shard double-float strip kernel on
+    the all-gathered x matches the single-device dd solve bit-for-bit in
+    trajectory shape (same kernel, same reduction order per shard)."""
+    from hpccg_tpu.parallel import make_distributed_stack_cg, make_mesh
+
+    n = 4096
+    A64 = _wide_scatter_f64(n, 5, 1500, seed=21, spread=False)
+    S = prepare_gell_stack(A64, strip_chunks=16)
+    assert S.vals3lo is not None
+    b = jnp.asarray(_coo_matvec(A64, np.ones(n)), jnp.float64)
+    x0 = jnp.zeros(n, jnp.float64)
+    r_single = make_cg(S, max_iter=10, tolerance=0.0)(b, x0)
+    mesh = make_mesh(4)
+    r_dist = make_distributed_stack_cg(mesh, max_iter=10)(S, b, x0)
+    np.testing.assert_allclose(
+        np.asarray(r_dist.trace), np.asarray(r_single.trace), rtol=1e-12
+    )
+
+
+def test_distributed_stack_requires_whole_tiles():
+    from hpccg_tpu.ops.pallas.gell_stack import stack_shard_geometry
+
+    A = _wide_scatter(3072, 5, 900, seed=22)  # 3 tiles: not divisible by 2
+    S = prepare_gell_stack(A, strip_chunks=8)
+    with pytest.raises(ValueError, match="whole-tile"):
+        stack_shard_geometry(S, 2)
+
+
+def test_distributed_stack_spmv_bench_tier():
+    """The file-mode Time Summary rows can bench the stack tier: the bench
+    loop's chained matvecs match the plain matvec chain."""
+    from hpccg_tpu.parallel import make_mesh
+    from hpccg_tpu.parallel.cg import make_distributed_spmv_bench
+
+    n = 4096
+    A = _wide_scatter(n, 5, 1200, seed=23)
+    S = prepare_gell_stack(A, strip_chunks=8)
+    mesh = make_mesh(4)
+    make_loop, tier = make_distributed_spmv_bench(mesh, S)
+    assert tier == "stack-allgather"
+    v = jnp.asarray(np.random.default_rng(24).standard_normal(n), jnp.float32)
+    got = np.asarray(make_loop(2)(v))
+    want = np.asarray(S.matvec(S.matvec(v) / 54.0)) / 54.0
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)

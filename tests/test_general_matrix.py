@@ -261,8 +261,9 @@ class TestReorder:
         assert np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)) < 1e-5
 
     def test_auto_structure_f64_wide_scatter_stays_ell(self):
-        """The stack tier is f32-only: f64 wide scatter still falls back to
-        ELL with the honest reason."""
+        """OFF TPU the dd strip kernel loses to the exact XLA paths, so f64
+        wide scatter falls back to ELL with the honest reason (on TPU it
+        rides the dd stack — test_gell_stack pins that side)."""
         from hpccg_tpu.reorder import auto_structure
 
         rng = np.random.default_rng(10)

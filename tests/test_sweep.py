@@ -135,15 +135,21 @@ def test_sweep_pod_model_emits(capsys):
 
     from hpccg_tpu.sweep import main as sweep_main
 
-    rc = sweep_main(
-        ["weak", "--per-chip", "8", "--meshes", "1", "--iters", "2",
-         "--pod-model"]
-    )
-    assert rc == 0
-    out = capsys.readouterr().out
-    blocks = [
-        _json.loads(line) for line in out.splitlines() if "pod_model" in line
-    ]
+    # a loaded CI box can invert the tiny slope (point reported below timer
+    # resolution -> no basis -> no block); widen the spread until it lands
+    blocks = []
+    for iters in (2, 16, 64):
+        rc = sweep_main(
+            ["weak", "--per-chip", "8", "--meshes", "1", "--iters",
+             str(iters), "--pod-model"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        blocks = [
+            _json.loads(line) for line in out.splitlines() if "pod_model" in line
+        ]
+        if blocks:
+            break
     assert len(blocks) == 1
     pm = blocks[0]["pod_model"]
     assert pm["basis"]["measured_point"]["mesh"] == 1
