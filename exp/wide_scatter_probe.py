@@ -16,6 +16,10 @@ the real chip:
    magnitude.
 
 Usage: python exp/wide_scatter_probe.py [nx] (default 100 -> n = 1e6)
+       python exp/wide_scatter_probe.py --dd [n]
+           f64 double-float stack vs the f32 stack on the same structure
+           (262144 rows x 9/row x bw 40k default): parity vs the f64
+           oracle + the dd/f32 cost ratio (PERF.md round 4: 1.87x).
 """
 
 import sys
@@ -183,5 +187,72 @@ def main():
     )
 
 
+def main_dd():
+    """f64 wide scatter: the double-float stack vs the f32 stack on the
+    SAME structure (and parity vs the f64 oracle)."""
+    jax.config.update("jax_enable_x64", True)
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
+    width, bw = 9, max(n // 6, 1024)
+    rng = np.random.default_rng(0)
+    cols = np.clip(
+        np.arange(n)[:, None] + rng.integers(-bw, bw + 1, (n, width)), 0, n - 1
+    )
+    cols[:, 0] = np.arange(n)
+    vals = rng.uniform(-1.0, -0.1, (n, width)) * np.exp2(
+        rng.integers(-20, 21, (n, width)).astype(np.float64)
+    )
+    vals[:, 0] = np.abs(vals).sum(axis=1) + 1.0
+    valid = np.ones((n, width), bool)
+    nnz = n * width
+    A64 = EllMatrix(
+        vals=vals, cols=cols.astype(np.int32), valid=valid,
+        start_row=0, total_nrow=n,
+    )
+    from hpccg_tpu.ops.pallas.gell_stack import spmv_gell_stack_dd
+
+    t0 = time.time()
+    S = prepare_gell_stack(A64, strip_chunks=32)
+    print(
+        f"# dd prep {time.time()-t0:.1f}s: wtot {S.wtot} "
+        f"({len(S.strips)} strips, inflation {S.wtot * n / nnz:.1f}x)",
+        flush=True,
+    )
+    x = rng.standard_normal(n)
+    y = np.asarray(spmv_gell_stack_dd(S, jnp.asarray(x, jnp.float64)))
+    rows_c, cols_c, vals_c = A64.to_coo()
+    y_ref = np.zeros(n)
+    np.add.at(y_ref, rows_c, vals_c * x[cols_c.astype(np.int64)])
+    err = np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref))
+    print(f"dd-stack rel err vs f64 oracle: {err:.2e}", flush=True)
+    assert err < 1e-12, err
+    t_dd = slope_matvec(
+        lambda S_, v: spmv_gell_stack_dd(S_, v),
+        S, jnp.asarray(x, jnp.float64), iters=4, spread=32,
+    )
+    print(
+        f"dd-stack:  {t_dd*1e3:.2f} ms/matvec = {nnz/t_dd/1e9:.2f} Gnnz/s",
+        flush=True,
+    )
+    S32 = prepare_gell_stack(
+        EllMatrix(
+            vals=vals.astype(np.float32), cols=cols.astype(np.int32),
+            valid=valid, start_row=0, total_nrow=n,
+        ),
+        strip_chunks=32,
+    )
+    t_32 = slope_matvec(
+        lambda S_, v: spmv_gell_stack(S_, v),
+        S32, jnp.asarray(x, jnp.float32), iters=4, spread=32,
+    )
+    print(
+        f"f32-stack: {t_32*1e3:.2f} ms/matvec = {nnz/t_32/1e9:.2f} Gnnz/s; "
+        f"dd/f32 = {t_dd/t_32:.2f} (model books 2x)",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--dd":
+        main_dd()
+    else:
+        main()
