@@ -252,7 +252,8 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         _esolve = make_distributed_ell_cg(
-            mesh, max_iter=args.max_iter, tolerance=args.tolerance, axis=axis
+            mesh, max_iter=args.max_iter, tolerance=args.tolerance, axis=axis,
+            method=args.method,
         )
         solve = partial(_esolve, prob.A)
         backend_used = "distributed:ell-allgather(stream)"
@@ -304,13 +305,10 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 args.method = "cg1"
-            elif not want_collective and (
-                args.method != "cg" or args.backend != "auto"
-            ):
+            elif not want_collective and args.backend != "auto":
                 print(
-                    "# distributed file mode implements the reference cg "
-                    "recurrence on the dia-halo/all-gather paths; ignoring "
-                    f"--method {args.method} / --backend {args.backend}",
+                    "# distributed file mode picks the kernel tier by "
+                    f"matrix structure; ignoring --backend {args.backend}",
                     file=sys.stderr,
                 )
             mesh, axis = build_mesh()
@@ -354,6 +352,7 @@ def main(argv=None) -> int:
                     _ssolve = make_distributed_stack_cg(
                         mesh, max_iter=args.max_iter,
                         tolerance=args.tolerance, axis=axis,
+                        method=args.method,
                     )
                     solve = partial(_ssolve, A)
                     backend_used = "distributed:stack-allgather"
@@ -379,6 +378,7 @@ def main(argv=None) -> int:
                     _gsolve = make_distributed_gell_cg(
                         mesh, max_iter=args.max_iter,
                         tolerance=args.tolerance, axis=axis,
+                        method=args.method,
                     )
                     solve = partial(_gsolve, shards)
                     backend_used = "distributed:gell-halo"
@@ -441,6 +441,7 @@ def main(argv=None) -> int:
                 _dsolve = make_distributed_dia_cg(
                     mesh, max_iter=args.max_iter,
                     tolerance=args.tolerance, axis=axis,
+                    method=args.method,
                 )
                 solve = partial(_dsolve, A)
                 backend_used = "distributed:dia-halo"
@@ -449,6 +450,7 @@ def main(argv=None) -> int:
                 _esolve = make_distributed_ell_cg(
                     mesh, max_iter=args.max_iter,
                     tolerance=args.tolerance, axis=axis,
+                    method=args.method,
                 )
                 solve = partial(_esolve, prob.A)
                 backend_used = "distributed:ell-allgather"

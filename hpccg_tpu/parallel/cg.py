@@ -33,6 +33,42 @@ def _result_specs(shard_spec: P) -> CGResult:
     return CGResult(x=shard_spec, niters=P(), normr=P(), rtrans=P(), trace=P())
 
 
+def _method_runner(method: str, axis: Axis):
+    """run(matvec, b, x0, *, max_iter, tolerance) for use INSIDE shard_map,
+    dispatching on the CG recurrence with mesh-reduced dot products:
+    "cg" = the reference 2-allreduce recurrence (HPCCG.cpp:367,381),
+    "cg1" = Chronopoulos-Gear single fused reduction, "pipecg" =
+    Ghysels-Vanroose (the reduction overlaps the SpMV). Shared by every
+    file-matrix distributed factory so --method works on loaded matrices,
+    not just the generated stencil (the pod model shows the one-reduction
+    recurrences are what pod-scale latency budgets require)."""
+    if method == "cg":
+
+        def run(matvec, b, x0, *, max_iter, tolerance):
+            return cg_solve(
+                matvec, b, x0, max_iter=max_iter, tolerance=tolerance,
+                dot=lambda u, v: ddot(u, v, axis_name=axis),
+            )
+
+        return run
+    if method not in ("cg1", "pipecg"):
+        raise ValueError(f"unknown CG method {method!r}")
+    from hpccg_tpu.solver import cg_solve_pipelined, cg_solve_single_reduction
+
+    solver_fn = cg_solve_single_reduction if method == "cg1" else cg_solve_pipelined
+
+    def pdot2(p1, p2):
+        tot = jax.lax.psum(jnp.stack([jnp.vdot(*p1), jnp.vdot(*p2)]), axis)
+        return tot[0], tot[1]
+
+    def run(matvec, b, x0, *, max_iter, tolerance):
+        return solver_fn(
+            matvec, b, x0, max_iter=max_iter, tolerance=tolerance, dot2=pdot2,
+        )
+
+    return run
+
+
 class _BoundedCache(dict):
     """FIFO-bounded memo dict for the solver factories' jitted closures and
     prep uploads. The memos exist so a warm call never retraces inside the
@@ -456,6 +492,7 @@ def make_distributed_ell_cg(
     max_iter: int,
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
+    method: str = "cg",
 ):
     """General explicit-matrix path: solve(A_global, b, x0) with A in padded
     ELL, rows sharded P(axis), columns global.
@@ -465,6 +502,7 @@ def make_distributed_ell_cg(
     (make_local_matrix.cpp) for matrices without z-stacked structure.
     """
     row_spec = P(axis, None)
+    run = _method_runner(method, axis)
 
     @jax.jit
     @partial(
@@ -480,14 +518,7 @@ def make_distributed_ell_cg(
             xg = jax.lax.all_gather(v, axis, tiled=True)
             return A_local.matvec(xg)
 
-        return cg_solve(
-            matvec,
-            b,
-            x0,
-            max_iter=max_iter,
-            tolerance=tolerance,
-            dot=lambda u, v: ddot(u, v, axis_name=axis),
-        )
+        return run(matvec, b, x0, max_iter=max_iter, tolerance=tolerance)
 
     def solve(A: EllMatrix, b, x0):
         if A.start_row != 0:
@@ -730,6 +761,7 @@ def make_distributed_gell_cg(
     max_iter: int,
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
+    method: str = "cg",
 ):
     """Distributed CG for scattered-narrow-band explicit matrices: rows
     block-sharded, each shard running the windowed gather-ELL Pallas kernel
@@ -751,6 +783,7 @@ def make_distributed_gell_cg(
     )
 
     ndev = axis_size(mesh, axis)
+    run = _method_runner(method, axis)
     # jitted solves memoized on the shards' static layout: jax.jit caches
     # per FUNCTION OBJECT, so defining the closure fresh on every call
     # would retrace (and re-lower) inside the caller's timed region
@@ -788,7 +821,7 @@ def make_distributed_gell_cg(
             pbl=shards.pbl,
             slot_bounds=shards.slot_bounds,
         )
-        jit_key = (L, bw_lo, bw_hi, dd, tuple(sorted(kw.items())))
+        jit_key = (L, bw_lo, bw_hi, dd, method, tuple(sorted(kw.items())))
         cached = _jit_cache.get(jit_key)
         if cached is not None:
             return cached(vals4, vals4lo, li4, corr, b, x0)
@@ -825,14 +858,7 @@ def make_distributed_gell_cg(
                     y = y.at[chi[0]].add(chv.astype(y.dtype) * hi[chi[1]])
                 return y
 
-            return cg_solve(
-                matvec,
-                b_l,
-                x0_l,
-                max_iter=max_iter,
-                tolerance=tolerance,
-                dot=lambda u, w: ddot(u, w, axis_name=axis),
-            )
+            return run(matvec, b_l, x0_l, max_iter=max_iter, tolerance=tolerance)
 
         _jit_cache[jit_key] = _solve
         return _solve(vals4, vals4lo, li4, corr, b, x0)
@@ -846,6 +872,7 @@ def make_distributed_stack_cg(
     max_iter: int,
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
+    method: str = "cg",
 ):
     """Distributed CG for the WIDE-scatter class: rows block-sharded, each
     shard running the strip-bucketed gather-stack kernel over its tiles on
@@ -870,6 +897,7 @@ def make_distributed_stack_cg(
     )
 
     ndev = axis_size(mesh, axis)
+    run = _method_runner(method, axis)
     _jit_cache: dict = _BoundedCache()
 
     def solve(A, b, x0):
@@ -899,7 +927,7 @@ def make_distributed_stack_cg(
             xp_chunks=A.xp_chunks,
             xw_chunks=xw_chunks,
         )
-        jit_key = (T_l, wtot, dd, A.strips, A.pbl, A.xp_chunks)
+        jit_key = (T_l, wtot, dd, A.strips, A.pbl, A.xp_chunks, method)
         cached = _jit_cache.get(jit_key)
         if cached is not None:
             return cached(v5, v5lo, l5, b, x0)
@@ -926,14 +954,7 @@ def make_distributed_stack_cg(
                     **kw,
                 )
 
-            return cg_solve(
-                matvec,
-                b_l,
-                x0_l,
-                max_iter=max_iter,
-                tolerance=tolerance,
-                dot=lambda u, w: ddot(u, w, axis_name=axis),
-            )
+            return run(matvec, b_l, x0_l, max_iter=max_iter, tolerance=tolerance)
 
         _jit_cache[jit_key] = _solve
         return _solve(v5, v5lo, l5, b, x0)
@@ -994,6 +1015,7 @@ def make_distributed_dia_cg(
     max_iter: int,
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
+    method: str = "cg",
 ):
     """Distributed CG for a banded explicit matrix (DIA): rows block-sharded,
     halo = the bandwidth-wide boundary strips, exchanged with ppermute.
@@ -1023,6 +1045,7 @@ def make_distributed_dia_cg(
     from hpccg_tpu.operators import DiaMatrix
 
     ndev = axis_size(mesh, axis)
+    run = _method_runner(method, axis)
     # jitted solves memoized on (tier, offsets, L, dtype): jax.jit caches
     # per FUNCTION OBJECT, so a fresh closure per call would retrace inside
     # the caller's timed region (cli.py times the post-warmup call)
@@ -1100,7 +1123,7 @@ def make_distributed_dia_cg(
             hi4 = jax.device_put(hi4, NamedSharding(mesh, P(axis)))
             lo4 = jax.device_put(lo4, NamedSharding(mesh, P(axis)))
 
-            jit_key = ("dd", offs, L)
+            jit_key = ("dd", offs, L, method)
             cached = _jit_cache.get(jit_key)
             if cached is not None:
                 return cached(hi4, lo4, b, x0)
@@ -1134,14 +1157,7 @@ def make_distributed_dia_cg(
                     y = spmv_dia_dd_prepared(offs, dh[0], dl[0], v, L, None, None)
                     return _corrections(y, strip_lo, strip_hi, lo, hi)
 
-                return cg_solve(
-                    matvec,
-                    b_l,
-                    x0_l,
-                    max_iter=max_iter,
-                    tolerance=tolerance,
-                    dot=lambda u, w: ddot(u, w, axis_name=axis),
-                )
+                return run(matvec, b_l, x0_l, max_iter=max_iter, tolerance=tolerance)
 
             _jit_cache[jit_key] = _solve_dd
             return _solve_dd(hi4, lo4, b, x0)
@@ -1156,7 +1172,7 @@ def make_distributed_dia_cg(
                 prepare_dia_shards(A, ndev), NamedSharding(mesh, P(axis))
             )
 
-            jit_key = ("pallas", offs, L)
+            jit_key = ("pallas", offs, L, method)
             cached = _jit_cache.get(jit_key)
             if cached is not None:
                 return cached(data2s, b, x0)
@@ -1183,21 +1199,14 @@ def make_distributed_dia_cg(
                     y = spmv_dia_prepared(offs, d2[0], v, L, None, None)
                     return _corrections(y, strip_lo, strip_hi, lo, hi)
 
-                return cg_solve(
-                    matvec,
-                    b_l,
-                    x0_l,
-                    max_iter=max_iter,
-                    tolerance=tolerance,
-                    dot=lambda u, w: ddot(u, w, axis_name=axis),
-                )
+                return run(matvec, b_l, x0_l, max_iter=max_iter, tolerance=tolerance)
 
             _jit_cache[jit_key] = _solve_pallas
             return _solve_pallas(data2s, b, x0)
 
         data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
 
-        jit_key = ("unroll", offs, L, str(jnp.dtype(A.dtype)))
+        jit_key = ("unroll", offs, L, str(jnp.dtype(A.dtype)), method)
         cached = _jit_cache.get(jit_key)
         if cached is not None:
             return cached(data, b, x0)
@@ -1225,14 +1234,7 @@ def make_distributed_dia_cg(
                     )
                 return _corrections(y, strip_lo, strip_hi, lo, hi)
 
-            return cg_solve(
-                matvec,
-                b_l,
-                x0_l,
-                max_iter=max_iter,
-                tolerance=tolerance,
-                dot=lambda u, w: ddot(u, w, axis_name=axis),
-            )
+            return run(matvec, b_l, x0_l, max_iter=max_iter, tolerance=tolerance)
 
         _jit_cache[jit_key] = _solve
         return _solve(data, b, x0)
