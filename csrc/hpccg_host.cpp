@@ -379,4 +379,102 @@ int32_t hpccg_rcm(int64_t n, int64_t nnz, const int64_t* rows,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Strip-bucketed gather-stack preprocessing (the host half of
+// ops/pallas/gell_stack.py). The NumPy prep is a chain of full-array
+// passes (per-row argsort, strip ids, run starts, a 26M-element fancy
+// scatter) costing ~minutes at 1M x 27; these two single-pass kernels do
+// the same work row-at-a-time. Semantics match the NumPy path EXACTLY
+// (stable sort by column with invalid entries last; each strip of a
+// sorted row is one contiguous run; slot-within-strip = run position).
+//
+// hpccg_stack_scan: per-strip ELL widths + per-(strip, slot) chunk-scan
+// bounds over valid entries. widths must be zero-initialized; lo_sw
+// INT32_MAX-initialized and hi_sw (-1)-initialized, both sized S*width.
+// Returns 0, or -1 on an out-of-range strip id / window index.
+int32_t hpccg_stack_scan(int64_t n, int32_t width, const int32_t* cols,
+                         const uint8_t* valid, int64_t pbl, int64_t w_el,
+                         int64_t S, int64_t* widths, int32_t* lo_sw,
+                         int32_t* hi_sw) {
+  if (n < 0 || width <= 0 || w_el <= 0 || S < 0) return -1;
+  std::vector<std::pair<int64_t, int32_t>> row;  // (col, original slot)
+  row.reserve(width);
+  for (int64_t i = 0; i < n; ++i) {
+    row.clear();
+    const int64_t off = i * width;
+    for (int32_t w = 0; w < width; ++w)
+      if (valid[off + w]) row.emplace_back((int64_t)cols[off + w], w);
+    std::stable_sort(row.begin(), row.end(),
+                     [](const auto& a, const auto& b) { return a.first < b.first; });
+    const int64_t tile_base = (i / 1024) * 1024;
+    int64_t cur_sid = -1, slot = 0;
+    for (const auto& e : row) {
+      const int64_t sid = (e.first - i + pbl) / w_el;
+      if (sid < 0 || sid >= S) return -1;
+      slot = (sid == cur_sid) ? slot + 1 : 0;
+      cur_sid = sid;
+      if (slot + 1 > widths[sid]) widths[sid] = slot + 1;
+      const int64_t li = e.first - tile_base - (sid * w_el - pbl);
+      if (li < 0 || li > 32767) return -1;
+      const int32_t ci = (int32_t)(li >> 7);
+      int32_t* lo = &lo_sw[sid * width + slot];
+      int32_t* hi = &hi_sw[sid * width + slot];
+      if (ci < *lo) *lo = ci;
+      if (ci > *hi) *hi = ci;
+    }
+  }
+  return 0;
+}
+
+// hpccg_stack_fill: scatter the (value, window-local index) pairs straight
+// into the (T, wtot, 8, 128) tile layout. vals arrive as f64 regardless of
+// the matrix dtype; dd=0 writes (float)v into vp4 (vp4lo unused), dd=1
+// writes the exact double-float split (hi, lo) pair. vp4/vp4lo must be
+// zero-initialized and lp4 prefilled with each slot's parking index
+// (lo_sw*128 mapped through base — gell_stack.py does this with one
+// broadcast). base[s] = first output slot column of strip s (-1 = strip
+// empty/dropped). Returns 0, or -1 on inconsistent inputs.
+int32_t hpccg_stack_fill(int64_t n, int32_t width, const double* vals,
+                         const int32_t* cols, const uint8_t* valid,
+                         int64_t pbl, int64_t w_el, int64_t S,
+                         const int64_t* base, int64_t wtot, int32_t dd,
+                         float* vp4, float* vp4lo, int16_t* lp4) {
+  if (n < 0 || width <= 0 || w_el <= 0 || S < 0 || wtot <= 0) return -1;
+  std::vector<std::pair<int64_t, int32_t>> row;
+  row.reserve(width);
+  for (int64_t i = 0; i < n; ++i) {
+    row.clear();
+    const int64_t off = i * width;
+    for (int32_t w = 0; w < width; ++w)
+      if (valid[off + w]) row.emplace_back((int64_t)cols[off + w], w);
+    std::stable_sort(row.begin(), row.end(),
+                     [](const auto& a, const auto& b) { return a.first < b.first; });
+    const int64_t t = i / 1024;
+    const int64_t tile_base = t * 1024;
+    const int64_t s_i = (i % 1024) / 128;
+    const int64_t l_i = i % 128;
+    int64_t cur_sid = -1, slot = 0;
+    for (const auto& e : row) {
+      const int64_t sid = (e.first - i + pbl) / w_el;
+      if (sid < 0 || sid >= S) return -1;
+      slot = (sid == cur_sid) ? slot + 1 : 0;
+      cur_sid = sid;
+      const int64_t b0 = base[sid];
+      if (b0 < 0 || b0 + slot >= wtot) return -1;
+      const int64_t li = e.first - tile_base - (sid * w_el - pbl);
+      const int64_t flat = ((t * wtot + (b0 + slot)) * 8 + s_i) * 128 + l_i;
+      const double v = vals[off + e.second];
+      if (dd) {
+        const float hi = (float)v;
+        vp4[flat] = hi;
+        vp4lo[flat] = (float)(v - (double)hi);
+      } else {
+        vp4[flat] = (float)v;
+      }
+      lp4[flat] = (int16_t)li;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -117,6 +117,36 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.hpccg_stack_scan.restype = ctypes.c_int32
+    lib.hpccg_stack_scan.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hpccg_stack_fill.restype = ctypes.c_int32
+    lib.hpccg_stack_fill.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int16),
+    ]
     return lib
 
 
@@ -261,3 +291,52 @@ def rcm(n: int, rows: np.ndarray, cols: np.ndarray) -> Optional[np.ndarray]:
     if rc != 0:
         raise ValueError("hpccg_rcm: bad input (indices out of range)")
     return perm
+
+
+def stack_scan(n, width, cols, valid, pbl, w_el, S):
+    """Native pass 1 of the gather-stack prep: (widths, lo_sw, hi_sw) —
+    per-strip ELL widths and per-(strip, slot) chunk bounds. Returns None
+    if the library is unavailable; raises on inconsistent inputs."""
+    lib = _get()
+    if lib is None:
+        return None
+    cols = np.ascontiguousarray(cols, np.int32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    widths = np.zeros(max(S, 1), np.int64)
+    lo_sw = np.full(max(S, 1) * width, np.iinfo(np.int32).max, np.int32)
+    hi_sw = np.full(max(S, 1) * width, -1, np.int32)
+    rc = lib.hpccg_stack_scan(
+        n, width, _ptr(cols, ctypes.c_int32), _ptr(valid, ctypes.c_uint8),
+        pbl, w_el, S, _ptr(widths, ctypes.c_int64),
+        _ptr(lo_sw, ctypes.c_int32), _ptr(hi_sw, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError("hpccg_stack_scan: strip/window index out of range")
+    return widths, lo_sw.reshape(max(S, 1), width), hi_sw.reshape(max(S, 1), width)
+
+
+def stack_fill(n, width, vals, cols, valid, pbl, w_el, S, base, wtot, dd,
+               vp4, vp4lo, lp4):
+    """Native pass 2: scatter (value, window-local index) pairs into the
+    zero-initialized (T, wtot, 8, 128) tile layout (lp4 prefilled with
+    parking indices by the caller). vals enter as f64; dd=True writes the
+    exact double-float (hi, lo) split. Returns False if the library is
+    unavailable."""
+    lib = _get()
+    if lib is None:
+        return False
+    vals = np.ascontiguousarray(vals, np.float64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    base = np.ascontiguousarray(base, np.int64)
+    rc = lib.hpccg_stack_fill(
+        n, width, _ptr(vals, ctypes.c_double), _ptr(cols, ctypes.c_int32),
+        _ptr(valid, ctypes.c_uint8), pbl, w_el, S,
+        _ptr(base, ctypes.c_int64), wtot, 1 if dd else 0,
+        _ptr(vp4, ctypes.c_float),
+        _ptr(vp4lo if vp4lo is not None else vp4, ctypes.c_float),
+        _ptr(lp4, ctypes.c_int16),
+    )
+    if rc != 0:
+        raise ValueError("hpccg_stack_fill: slot/strip index out of range")
+    return True

@@ -186,16 +186,121 @@ class GellStackMatrix:
         return rr[order], cols[keep][order], vals[keep][order]
 
 
-def prepare_gell_stack(ell, *, strip_chunks: int = 16) -> GellStackMatrix:
+def _prepare_gell_stack_native(ell, *, strip_chunks: int, use_native):
+    """Native (csrc hpccg_stack_scan/fill) prep: same output as the NumPy
+    path, one C++ pass per stage instead of the chain of full-array NumPy
+    passes (~10x at 1M x 27). Returns None when the library is unavailable
+    or the matrix is degenerate (the NumPy branch owns those edges)."""
+    import numpy as np
+
+    if use_native is False:
+        return None
+    try:
+        from hpccg_tpu import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    n = ell.local_nrow
+    vals = np.asarray(ell.vals)
+    dd = vals.dtype.itemsize == 8
+    cols = np.asarray(ell.cols, np.int64)
+    valid = np.asarray(ell.valid)
+    width = vals.shape[1]
+    if n == 0 or width == 0 or not valid.any():
+        return None
+    offs = np.where(valid, cols - np.arange(n)[:, None], 0)
+    bw_lo = max(0, int(-offs.min()))
+    bw_hi = max(0, int(offs.max()))
+    W_el = strip_chunks * LANE
+    pbl = _cdiv(bw_lo, LANE) * LANE
+    S = (bw_hi + pbl) // W_el + 1
+    k_s = SUB + strip_chunks
+    assert k_s * LANE <= 32767  # li fits int16
+    scan = native.stack_scan(n, width, cols, valid, pbl, W_el, S)
+    if scan is None:
+        return None
+    widths, lo_sw, hi_sw = scan
+    keep = np.nonzero(widths)[0]
+    if keep.size == 0:
+        return None
+    base = np.full(S, -1, np.int64)
+    base[keep] = np.concatenate([[0], np.cumsum(widths[keep])[:-1]])
+    wtot = int(widths[keep].sum())
+    T = _cdiv(n, RT)
+    lo_b = np.zeros(wtot, np.int64)
+    hi_b = np.zeros(wtot, np.int64)
+    strips_meta = []
+    for s in keep:
+        w0, ws = int(base[s]), int(widths[s])
+        lo_b[w0 : w0 + ws] = lo_sw[s, :ws]
+        hi_b[w0 : w0 + ws] = hi_sw[s, :ws]
+        strips_meta.append(
+            (
+                w0, ws, int(s) * strip_chunks, k_s,
+                tuple(
+                    (int(lo_sw[s, j]), int(hi_sw[s, j])) for j in range(ws)
+                ),
+            )
+        )
+    xp_chunks = max(
+        (T - 1) * SUB + woff + k for (_w0, _ws, woff, k, _b) in strips_meta
+    )
+    if not gell_stack_supported(n, xp_chunks, wtot, dd=dd):
+        raise ValueError(
+            f"{n} rows x {wtot} stacked slots: the VMEM-resident x window / "
+            "slot blocks exceed the kernel budget (gell_stack_supported)"
+        )
+    vp4 = np.zeros((T, wtot, SUB, LANE), np.float32)
+    vp4lo = np.zeros((T, wtot, SUB, LANE), np.float32) if dd else None
+    lp4 = np.empty((T, wtot, SUB, LANE), np.int16)
+    lp4[:] = (lo_b * LANE).astype(np.int16)[None, :, None, None]
+    if not native.stack_fill(
+        n, width, vals, cols, valid, pbl, W_el, S, base, wtot, dd,
+        vp4, vp4lo, lp4,
+    ):
+        return None
+    return GellStackMatrix(
+        vals3=jnp.asarray(vp4),
+        vals3lo=jnp.asarray(vp4lo) if dd else None,
+        li3=jnp.asarray(lp4),
+        n=n,
+        wtot=wtot,
+        strips=tuple(strips_meta),
+        pbl=pbl,
+        xp_chunks=int(xp_chunks),
+        total_nrow=ell.total_nrow or n,
+        nnz_count=int(ell.nnz),
+    )
+
+
+def prepare_gell_stack(
+    ell, *, strip_chunks: int = 16, use_native: bool | None = None
+) -> GellStackMatrix:
     """Host-side preprocessing of an EllMatrix into strip-bucketed form.
 
     f64 matrices split into exact (hi, lo) f32 planes for the compensated
     strip-gather kernel. Raises ValueError when the VMEM-resident x / slot
-    blocks exceed the kernel budget."""
+    blocks exceed the kernel budget.
+
+    use_native: None = prefer the csrc fast path (exactly equal output,
+    tests/test_gell_stack.py pins it) with NumPy fallback; False forces
+    NumPy; True raises if the native library is unavailable."""
     import numpy as np
 
     if ell.start_row != 0:
         raise ValueError("prepare_gell_stack needs the assembled matrix")
+    nat = _prepare_gell_stack_native(
+        ell, strip_chunks=strip_chunks, use_native=use_native
+    )
+    if nat is not None:
+        return nat
+    if use_native is True:
+        from hpccg_tpu import native
+
+        if not native.available():
+            raise RuntimeError("native stack prep unavailable (csrc not built?)")
+        # degenerate matrix (empty / all-invalid): the NumPy branch owns it
     n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
     W_el = strip_chunks * LANE
     pbl = _cdiv(bw_lo, LANE) * LANE

@@ -380,3 +380,32 @@ def test_distributed_stack_spmv_bench_tier():
     got = np.asarray(make_loop(2)(v))
     want = np.asarray(S.matvec(S.matvec(v) / 54.0)) / 54.0
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("case", ["f32", "f64"])
+def test_native_prep_equals_numpy_prep(case):
+    """The csrc stack prep (hpccg_stack_scan/fill) must produce BITWISE the
+    same operator as the NumPy path — same stable sort order, strip
+    bucketing, parking indices, and double-float splits."""
+    from hpccg_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    A = (
+        _wide_scatter(8192, 7, 2500, seed=30)
+        if case == "f32"
+        else _wide_scatter_f64(8192, 7, 2500, seed=31)
+    )
+    for sc in (8, 32):
+        Sn = prepare_gell_stack(A, strip_chunks=sc, use_native=True)
+        Sp = prepare_gell_stack(A, strip_chunks=sc, use_native=False)
+        assert Sn.strips == Sp.strips
+        assert (Sn.wtot, Sn.pbl, Sn.xp_chunks) == (Sp.wtot, Sp.pbl, Sp.xp_chunks)
+        np.testing.assert_array_equal(np.asarray(Sn.vals3), np.asarray(Sp.vals3))
+        np.testing.assert_array_equal(np.asarray(Sn.li3), np.asarray(Sp.li3))
+        if case == "f64":
+            np.testing.assert_array_equal(
+                np.asarray(Sn.vals3lo), np.asarray(Sp.vals3lo)
+            )
+        else:
+            assert Sn.vals3lo is None and Sp.vals3lo is None
