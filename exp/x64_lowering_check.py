@@ -73,6 +73,74 @@ def check_gell():
     print(f"gell f32 (x64): rel err {rel32:.2e}")
 
 
+def check_stack():
+    """f32 + dd strip-bucketed gather stacks, real lowering, incl. the
+    sharded entry point (the dynamic_slice window path of
+    make_distributed_stack_cg at one shard)."""
+    from hpccg_tpu.operators import EllMatrix
+    from hpccg_tpu.ops.pallas.gell_stack import (
+        prepare_gell_stack,
+        spmv_gell_stack,
+        spmv_gell_stack_dd,
+        spmv_gell_stack_shard,
+        stack_shard_geometry,
+    )
+
+    rng = np.random.default_rng(9)
+    n, w = 4096, 5
+    cols = np.stack(
+        [np.arange(n)] + [rng.integers(0, n, n) for _ in range(w - 1)], axis=1
+    ).astype(np.int32)
+    vals = rng.standard_normal((n, w)) * (1 + 1e-9 * rng.standard_normal((n, w)))
+    x = rng.standard_normal(n)
+    yref = np.zeros(n)
+    np.add.at(yref, np.repeat(np.arange(n), w), (vals * x[cols]).ravel())
+    scale = np.abs(yref).max()
+
+    ell64 = EllMatrix(
+        vals=jnp.asarray(vals, jnp.float64),
+        cols=jnp.asarray(cols, jnp.int32),
+        valid=jnp.ones((n, w), bool),
+        start_row=0,
+        total_nrow=n,
+    )
+    S64 = prepare_gell_stack(ell64, strip_chunks=8)
+    y = np.asarray(
+        spmv_gell_stack_dd(S64, jnp.asarray(x), interpret=INTERPRET)
+    )
+    rel = np.abs(y - yref).max() / scale
+    assert rel < 1e-12, f"dd stack rel err {rel}"
+    print(f"stack dd (x64): rel err {rel:.2e}")
+
+    import dataclasses
+
+    S32 = prepare_gell_stack(
+        dataclasses.replace(ell64, vals=jnp.asarray(vals, jnp.float32)),
+        strip_chunks=8,
+    )
+    y32 = np.asarray(
+        spmv_gell_stack(S32, jnp.asarray(x, jnp.float32), interpret=INTERPRET)
+    )
+    rel32 = np.abs(y32 - yref).max() / scale
+    assert rel32 < 1e-5, f"f32 stack under x64 rel err {rel32}"
+    print(f"stack f32 (x64): rel err {rel32:.2e}")
+
+    # sharded entry at one shard: pad the global x and slice at shard 0 —
+    # the exact program make_distributed_stack_cg runs per device
+    T_l, xw_chunks = stack_shard_geometry(S32, 1)
+    ysh = np.asarray(
+        spmv_gell_stack_shard(
+            S32.vals3, S32.li3, jnp.asarray(x, jnp.float32),
+            jnp.int32(0), strips=S32.strips, pbl=S32.pbl,
+            xp_chunks=S32.xp_chunks, xw_chunks=xw_chunks,
+            interpret=INTERPRET,
+        )
+    )[:n]
+    relsh = np.abs(ysh - yref).max() / scale
+    assert relsh < 1e-5, f"stack shard rel err {relsh}"
+    print(f"stack shard f32 (x64): rel err {relsh:.2e}")
+
+
 def check_dia_dd():
     """dd blocked-DIA matvec (the chip-proven tier — cheap
     canary that the shared spec/roll pinning stays intact)."""
@@ -152,6 +220,7 @@ def main():
         )
     check_dia_dd()
     check_gell()
+    check_stack()
     check_stencil_dd()
     check_stencil_f32_under_x64()
     print("X64 LOWERING CHECK OK" + (" (interpret smoke)" if INTERPRET else ""))
