@@ -213,7 +213,11 @@ def main(argv=None) -> int:
             }
         )
     if args.pod_model and results:
-        from hpccg_tpu.utils.podmodel import PodModelParams, predict_weak_scaling
+        from hpccg_tpu.utils.podmodel import (
+            PodModelParams,
+            predict_strong_scaling,
+            predict_weak_scaling,
+        )
 
         # basis: the smallest measured mesh (ideally 1 — pure per-shard
         # compute, no communication in the measured number)
@@ -221,13 +225,24 @@ def main(argv=None) -> int:
         t_compute = base["cg_iter_us"] * 1e-6
         nx_, ny_ = base["local_dims"][0], base["local_dims"][1]
         params = PodModelParams(ici_domain=args.ici_domain)
-        preds = predict_weak_scaling(
-            t_compute,
-            nx=nx_,
-            ny=ny_,
-            itemsize=dtype.itemsize,
-            params=params,
-        )
+        if args.mode == "strong":
+            # strong protocol: the basis must be the WHOLE global problem
+            # on one chip (t_compute then divides by N in the model)
+            preds = predict_strong_scaling(
+                t_compute * base["mesh"],
+                nx=nx_,
+                ny=ny_,
+                itemsize=dtype.itemsize,
+                params=params,
+            )
+        else:
+            preds = predict_weak_scaling(
+                t_compute,
+                nx=nx_,
+                ny=ny_,
+                itemsize=dtype.itemsize,
+                params=params,
+            )
         emit(
             {
                 "pod_model": {

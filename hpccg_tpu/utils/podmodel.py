@@ -154,3 +154,41 @@ def predict_weak_scaling(
         for nd in meshes
         for m in methods
     ]
+
+
+def predict_strong_scaling(
+    t_compute_1_s: float,
+    *,
+    nx: int,
+    ny: int,
+    itemsize: int,
+    meshes=(4, 8, 16, 64, 256),
+    methods=("cg", "cg1", "pipecg"),
+    params: PodModelParams = PodModelParams(),
+) -> list:
+    """Pod predictions for the reference STRONG-scaling protocol
+    (strongScalingRunScript:6-12 — fixed global domain, nz divided across
+    ranks): per-shard compute is modeled as t_compute_1 / N (the kernels
+    are bandwidth-bound, so time ~ local rows — optimistic once a shard
+    shrinks into the VMEM-resident regime, stated here rather than
+    hidden), while the exchanged nx*ny halo plane and the allreduce
+    latency do NOT shrink — the classic strong-scaling wall the model
+    makes explicit. strong_efficiency = t_iter(1) / (N * t_iter(N))."""
+    rows = []
+    for nd in meshes:
+        for m in methods:
+            r = predict_iteration(
+                t_compute_1_s / nd,
+                nx=nx,
+                ny=ny,
+                itemsize=itemsize,
+                ndev=nd,
+                method=m,
+                params=params,
+            )
+            r.pop("weak_efficiency", None)
+            r["strong_efficiency"] = round(
+                t_compute_1_s / (nd * r["t_iter_us"] * 1e-6), 4
+            )
+            rows.append(r)
+    return rows

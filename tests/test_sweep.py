@@ -128,6 +128,33 @@ def test_pod_model_predictions():
     assert big["t_iter_us"] > by[(256, "cg")]["t_iter_us"]
 
 
+def test_pod_model_strong_scaling():
+    """Strong predictions: compute divides by N while the comm terms do
+    not — efficiency degrades monotonically and is bounded by the weak
+    point's (the strong-scaling wall, ref strongScalingRunScript)."""
+    from hpccg_tpu.utils.podmodel import predict_strong_scaling
+
+    t1 = 2e-3  # whole-problem single-chip iteration
+    rows = predict_strong_scaling(t1, nx=64, ny=64, itemsize=4,
+                                  meshes=(4, 16, 256))
+    by = {(r["ndev"], r["method"]): r for r in rows}
+    assert all("strong_efficiency" in r and "weak_efficiency" not in r for r in rows)
+    assert (
+        by[(4, "cg")]["strong_efficiency"]
+        > by[(16, "cg")]["strong_efficiency"]
+        > by[(256, "cg")]["strong_efficiency"]
+    )
+    # per-shard compute shrank N-fold (t_compute_us rounds to 3 decimals)
+    assert abs(by[(256, "cg")]["t_compute_us"] - t1 / 256 * 1e6) < 1e-3
+    # one-reduction methods win at fixed mesh
+    for nd in (4, 16, 256):
+        assert (
+            by[(nd, "pipecg")]["strong_efficiency"]
+            >= by[(nd, "cg1")]["strong_efficiency"]
+            >= by[(nd, "cg")]["strong_efficiency"]
+        )
+
+
 @pytest.mark.quick
 def test_sweep_pod_model_emits(capsys):
     """--pod-model appends the prediction block after the measured points."""
