@@ -441,3 +441,66 @@ def solve_n(A, b, ndev, iters):
     return make_distributed_dia_cg(make_mesh(ndev), max_iter=iters, tolerance=0.0)(
         A, b, _jnp.zeros_like(b)
     )
+
+
+@pytest.mark.slow
+def test_file_mesh_wide_scatter_rides_stack(tmp_path):
+    """An f32 wide-scatter file under --mesh: auto_structure books the
+    strip stack and the CLI distributes it through the tile-sharded
+    all-gathered-x path (round 4), with finite kernel rows naming the
+    stack tier — instead of the round-4-early fallback to take-gather ELL."""
+    import contextlib
+    import io as _io
+
+    from hpccg_tpu.models.stencil import Problem
+    from hpccg_tpu.operators import EllMatrix
+
+    rng = np.random.default_rng(7)
+    n, width = 6000, 5
+    cols = np.stack(
+        [np.arange(n)] + [rng.integers(0, n, n) for _ in range(width - 1)],
+        axis=1,
+    ).astype(np.int32)
+    vals = np.concatenate(
+        [np.full((n, 1), 8.0), rng.uniform(-1, -0.1, (n, width - 1))], axis=1
+    ).astype(np.float32)
+    A = EllMatrix(
+        vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+        valid=jnp.ones((n, width), bool), start_row=0, total_nrow=n,
+    )
+    b = A.matvec(jnp.ones((n,), jnp.float32))
+    prob = Problem(
+        A=A, b=b, x0=jnp.zeros_like(b), xexact=jnp.ones_like(b),
+        total_nrow=n, total_nnz_model=n * width, total_nnz_exact=n * width,
+    )
+    path = str(tmp_path / "wide.dat")
+    write_hpc_row(path, prob)
+
+    from hpccg_tpu.cli import main
+
+    def run(argv):
+        buf = _io.StringIO()
+        err = _io.StringIO()
+        with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(err):
+            rc = main(argv)
+        assert rc == 0, err.getvalue()
+        out = buf.getvalue()
+        return json.loads(out[out.index("{"):]), err.getvalue()
+
+    base = [path, "--dtype", "float32", "--max-iter", "12", "--json", "--quiet"]
+    r1, _ = run(base + ["--skip-kernel-bench"])
+    r8, err8 = run(base + ["--mesh", "8"])
+    # structure detection booked the stack in both runs
+    assert "gstack" in err8, err8
+    # the distributed solve rode the stack tier, not the ELL fallback
+    note = [k for k in r8["Time Summary"] if "backend=" in k]
+    assert note and "distributed:stack-allgather" in note[0], note
+    ts = r8["Time Summary"]
+    for row in ("DDOT    ", "WAXPBY  ", "SPARSEMV"):
+        assert np.isfinite(ts[row]), (row, ts)
+    bench_note = [k for k in ts if "SPARSEMV row benches" in k]
+    assert bench_note and "stack-allgather" in bench_note[0]
+    # same solve as single-device (f32 reduction-order tolerance)
+    np.testing.assert_allclose(
+        r8["Final residual"], r1["Final residual"], rtol=5e-3, atol=1e-6
+    )
