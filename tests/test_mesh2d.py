@@ -220,3 +220,35 @@ def test_sweep_mesh_2d_point(capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     pts = [l for l in lines if l.get("mesh") == 8]
     assert pts and pts[0]["mesh_axes"] == ["host", "z"]
+
+
+def test_mesh2d_stack_matches_1d():
+    """The wide-scatter stack tier over the ('host','z') product axis:
+    axis_index/all_gather on the flattened tuple axis reproduce the 1-D
+    mesh solve bit-for-bit (same shard layout, same reduction tree shape)."""
+    from hpccg_tpu.operators import EllMatrix
+    from hpccg_tpu.ops.pallas.gell_stack import prepare_gell_stack
+    from hpccg_tpu.parallel import make_distributed_stack_cg
+
+    rng = np.random.default_rng(5)
+    n = 1024 * HOSTS * CHIPS
+    cols = np.stack(
+        [np.arange(n), rng.integers(0, n, n), rng.integers(0, n, n)], axis=1
+    ).astype(np.int32)
+    vals = np.concatenate(
+        [np.full((n, 1), 8.0), rng.uniform(-1, -0.1, (n, 2))], axis=1
+    ).astype(np.float32)
+    ell = EllMatrix(
+        vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+        valid=jnp.ones((n, 3), bool), total_nrow=n,
+    )
+    S = prepare_gell_stack(ell, strip_chunks=8)
+    b = ell.matvec(jnp.ones((n,), jnp.float32))
+    x0 = jnp.zeros_like(b)
+    r1 = make_distributed_stack_cg(make_mesh(HOSTS * CHIPS), max_iter=8)(S, b, x0)
+    mesh2 = make_mesh2d(HOSTS, CHIPS)
+    r2 = make_distributed_stack_cg(mesh2, max_iter=8, axis=row_axis(mesh2))(
+        S, b, x0
+    )
+    np.testing.assert_array_equal(np.asarray(r2.trace), np.asarray(r1.trace))
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r1.x))
