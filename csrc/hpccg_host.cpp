@@ -130,6 +130,85 @@ int64_t hpccg_tokenize_range(const char* path, int64_t skip, double* out,
 }
 
 // ---------------------------------------------------------------------------
+// Chained-cursor variant of the range tokenizer: start parsing at an
+// absolute BYTE offset, skip `skip` tokens, emit up to `cap`, and (when
+// end_byte != nullptr) report the byte offset just past the last consumed
+// token — the next call resumes there with zero re-parsing. This turns the
+// distributed loader's per-device reads into ONE forward pass per file
+// section instead of O(devices) token-skip re-parses from byte 0
+// (tokens are whitespace-delimited, so resuming at a token boundary is
+// safe). Returns tokens written, -1 on IO error, -2 on an over-wide token.
+// ---------------------------------------------------------------------------
+int64_t hpccg_tokenize_range_at(const char* path, int64_t start_byte,
+                                int64_t skip, double* out, int64_t cap,
+                                int64_t* end_byte) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  if (start_byte > 0 && std::fseek(f, (long)start_byte, SEEK_SET) != 0) {
+    std::fclose(f);
+    return -1;
+  }
+  const size_t CH = 1 << 20;
+  char* buf = static_cast<char*>(std::malloc(CH + 1));
+  if (!buf) {
+    std::fclose(f);
+    return -1;
+  }
+  size_t have = 0;
+  int64_t base = start_byte;  // absolute file offset of buf[0]
+  int64_t last_end = start_byte;
+  int64_t to_skip = skip;
+  int64_t emitted = 0;
+  bool eof = false;
+  // skip-only calls (cap == 0) still consume their tokens so end_byte
+  // lands after the skipped section
+  while (to_skip > 0 || emitted < cap || out == nullptr) {
+    if (!eof) {
+      size_t rd = std::fread(buf + have, 1, CH - have, f);
+      if (rd < CH - have) eof = true;
+      have += rd;
+    }
+    buf[have] = '\0';
+    char* p = buf;
+    char* end = buf + have;
+    while (p < end && (to_skip > 0 || emitted < cap)) {
+      char* next = nullptr;
+      errno = 0;
+      double v = std::strtod(p, &next);
+      if (next == p) {
+        ++p;  // non-numeric byte
+        continue;
+      }
+      if (next == end && !eof) break;  // token may continue in next window
+      if (to_skip > 0) {
+        --to_skip;
+      } else {
+        if (out) out[emitted] = v;
+        ++emitted;
+      }
+      last_end = base + (int64_t)(next - buf);
+      p = next;
+    }
+    if (to_skip <= 0 && emitted >= cap && out != nullptr) break;
+    size_t tail = static_cast<size_t>(end - p);
+    if (tail == have && have == CH) {  // no progress: token wider than window
+      std::free(buf);
+      std::fclose(f);
+      return -2;
+    }
+    base += (int64_t)(p - buf);
+    std::memmove(buf, p, tail);
+    have = tail;
+    if (eof && tail == 0) break;
+    if (eof && tail == have && p == buf) break;  // nothing parseable left
+  }
+  std::free(buf);
+  std::fclose(f);
+  if (end_byte) *end_byte = last_end;
+  return emitted;
+}
+
+// ---------------------------------------------------------------------------
 // Streaming block scan for the HPC-row format: one bounded-memory pass over
 // the header + ALL per-row counts, returning [total_nrow, total_nnz,
 // prefix_nnz_before_block, block_nnz, block_max_count, global_max_count]

@@ -322,8 +322,22 @@ def main(argv=None) -> int:
             # unchanged, io.pad_problem_rows)
             pad_unit = args.mesh * 128 if want_collective else args.mesh
             if isinstance(prob.A, GellStackMatrix):
-                pad_unit = args.mesh * 1024
-            prob = pad_problem_rows(prob, pad_unit)
+                try:
+                    # padding re-preps the stack, whose VMEM gate can fail
+                    # at the grown tile count — fall back BEFORE solving
+                    prob = pad_problem_rows(prob, args.mesh * 1024)
+                except ValueError as e:
+                    from hpccg_tpu.ops.pallas.gell_stack import stack_to_ell
+
+                    print(
+                        f"# stack tier cannot pad to whole tiles: {e}; "
+                        "using the all-gather ELL path",
+                        file=sys.stderr,
+                    )
+                    prob = _dc.replace(prob, A=stack_to_ell(prob.A))
+                    prob = pad_problem_rows(prob, pad_unit)
+            else:
+                prob = pad_problem_rows(prob, pad_unit)
             A = prob.A
             L = prob.total_nrow // args.mesh
 
@@ -412,15 +426,12 @@ def main(argv=None) -> int:
                     backend_used = "distributed:dia-collective"
                 else:
                     collective_explained = True
-                    dropped = (
-                        f" (and ignoring --method {args.method}: the "
-                        "fallback runs the reference cg recurrence)"
-                        if args.method != "cg"
-                        else ""
-                    )
+                    # the fallback tiers honor --method too (round 4:
+                    # _method_runner) — say which recurrence actually runs
                     print(
                         f"# collective unavailable: {c_reason}; falling "
-                        f"back{dropped}",
+                        f"back (the fallback tier runs --method "
+                        f"{args.method})",
                         file=sys.stderr,
                     )
             dia_halo_ok = True

@@ -245,6 +245,24 @@ def _scan_block(path: str, start_row: int, block_rows: int):
     return _scan_block_py(path, start_row, block_rows)
 
 
+def _assemble_ell_block(block_rows: int, width: int, counts, pairs):
+    """Scatter a row block's (val, ind) token pairs into padded ELL arrays
+    (shared by _read_block and the chained sharded reader)."""
+    vals = np.zeros((block_rows, max(width, 1)))
+    cols = np.zeros((block_rows, max(width, 1)), np.int32)
+    valid = np.zeros((block_rows, max(width, 1)), bool)
+    if block_rows:  # an empty block (all rows are pad) scatters nothing —
+        # the offsets/counts broadcast below is ill-shaped at zero rows
+        block_nnz = int(np.sum(counts))
+        row_ids = np.repeat(np.arange(block_rows), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot_ids = np.arange(block_nnz) - np.repeat(offsets, counts)
+        vals[row_ids, slot_ids] = pairs[0::2]
+        cols[row_ids, slot_ids] = pairs[1::2].astype(np.int64)
+        valid[row_ids, slot_ids] = True
+    return vals, cols, valid
+
+
 def _read_block(path: str, start_row: int, block_rows: int, *, dtype, width=None):
     """Bounded-memory read of rows [start_row, start_row+block_rows) of an
     HPC-row file — the reference's per-rank read (read_HPC_row.cpp:255-293
@@ -273,15 +291,7 @@ def _read_block(path: str, start_row: int, block_rows: int, *, dtype, width=None
     if triples.size < 3 * block_rows:
         raise ValueError(f"{path}: truncated x/b/xexact section")
 
-    vals = np.zeros((block_rows, max(width, 1)))
-    cols = np.zeros((block_rows, max(width, 1)), np.int32)
-    valid = np.zeros((block_rows, max(width, 1)), bool)
-    row_ids = np.repeat(np.arange(block_rows), counts)
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    slot_ids = np.arange(block_nnz) - np.repeat(offsets, counts)
-    vals[row_ids, slot_ids] = pairs[0::2]
-    cols[row_ids, slot_ids] = pairs[1::2].astype(np.int64)
-    valid[row_ids, slot_ids] = True
+    vals, cols, valid = _assemble_ell_block(block_rows, width, counts, pairs)
     cdt = np.dtype(jnp.zeros((), dtype).dtype)
     A = EllMatrix(
         vals=vals.astype(cdt),
@@ -308,6 +318,83 @@ def read_hpc_row_block(path: str, rank: int, size: int, *, dtype=jnp.float64):
     start = rank * base + min(rank, rem)
     rows = base + (1 if rank < rem else 0)
     return _read_block(path, start, rows, dtype=dtype)
+
+
+def _stream_local_blocks(path, plan, total_nrow, total_nnz, dtype):
+    """Per-device (vals, cols, valid, x, b, xexact) host blocks for the
+    sharded reader.
+
+    With the native chained-cursor tokenizer each file section streams in
+    ONE forward pass for the whole process (the per-device blocks are
+    adjacent): header -> counts -> local (val, ind) pairs -> local triples,
+    so a pod-scale file costs ~1.5 full parses per process instead of the
+    3-per-device token-skip re-parses from byte 0 the naive plan pays.
+    Falls back to per-device _read_block without the native library."""
+    cdt = np.dtype(jnp.zeros((), dtype).dtype)
+    try:
+        from hpccg_tpu import native
+
+        chain_ok = native.available()
+    except ImportError:
+        chain_ok = False
+    if not chain_ok:
+        out = []
+        width = None
+        for _dev, start, _stop, real, _pad in plan:
+            # a block that is ALL pad (tiny file on a big mesh) still scans
+            # the header for the global width; clamp its start into the file
+            A, x, b, xexact, _ = _read_block(
+                path, min(start, total_nrow), real, dtype=dtype, width=width
+            )
+            width = A.vals.shape[1]
+            out.append(
+                (np.asarray(A.vals), np.asarray(A.cols), np.asarray(A.valid),
+                 x, b, xexact)
+            )
+        return out
+
+    # ONE scan covers every local row: prefix nnz, per-row counts, and the
+    # global max count (the uniform ELL width every process derives)
+    fs = min(min(min(s, total_nrow) for _d, s, *_ in plan), total_nrow)
+    local_rows = sum(r for _d, _s, _st, r, _p in plan)
+    (_tn, _tz, prefix, _bn, _bm, gmax, counts_local) = _scan_block(
+        path, fs, local_rows
+    )
+    width = max(int(gmax), 1)
+    _hdr, hdr_end = native.tokenize_range_at(path, 0, 0, 2)
+    _z, counts_end = native.tokenize_range_at(path, hdr_end, total_nrow, 0)
+
+    out = []
+    cursor, skip, row0, consumed = counts_end, 2 * int(prefix), 0, int(prefix)
+    for _dev, _start, _stop, real, _pad in plan:
+        cnts = counts_local[row0 : row0 + real]
+        row0 += real
+        bn = int(cnts.sum())
+        pairs, cursor = native.tokenize_range_at(path, cursor, skip, 2 * bn)
+        skip = 0
+        if pairs.size < 2 * bn:
+            raise ValueError(f"{path}: truncated (val, ind) section")
+        consumed += bn
+        out.append(list(_assemble_ell_block(real, width, cnts, pairs)))
+
+    # x/b/xexact triples: skip the tail of the pairs section once, then chain
+    _z, cur3 = native.tokenize_range_at(
+        path, cursor, 2 * (total_nnz - consumed), 0
+    )
+    skip = 3 * fs
+    for i, (_dev, _start, _stop, real, _pad) in enumerate(plan):
+        triples, cur3 = native.tokenize_range_at(path, cur3, skip, 3 * real)
+        skip = 0
+        if triples.size < 3 * real:
+            raise ValueError(f"{path}: truncated x/b/xexact section")
+        vals, cols, valid = out[i]
+        out[i] = (
+            vals.astype(cdt), cols, valid,
+            triples[0::3].astype(cdt),
+            triples[1::3].astype(cdt),
+            triples[2::3].astype(cdt),
+        )
+    return out
 
 
 def read_hpc_row_sharded(path: str, mesh, *, axis="z", dtype=jnp.float64):
@@ -345,22 +432,27 @@ def read_hpc_row_sharded(path: str, mesh, *, axis="z", dtype=jnp.float64):
     # multi-axis row meshes alike)
     idx_map = vec_sh.addressable_devices_indices_map((n_pad,))
 
-    width = None
-    mats = {"vals": [], "cols": [], "valid": []}
-    vecs = {"x": [], "b": [], "xexact": []}
-    devs = []
+    # device -> (start, stop, real, pad), host-major ascending (contiguous
+    # local rows per process)
+    plan = []
     for dev, idx in sorted(
         idx_map.items(), key=lambda kv: kv[1][0].start or 0
     ):
         sl = idx[0]
         start, stop = sl.start or 0, sl.stop if sl.stop is not None else n_pad
         real = max(0, min(stop, total_nrow) - start)
-        pad = (stop - start) - real
-        A, x, b, xexact, _ = _read_block(
-            path, start, real, dtype=dtype, width=width
-        )
-        width = A.vals.shape[1]  # global max from the first scan
-        av, ac, am = np.asarray(A.vals), np.asarray(A.cols), np.asarray(A.valid)
+        plan.append((dev, start, stop, real, (stop - start) - real))
+
+    blocks = _stream_local_blocks(path, plan, total_nrow, total_nnz, dtype)
+
+    width = None
+    mats = {"vals": [], "cols": [], "valid": []}
+    vecs = {"x": [], "b": [], "xexact": []}
+    devs = []
+    for (dev, start, stop, real, pad), (av, ac, am, x, b, xexact) in zip(
+        plan, blocks
+    ):
+        width = av.shape[1]
         if pad:
             # identity pad rows, decoupled: solve to exactly 0
             av = np.concatenate([av, np.zeros((pad, width), av.dtype)])

@@ -76,6 +76,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
     ]
+    lib.hpccg_tokenize_range_at.restype = ctypes.c_int64
+    lib.hpccg_tokenize_range_at.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.hpccg_scan_block.restype = ctypes.c_int32
     lib.hpccg_scan_block.argtypes = [
         ctypes.c_char_p,
@@ -195,6 +204,26 @@ def tokenize_range(path: str, skip: int, count: int) -> Optional[np.ndarray]:
     if got < 0:
         raise IOError(f"cannot stream {path} (rc={got})")
     return out[:got]
+
+
+def tokenize_range_at(path: str, start_byte: int, skip: int, count: int):
+    """Chained-cursor range tokenizer: parse from an absolute byte offset,
+    skip ``skip`` tokens, return (tokens[:got], end_byte) where end_byte is
+    the offset just past the last consumed token — pass it back as the next
+    call's start_byte for one-forward-pass section streaming. Returns None
+    if the native library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    out = np.empty(max(count, 0), np.float64)
+    end = ctypes.c_int64(start_byte)
+    got = lib.hpccg_tokenize_range_at(
+        path.encode(), start_byte, skip, _ptr(out, ctypes.c_double), count,
+        ctypes.byref(end),
+    )
+    if got < 0:
+        raise IOError(f"cannot stream {path} (rc={got})")
+    return out[:got], int(end.value)
 
 
 def scan_block(path: str, start_row: int, block_rows: int):

@@ -97,11 +97,16 @@ def _strip_runs(sid, valid):
 
 def gell_stack_supported(n: int, max_end_chunk: int, wtot: int, dd: bool = False) -> bool:
     """True when the padded x (VMEM-resident, like gell_kernel) plus the
-    double-buffered slot blocks fit the kernel budget."""
+    double-buffered slot blocks fit the kernel budget. Per slot element the
+    tile blocks stream vals f32 (+ lo f32 for dd) + li i16, DOUBLE-buffered
+    by the pipeline: 12 B f32 / 20 B dd — wtot is unbounded in this tier
+    (unlike gell_kernel's width <= 64), so the accounting must be honest or
+    near-budget matrices pass the gate and die in Mosaic instead of taking
+    the designed fallback."""
     if wtot <= 0:
         return False
     xp_bytes = (8 if dd else 4) * max_end_chunk * LANE
-    blocks = (6 if dd else 4) * wtot * SUB * LANE  # (vals f32 + li i16) x2
+    blocks = (20 if dd else 12) * wtot * SUB * LANE
     return xp_bytes + blocks + (4 << 20) <= STACK_VMEM_LIMIT
 
 
@@ -679,14 +684,21 @@ def stack_to_ell(A: GellStackMatrix):
     )
 
 
-def stack_cost_model(ell, *, strip_chunks: int = 16):
+def stack_cost_model(ell, *, strip_chunks: int = 16, _norm=None):
     """(ok, gnnz_rate, wtot) — the chooser's model WITHOUT building the
     operator: per-slot cost ~ 0.027 + 0.0014 * k ns (gell_kernel's measured
     fit, k = the strip window's chunk count) divided by the slot inflation
-    wtot * n / nnz. One vectorized pass over the entries."""
+    wtot * n / nnz. One vectorized pass over the entries.
+
+    ``_norm``: a precomputed _normalize_sorted(ell) tuple — the chooser
+    sweeps several strip widths and the per-row column sort is identical
+    across them (auto_structure passes it once instead of paying ~4
+    full-matrix sorts)."""
     import numpy as np
 
-    n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
+    n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = (
+        _norm if _norm is not None else _normalize_sorted(ell)
+    )
     if dd and jax.default_backend() != "tpu":
         # the interpret-mode dd strip gather off-chip is slower than the
         # exact XLA/ELL paths (same policy as gell_kernel's dd tier)

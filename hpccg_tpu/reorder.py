@@ -289,14 +289,19 @@ def auto_structure(
         # backend and halves the rate); the model sweeps the strip width
         # and books the best.
         if allow_gell and no_stored_zeros:
+            from hpccg_tpu.ops.pallas.gell_kernel import _normalize_sorted
             from hpccg_tpu.ops.pallas.gell_stack import (
                 prepare_gell_stack,
                 stack_cost_model,
             )
 
+            # one per-row column sort serves all four strip widths
+            norm = _normalize_sorted(mat)
             best = None
             for sc in (8, 16, 32, 64):
-                s_ok, s_rate, _wtot = stack_cost_model(mat, strip_chunks=sc)
+                s_ok, s_rate, _wtot = stack_cost_model(
+                    mat, strip_chunks=sc, _norm=norm
+                )
                 if s_ok and (best is None or s_rate > best[1]):
                     best = (sc, s_rate)
             if best is not None:

@@ -219,17 +219,31 @@ def main(argv=None) -> int:
             predict_weak_scaling,
         )
 
-        # basis: the smallest measured mesh (ideally 1 — pure per-shard
-        # compute, no communication in the measured number)
+        # basis: MUST be a mesh-1 point — a multi-device measurement
+        # already contains allreduce/halo time, and the model would add
+        # its own comm terms on top (silently biased predictions)
         base = min(results, key=lambda r: r["mesh"])
+        if base["mesh"] != 1:
+            emit(
+                {
+                    "pod_model": {
+                        "skipped": (
+                            "needs a mesh-1 measured point: the basis must "
+                            "be pure per-shard compute (measured mesh "
+                            f"{base['mesh']} already contains comm time)"
+                        )
+                    }
+                }
+            )
+            return 0
         t_compute = base["cg_iter_us"] * 1e-6
         nx_, ny_ = base["local_dims"][0], base["local_dims"][1]
         params = PodModelParams(ici_domain=args.ici_domain)
         if args.mode == "strong":
-            # strong protocol: the basis must be the WHOLE global problem
+            # strong protocol: the mesh-1 basis IS the whole global problem
             # on one chip (t_compute then divides by N in the model)
             preds = predict_strong_scaling(
-                t_compute * base["mesh"],
+                t_compute,
                 nx=nx_,
                 ny=ny_,
                 itemsize=dtype.itemsize,

@@ -116,12 +116,27 @@ def test_sharded_load_bounded_memory_and_parity(row_file, monkeypatch):
 
     monkeypatch.setattr(io_mod, "_tokenize_range", spy_range)
 
+    # the native chained-cursor plan bypasses _tokenize_range — spy its
+    # emit counts too (skip-only calls request 0 tokens and stream through
+    # a fixed window, so only `count` matters for the memory bound)
+    from hpccg_tpu import native
+
+    if native.available():
+        real_at = native.tokenize_range_at
+
+        def spy_at(p, start_byte, skip, count):
+            nonlocal max_request
+            max_request = max(max_request, count)
+            return real_at(p, start_byte, skip, count)
+
+        monkeypatch.setattr(native, "tokenize_range_at", spy_at)
+
     mesh = make_mesh(8)
     prob, x_file = read_hpc_row_sharded(path, mesh)
     # 280 rows / 8 devices = 35-row blocks; the largest single request is
     # one block's (val, ind) pairs: 2 * block_nnz <= 2 * 35 * 27 << the
     # whole file's ~10960 tokens
-    assert max_request <= 2 * 35 * 27
+    assert 0 < max_request <= 2 * 35 * 27  # > 0: the spies actually fired
     assert max_request < 2800  # ~a quarter of the file
 
     res = make_distributed_ell_cg(mesh, max_iter=20)(prob.A, prob.b, prob.x0)
@@ -176,3 +191,68 @@ def test_cli_stream_load(tmp_path, capsys):
     out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     assert out["Number of iterations"] == 14  # ref loop: k < max_iter
     assert np.isfinite(out["Time Summary"]["SPARSEMV"])
+
+
+def test_sharded_load_tiny_file_all_pad_devices(tmp_path):
+    """A file with fewer rows than devices: the trailing devices' blocks
+    are ALL pad (review finding — the empty-block scatter used to raise a
+    broadcast ValueError) and must come back as identity rows."""
+    from hpccg_tpu import ProblemConfig
+    from hpccg_tpu.models.stencil import generate_ell
+
+    prob_src = generate_ell(ProblemConfig(1, 2, 3))  # 6 rows
+    path = str(tmp_path / "tiny.dat")
+    write_hpc_row(path, prob_src)
+    mesh = make_mesh(8)
+    prob, _x = read_hpc_row_sharded(path, mesh)
+    assert prob.total_nrow == 8
+    vals = np.asarray(prob.A.vals)
+    valid = np.asarray(prob.A.valid)
+    for r in (6, 7):  # identity pad rows on the all-pad devices
+        assert vals[r, 0] == 1.0 and valid[r, 0]
+        assert not valid[r, 1:].any()
+    # the rank-block API tolerates size > rows too
+    from hpccg_tpu.io import read_hpc_row_block
+
+    A7, _x7, _b7, _xe7, _ = read_hpc_row_block(path, 7, 8)
+    assert A7.vals.shape[0] == 0
+
+
+def test_sharded_load_chained_equals_fallback(row_file, monkeypatch):
+    """The native chained-cursor section streaming must produce exactly
+    the per-device blocks of the per-device _read_block fallback."""
+    from hpccg_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    path, _ = row_file
+    mesh = make_mesh(8)
+    p_chain, x_chain = read_hpc_row_sharded(path, mesh)
+    monkeypatch.setattr(native, "available", lambda: False)
+    p_fall, x_fall = read_hpc_row_sharded(path, mesh)
+    np.testing.assert_array_equal(np.asarray(p_chain.A.vals), np.asarray(p_fall.A.vals))
+    np.testing.assert_array_equal(np.asarray(p_chain.A.cols), np.asarray(p_fall.A.cols))
+    np.testing.assert_array_equal(np.asarray(p_chain.A.valid), np.asarray(p_fall.A.valid))
+    for a, b in ((p_chain.b, p_fall.b), (x_chain, x_fall), (p_chain.xexact, p_fall.xexact)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tokenize_range_at_chaining(tmp_path):
+    """The chained-cursor tokenizer: resuming at end_byte continues exactly
+    where the previous call stopped; skip-only calls consume their tokens."""
+    from hpccg_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    path = str(tmp_path / "toks.txt")
+    with open(path, "w") as f:
+        f.write("1 2 3\n4.5 6e2 -7\n 8 9 10 11\n")
+    t, e1 = native.tokenize_range_at(path, 0, 0, 3)
+    assert list(t) == [1.0, 2.0, 3.0]
+    t2, e2 = native.tokenize_range_at(path, e1, 0, 2)
+    assert list(t2) == [4.5, 600.0]
+    _t3, e3 = native.tokenize_range_at(path, e2, 2, 0)  # skip-only
+    t4, _ = native.tokenize_range_at(path, e3, 0, 3)
+    assert list(t4) == [9.0, 10.0, 11.0]
+    t5, _ = native.tokenize_range_at(path, e1, 3, 2)  # skip + emit
+    assert list(t5) == [8.0, 9.0]
