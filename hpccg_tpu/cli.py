@@ -79,6 +79,18 @@ def build_argparser() -> argparse.ArgumentParser:
         "Chronopoulos-Gear single-reduction CG (1 fused psum/iter); pipecg: "
         "Ghysels-Vanroose pipelined CG (the psum overlaps the SpMV)",
     )
+    ap.add_argument(
+        "--rr-every",
+        type=int,
+        default=0,
+        metavar="K",
+        help="residual replacement for --method cg1/pipecg: re-anchor the "
+        "recurrence residual to the true b - A x every K iterations (one "
+        "extra matvec) — cures the f32 recurrence flush-to-zero on long "
+        "tolerance=0 runs; 0 = off. Applies to single-device and every "
+        "distributed shard_map tier (not the in-kernel collective "
+        "recurrences)",
+    )
     ap.add_argument("--report-file", action="store_true", help="also write the timestamped .yaml")
     ap.add_argument("--json", action="store_true", help="emit JSON instead of YAML")
     ap.add_argument("--quiet", action="store_true", help="suppress residual lines")
@@ -254,6 +266,7 @@ def main(argv=None) -> int:
         _esolve = make_distributed_ell_cg(
             mesh, max_iter=args.max_iter, tolerance=args.tolerance, axis=axis,
             method=args.method,
+                        replace_every=args.rr_every,
         )
         solve = partial(_esolve, prob.A)
         backend_used = "distributed:ell-allgather(stream)"
@@ -367,6 +380,7 @@ def main(argv=None) -> int:
                         mesh, max_iter=args.max_iter,
                         tolerance=args.tolerance, axis=axis,
                         method=args.method,
+                        replace_every=args.rr_every,
                     )
                     solve = partial(_ssolve, A)
                     backend_used = "distributed:stack-allgather"
@@ -393,6 +407,7 @@ def main(argv=None) -> int:
                         mesh, max_iter=args.max_iter,
                         tolerance=args.tolerance, axis=axis,
                         method=args.method,
+                        replace_every=args.rr_every,
                     )
                     solve = partial(_gsolve, shards)
                     backend_used = "distributed:gell-halo"
@@ -417,6 +432,12 @@ def main(argv=None) -> int:
                         f"RDMA halo + allreduce ({rec})",
                         file=sys.stderr,
                     )
+                    if args.rr_every:
+                        print(
+                            "# --rr-every does not apply to the in-kernel "
+                            "collective recurrences; ignoring",
+                            file=sys.stderr,
+                        )
                     _csolve = make_collective_dia_cg(
                         mesh, max_iter=args.max_iter,
                         tolerance=args.tolerance, axis=axis,
@@ -453,6 +474,7 @@ def main(argv=None) -> int:
                     mesh, max_iter=args.max_iter,
                     tolerance=args.tolerance, axis=axis,
                     method=args.method,
+                        replace_every=args.rr_every,
                 )
                 solve = partial(_dsolve, A)
                 backend_used = "distributed:dia-halo"
@@ -462,6 +484,7 @@ def main(argv=None) -> int:
                     mesh, max_iter=args.max_iter,
                     tolerance=args.tolerance, axis=axis,
                     method=args.method,
+                        replace_every=args.rr_every,
                 )
                 solve = partial(_esolve, prob.A)
                 backend_used = "distributed:ell-allgather"
@@ -535,6 +558,7 @@ def main(argv=None) -> int:
                 axis=axis,
                 backend=dist_backend,
                 method=args.method,
+                replace_every=args.rr_every,
             )
             backend_used = f"distributed:{dist_backend}"
         else:
@@ -571,6 +595,7 @@ def main(argv=None) -> int:
                 tolerance=args.tolerance,
                 backend=args.backend if args.backend != "collective" else "auto",
                 method=args.method,
+                replace_every=args.rr_every,
             )
 
     if solve is None:
@@ -595,6 +620,7 @@ def main(argv=None) -> int:
             tolerance=args.tolerance,
             backend=args.backend,
             method=args.method,
+            replace_every=args.rr_every,
         )
 
     if args.dump_matlab:

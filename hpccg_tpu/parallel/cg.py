@@ -33,7 +33,7 @@ def _result_specs(shard_spec: P) -> CGResult:
     return CGResult(x=shard_spec, niters=P(), normr=P(), rtrans=P(), trace=P())
 
 
-def _method_runner(method: str, axis: Axis):
+def _method_runner(method: str, axis: Axis, replace_every: int = 0):
     """run(matvec, b, x0, *, max_iter, tolerance) for use INSIDE shard_map,
     dispatching on the CG recurrence with mesh-reduced dot products:
     "cg" = the reference 2-allreduce recurrence (HPCCG.cpp:367,381),
@@ -64,6 +64,7 @@ def _method_runner(method: str, axis: Axis):
     def run(matvec, b, x0, *, max_iter, tolerance):
         return solver_fn(
             matvec, b, x0, max_iter=max_iter, tolerance=tolerance, dot2=pdot2,
+            replace_every=replace_every,
         )
 
     return run
@@ -170,6 +171,7 @@ def make_distributed_cg(
     axis: Axis = Z_AXIS,
     backend: str = "auto",
     method: str = "cg",
+    replace_every: int = 0,
 ):
     """Jitted distributed solve(b, x0) -> CGResult for the stencil operator.
 
@@ -226,6 +228,7 @@ def make_distributed_cg(
                     max_iter=max_iter,
                     tolerance=tolerance,
                     dot2=pdot2,
+                    replace_every=replace_every,
                 )
                 return CGResult(
                     x=unpad_plane3(op_local, res.x),
@@ -252,6 +255,7 @@ def make_distributed_cg(
                 max_iter=max_iter,
                 tolerance=tolerance,
                 dot2=pdot2,
+                replace_every=replace_every,
             )
 
         return solve_1red
@@ -493,6 +497,7 @@ def make_distributed_ell_cg(
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
     method: str = "cg",
+    replace_every: int = 0,
 ):
     """General explicit-matrix path: solve(A_global, b, x0) with A in padded
     ELL, rows sharded P(axis), columns global.
@@ -502,7 +507,7 @@ def make_distributed_ell_cg(
     (make_local_matrix.cpp) for matrices without z-stacked structure.
     """
     row_spec = P(axis, None)
-    run = _method_runner(method, axis)
+    run = _method_runner(method, axis, replace_every)
 
     @jax.jit
     @partial(
@@ -762,6 +767,7 @@ def make_distributed_gell_cg(
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
     method: str = "cg",
+    replace_every: int = 0,
 ):
     """Distributed CG for scattered-narrow-band explicit matrices: rows
     block-sharded, each shard running the windowed gather-ELL Pallas kernel
@@ -783,7 +789,7 @@ def make_distributed_gell_cg(
     )
 
     ndev = axis_size(mesh, axis)
-    run = _method_runner(method, axis)
+    run = _method_runner(method, axis, replace_every)
     # jitted solves memoized on the shards' static layout: jax.jit caches
     # per FUNCTION OBJECT, so defining the closure fresh on every call
     # would retrace (and re-lower) inside the caller's timed region
@@ -821,7 +827,7 @@ def make_distributed_gell_cg(
             pbl=shards.pbl,
             slot_bounds=shards.slot_bounds,
         )
-        jit_key = (L, bw_lo, bw_hi, dd, method, tuple(sorted(kw.items())))
+        jit_key = (L, bw_lo, bw_hi, dd, method, replace_every, tuple(sorted(kw.items())))
         cached = _jit_cache.get(jit_key)
         if cached is not None:
             return cached(vals4, vals4lo, li4, corr, b, x0)
@@ -873,6 +879,7 @@ def make_distributed_stack_cg(
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
     method: str = "cg",
+    replace_every: int = 0,
 ):
     """Distributed CG for the WIDE-scatter class: rows block-sharded, each
     shard running the strip-bucketed gather-stack kernel over its tiles on
@@ -897,7 +904,7 @@ def make_distributed_stack_cg(
     )
 
     ndev = axis_size(mesh, axis)
-    run = _method_runner(method, axis)
+    run = _method_runner(method, axis, replace_every)
     _jit_cache: dict = _BoundedCache()
 
     def solve(A, b, x0):
@@ -927,7 +934,7 @@ def make_distributed_stack_cg(
             xp_chunks=A.xp_chunks,
             xw_chunks=xw_chunks,
         )
-        jit_key = (T_l, wtot, dd, A.strips, A.pbl, A.xp_chunks, method)
+        jit_key = (T_l, wtot, dd, A.strips, A.pbl, A.xp_chunks, method, replace_every)
         cached = _jit_cache.get(jit_key)
         if cached is not None:
             return cached(v5, v5lo, l5, b, x0)
@@ -1016,6 +1023,7 @@ def make_distributed_dia_cg(
     tolerance: float = 0.0,
     axis: Axis = Z_AXIS,
     method: str = "cg",
+    replace_every: int = 0,
 ):
     """Distributed CG for a banded explicit matrix (DIA): rows block-sharded,
     halo = the bandwidth-wide boundary strips, exchanged with ppermute.
@@ -1045,7 +1053,7 @@ def make_distributed_dia_cg(
     from hpccg_tpu.operators import DiaMatrix
 
     ndev = axis_size(mesh, axis)
-    run = _method_runner(method, axis)
+    run = _method_runner(method, axis, replace_every)
     # jitted solves memoized on (tier, offsets, L, dtype): jax.jit caches
     # per FUNCTION OBJECT, so a fresh closure per call would retrace inside
     # the caller's timed region (cli.py times the post-warmup call)
@@ -1123,7 +1131,7 @@ def make_distributed_dia_cg(
             hi4 = jax.device_put(hi4, NamedSharding(mesh, P(axis)))
             lo4 = jax.device_put(lo4, NamedSharding(mesh, P(axis)))
 
-            jit_key = ("dd", offs, L, method)
+            jit_key = ("dd", offs, L, method, replace_every)
             cached = _jit_cache.get(jit_key)
             if cached is not None:
                 return cached(hi4, lo4, b, x0)
@@ -1172,7 +1180,7 @@ def make_distributed_dia_cg(
                 prepare_dia_shards(A, ndev), NamedSharding(mesh, P(axis))
             )
 
-            jit_key = ("pallas", offs, L, method)
+            jit_key = ("pallas", offs, L, method, replace_every)
             cached = _jit_cache.get(jit_key)
             if cached is not None:
                 return cached(data2s, b, x0)
@@ -1206,7 +1214,7 @@ def make_distributed_dia_cg(
 
         data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
 
-        jit_key = ("unroll", offs, L, str(jnp.dtype(A.dtype)), method)
+        jit_key = ("unroll", offs, L, str(jnp.dtype(A.dtype)), method, replace_every)
         cached = _jit_cache.get(jit_key)
         if cached is not None:
             return cached(data, b, x0)

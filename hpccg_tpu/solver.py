@@ -145,6 +145,7 @@ def cg_solve_single_reduction(
     max_iter: int,
     tolerance: float = 0.0,
     dot2: Optional[Callable] = None,
+    replace_every: int = 0,
 ) -> CGResult:
     """Chronopoulos–Gear single-reduction CG: ONE fused 2-scalar reduction
     per iteration instead of two (communication-reduced CG; cf. the retrieved
@@ -164,7 +165,16 @@ def cg_solve_single_reduction(
     f32 note: the recurrence residual decays BELOW the true residual's
     stagnation floor (~1e-7 relative) and eventually flushes to exact zero,
     terminating tolerance=0 runs around iteration ~140 at typical sizes —
-    long fixed-work benchmark runs should use method="cg" or f64.
+    long fixed-work benchmark runs should use method="cg", f64, or
+    ``replace_every``.
+
+    ``replace_every=K``: residual replacement (van der Vorst/Sleijpen-style)
+    — every K iterations the recurrence residual is replaced by the TRUE
+    residual b - A x (one extra matvec), re-anchoring the recurrence to the
+    stagnation floor instead of letting it flush to zero. In exact
+    arithmetic a no-op (f64 trajectory parity pinned in tests); the search
+    direction p is kept (no restart). Collectives inside the lax.cond
+    branch are fine under shard_map (replicated predicate).
     """
     if dot2 is None:
         def dot2(p1, p2):
@@ -193,6 +203,13 @@ def cg_solve_single_reduction(
         trace = trace.at[k].set(jnp.sqrt(gamma))
         x = x + alpha * p
         r = r - alpha * s
+        if replace_every:
+            r = jax.lax.cond(
+                k % replace_every == 0,
+                lambda x_, r_: b - matvec(x_),
+                lambda x_, r_: r_,
+                x, r,
+            )
         u = matvec(r)
         gamma_new, delta = dot2((r, r), (r, u))
         beta = gamma_new / gamma
@@ -219,6 +236,7 @@ def cg_solve_pipelined(
     max_iter: int,
     tolerance: float = 0.0,
     dot2: Optional[Callable] = None,
+    replace_every: int = 0,
 ) -> CGResult:
     """Ghysels–Vanroose pipelined CG: the iteration's single fused reduction
     overlaps the SpMV (arXiv 2105.06176 and the communication-hiding CG
@@ -232,6 +250,11 @@ def cg_solve_pipelined(
     cg1; in floating point the recurrences drift from true residuals
     somewhat faster than standard CG (same trajectory to ~1e-5 over typical
     run lengths; deep-convergence parity runs should use method="cg").
+
+    ``replace_every=K``: residual replacement — every K iterations r is
+    replaced by the true b - A x and w by A r (two extra matvecs at the
+    replacement step; those iterations do not hide the reduction), curing
+    the f32 recurrence flush like cg1's (see cg_solve_single_reduction).
     """
     if dot2 is None:
         def dot2(p1, p2):
@@ -261,6 +284,15 @@ def cg_solve_pipelined(
         x = x + alpha * p
         r = r - alpha * s
         w = w - alpha * z
+        if replace_every:
+            r, w = jax.lax.cond(
+                k % replace_every == 0,
+                lambda x_, r_, w_: (
+                    (lambda rt: (rt, matvec(rt)))(b - matvec(x_))
+                ),
+                lambda x_, r_, w_: (r_, w_),
+                x, r, w,
+            )
         gamma_new, delta = dot2((r, r), (w, r))
         q = matvec(w)  # independent of the in-flight reduction -> overlaps
         beta = gamma_new / gamma
@@ -429,9 +461,16 @@ def make_cg(
     tolerance: Optional[float] = None,
     backend: str = "auto",
     method: str = "cg",
+    replace_every: int = 0,
     config=None,
 ) -> Callable[[jax.Array, jax.Array], CGResult]:
     """Build a jitted single-device solver fn(b, x0) for operator A.
+
+    ``replace_every``: residual replacement interval for the one-reduction
+    methods (cg1/pipecg) — re-anchors the recurrence residual to the true
+    b - A x every K iterations, curing the f32 flush-to-zero; ignored for
+    method='cg' (its residual is already the recurrence the reference
+    tests).
 
     Solve parameters come from ``max_iter``/``tolerance`` or from a
     :class:`hpccg_tpu.SolverConfig` passed as ``config`` (explicit keywords
@@ -520,6 +559,7 @@ def make_cg(
                     pad_plane3(A, x0),
                     max_iter=max_iter,
                     tolerance=tolerance,
+                    replace_every=replace_every,
                 )
                 return CGResult(
                     x=unpad_plane3(A, res.x),
@@ -538,6 +578,7 @@ def make_cg(
                 x0,
                 max_iter=max_iter,
                 tolerance=tolerance,
+                replace_every=replace_every,
             )
 
         # explicit matrices enter as jit ARGUMENTS (see the cg branch below)
@@ -705,6 +746,7 @@ def cg_solve_refined(
     tolerance: float = 0.0,
     backend: str = "auto",
     method: str = "cg",
+    replace_every: int = 0,
 ) -> CGResult:
     """Mixed-precision iterative refinement: f32 inner CG solves, f64-quality
     result.
@@ -743,7 +785,7 @@ def cg_solve_refined(
     # reference recurrence's alpha = 0/0 NaN, see verify SKILL notes).
     inner = make_cg(
         A32, max_iter=inner_max_iter, tolerance=1e-6, backend=backend,
-        method=method,
+        method=method, replace_every=replace_every,
     )
 
     # exactly ONE emulated-f64 SpMV per outer round (it is the expensive op
