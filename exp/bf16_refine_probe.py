@@ -76,9 +76,14 @@ def main():
     k32 = int(hits[0]) if hits.size else -1
     t_full = time_solve(s32, b, x0)
     per_iter = t_full / max(int(res.niters), 1)
-    print(f"# {n}^3 f32 plain CG: rel {rel_target:g} at iter {k32} "
+    if k32 >= 0:
+        target_note = f"time-to-target ~{k32 * per_iter * 1e3:.1f} ms"
+    else:
+        target_note = f"target not reached in max_iter={max_iter}"
+    print(f"# {n}^3 f32 plain CG: rel {rel_target:g} at iter "
+          f"{k32 if k32 >= 0 else 'n/a'} "
           f"(floor rel {float(np.nanmin(trace))/normr0:.2e}); "
-          f"{per_iter*1e6:.0f} us/iter -> time-to-target ~{k32*per_iter*1e3:.1f} ms")
+          f"{per_iter*1e6:.0f} us/iter -> {target_note}")
 
     # ---- refined: bf16 inner ----
     A16 = dataclasses.replace(A, dtype_name="bfloat16")

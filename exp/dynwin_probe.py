@@ -46,6 +46,13 @@ from hpccg_tpu.ops.pallas.gell_kernel import (
 from hpccg_tpu.ops.pallas.gell_stack import prepare_gell_stack, spmv_gell_stack
 from hpccg_tpu.utils.timing import time_loop_slope
 
+# Chunk math below shifts by log2(LANE) (element -> chunk index) and aligns
+# window bases to SUB chunks; derive the shifts so a constant change can't
+# silently corrupt the layout.
+_LANE_SHIFT = LANE.bit_length() - 1
+_SUB_SHIFT = SUB.bit_length() - 1
+assert LANE == 1 << _LANE_SHIFT and SUB == 1 << _SUB_SHIFT
+
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
@@ -62,7 +69,7 @@ def prep_dynwin(ell, *, K: int = 24, max_rounds: int = 64):
     sel = valid
     row_flat = np.nonzero(sel)[0]  # row-major: grouped by row, slot-ordered
     pos = (cols[sel] + pbl).astype(np.int64)  # element position in padded x
-    ci = pos >> 7  # chunk index in padded x
+    ci = pos >> _LANE_SHIFT  # chunk index in padded x
     vals_flat = vals[sel]
     t_i = row_flat // RT
 
@@ -85,7 +92,7 @@ def prep_dynwin(ell, *, K: int = 24, max_rounds: int = 64):
         ne = ends > starts
         if ne.any():
             base[ne] = np.minimum.reduceat(cis, starts[ne])
-        base = (base >> 3) << 3  # 8-chunk alignment for the sublane ds
+        base = (base >> _SUB_SHIFT) << _SUB_SHIFT  # SUB-chunk-aligned sublane ds
         over = (ci - base[key]) >= K
         if not over.any():
             break
@@ -109,7 +116,7 @@ def prep_dynwin(ell, *, K: int = 24, max_rounds: int = 64):
     base = np.zeros(T * W, np.int64)
     ne = ends > starts
     base[ne] = np.minimum.reduceat(cis, starts[ne])
-    base = (base >> 3) << 3
+    base = (base >> _SUB_SHIFT) << _SUB_SHIFT
     li = pos - base[key] * LANE
     assert li.min() >= 0 and li.max() < K * LANE <= 32767
 
@@ -128,11 +135,12 @@ def prep_dynwin(ell, *, K: int = 24, max_rounds: int = 64):
 
 def _kernel_dyn(woff_ref, xp_ref, vals_ref, li_ref, y_ref, *, W: int, K: int):
     acc = jnp.zeros((SUB, LANE), xp_ref.dtype)
+    t = pl.program_id(0)
     for w in range(W):
-        xw = xp_ref[pl.ds(woff_ref[0, w], K)]  # (K, 128) at a dynamic base
+        xw = xp_ref[pl.ds(woff_ref[t, w], K)]  # (K, 128) at a dynamic base
         li = li_ref[0, w].astype(jnp.int32)
         ll = jnp.bitwise_and(li, LANE - 1)
-        ci = jnp.right_shift(li, 7)
+        ci = jnp.right_shift(li, _LANE_SHIFT)
         g = jnp.zeros((SUB, LANE), xp_ref.dtype)
         for k in range(K):
             chunk = jnp.broadcast_to(xw[k : k + 1], (SUB, LANE))
@@ -149,7 +157,9 @@ def _spmv_dyn(vals4, li4, woff, xp2, K: int, interpret: bool):
         partial(_kernel_dyn, W=W, K=K),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda t: (t, z), memory_space=pltpu.SMEM),
+            # whole offset table in SMEM (a (1, W) block fails Mosaic's
+            # block-shape divisibility check); kernel indexes by program_id
+            pl.BlockSpec((T, W), lambda t: (z, z), memory_space=pltpu.SMEM),
             pl.BlockSpec(xp2.shape, lambda t: (z, z), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W, SUB, LANE), lambda t: (t, z, z, z)),
             pl.BlockSpec((1, W, SUB, LANE), lambda t: (t, z, z, z)),
@@ -230,7 +240,14 @@ def main():
         y = np.asarray(spmv_dyn(prep, x, n, K))
         err = np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref))
         assert err < 1e-4, err
-        t = slope_matvec(lambda p, v: spmv_dyn(p, v, n, K), prep, x)
+        # Only arrays may cross the timing-loop jit boundary: the prep
+        # tuple's Python ints (pbl, xp_chunks, W) are used as shapes/slice
+        # starts inside spmv_dyn and must stay static, so close over them.
+        vals4, li4, woff, pbl, xp_chunks, Wst, _r = prep
+        t = slope_matvec(
+            lambda a, v: spmv_dyn((*a, pbl, xp_chunks, Wst, _r), v, n, K),
+            (vals4, li4, woff), x,
+        )
         rate = nnz / t / 1e9
         log(
             f"dynwin[K={K}]: W={W} (inflation {W * n / nnz:.2f}x, width {width}), "
