@@ -66,12 +66,16 @@ def main():
     assert _mega_mode(op(144, "float32"), jnp.float32) == "slab"
     assert _mega_mode(op(200, "bfloat16"), jnp.bfloat16) == "slab"
     assert fits_stream_vmem(op(200, "float32"), jnp.float32)
+    # bf16 state (round 5) extends the streaming reach to 256^3
+    assert fits_stream_vmem(op(256, "bfloat16"), jnp.bfloat16)
+    assert not fits_stream_vmem(op(272, "bfloat16"), jnp.bfloat16)
 
     ok = True
     ok &= check("megakernel whole-grid 128^3 f32", lambda: solve_at(128, jnp.float32, "megakernel"))
     ok &= check("megakernel slab 144^3 f32", lambda: solve_at(144, jnp.float32, "megakernel"))
     ok &= check("megakernel slab 200^3 bf16", lambda: solve_at(200, jnp.bfloat16, "megakernel"))
     ok &= check("streamkernel 200^3 f32", lambda: solve_at(200, jnp.float32, "streamkernel"))
+    ok &= check("streamkernel 256^3 bf16", lambda: solve_at(256, jnp.bfloat16, "streamkernel"))
     ok &= check("collective cg1 100^3 (1 shard)", lambda: collective_at(100, "cg1"))
     ok &= check("collective pipecg 100^3 (1 shard)", lambda: collective_at(100, "pipecg"))
     return 0 if ok else 1

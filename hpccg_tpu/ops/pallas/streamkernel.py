@@ -18,6 +18,15 @@ branch-free k==1 beta). The r.r each body uses is accumulated slab-wise
 during the previous body's r update — value-equivalent to a top-of-body
 recompute but a DIFFERENT reduction tree (per-slab partial sums), so
 last-ulp trajectory differences vs the flat path are expected.
+
+bf16 state (round 5) rides the megakernel slab recipe: vectors (r, p, the
+streamed x) stay 16-bit in VMEM/HBM — halving both the pinned footprint
+(reach extends from ~200^3 f32 to 256^3 bf16) and the per-iteration HBM
+traffic — while every reduction (r.r, p.Ap) and the alpha/beta recurrence
+accumulate in f32 (``sdtype``), and control scalars/trace are f32, so
+niters stays exact past bf16's 256-integer range. Convergence floors at
+the documented bf16 storage limit (max|x - 1| ~ 0.04), like every 16-bit
+tier.
 """
 
 from __future__ import annotations
@@ -97,11 +106,12 @@ def _kernel(
     tolerance: float,
 ):
     dtype = r_ref.dtype
+    sdtype = trace_ref.dtype  # >= f32: reductions, recurrence, control scalars
     nx, ny, nz = op.nx, op.ny, op.nz
     nzs = r_ref.shape[0] - 2
     nzb = nzs // tz
     ny_pad, nx_pad = r_ref.shape[1], r_ref.shape[2]
-    tol = jnp.asarray(tolerance, dtype)
+    tol = jnp.asarray(tolerance, sdtype)
 
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx_pad), 2)
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny_pad, 1), 1)
@@ -144,19 +154,16 @@ def _kernel(
 
     jax.lax.fori_loop(0, nzb, init_p, 0)
 
-    def init_r(k, _):
+    def init_r(k, acc):
         slot = k % 2
         dma = load(slot, k, b_hbm)
         dma.start()
         dma.wait()
-        r_ref[pl.ds(k * tz + 1, tz)] = (
-            xbuf[slot] * (valid_xy * zvalid(k)) - slab_apply(k)
-        )
-        return 0
+        rv = xbuf[slot] * (valid_xy * zvalid(k)) - slab_apply(k)
+        r_ref[pl.ds(k * tz + 1, tz)] = rv
+        return acc + jnp.sum(rv * rv, dtype=sdtype)
 
-    jax.lax.fori_loop(0, nzb, init_r, 0)
-
-    rtrans0 = jnp.sum(r_ref[:] * r_ref[:])
+    rtrans0 = jax.lax.fori_loop(0, nzb, init_r, jnp.asarray(0.0, sdtype))
     trace_ref[0, :] = jnp.full((128,), jnp.sqrt(rtrans0), trace_ref.dtype)
 
     # x starts as x0; copy it through (x_hbm may alias x0_hbm, but copy
@@ -186,19 +193,31 @@ def _kernel(
 
     def body(c):
         k, rt_prev, rtrans = c
-        beta = jnp.where(k == 1, jnp.asarray(0.0, dtype), rtrans / rt_prev)
+        beta = jnp.where(k == 1, jnp.asarray(0.0, sdtype), rtrans / rt_prev)
         trace_ref[pl.ds(k, 1), :] = jnp.full((1, 128), jnp.sqrt(rtrans), trace_ref.dtype)
 
-        # p = r + beta p (pinned, pure VMEM)
-        p_ref[pl.ds(1, nzs)] = r_ref[pl.ds(1, nzs)] + beta * p_ref[pl.ds(1, nzs)]
+        # p = r + beta p (pinned, pure VMEM) — slab-wise so the elementwise
+        # temporary stays slab-sized (a whole-vector statement makes Mosaic
+        # stack-allocate a full-vector temporary, cf. megakernel slab mode)
+        b16 = beta.astype(dtype)
+
+        def upd_p(k2, _):
+            sl = pl.ds(k2 * tz + 1, tz)
+            p_ref[sl] = r_ref[sl] + b16 * p_ref[sl]
+            return 0
+
+        jax.lax.fori_loop(0, nzb, upd_p, 0)
 
         # pAp: stencil recomputed slab-wise from pinned p
         def pap_slab(k2, acc):
             ap = slab_apply(k2)
-            return acc + jnp.sum(p_ref[pl.ds(k2 * tz + 1, tz)] * ap)
+            return acc + jnp.sum(
+                p_ref[pl.ds(k2 * tz + 1, tz)] * ap, dtype=sdtype
+            )
 
-        pap = jax.lax.fori_loop(0, nzb, pap_slab, jnp.asarray(0.0, dtype))
+        pap = jax.lax.fori_loop(0, nzb, pap_slab, jnp.asarray(0.0, sdtype))
         alpha = rtrans / pap
+        a16 = alpha.astype(dtype)
 
         # x += alpha p (streamed, double-buffered); r -= alpha A p (pinned,
         # stencil recomputed). The load for slab k+1 is started before the
@@ -210,11 +229,11 @@ def _kernel(
         def upd_slab(k2, acc):
             slot = k2 % 2
             ap = slab_apply(k2)
-            rnew = r_ref[pl.ds(k2 * tz + 1, tz)] - alpha * ap
+            rnew = r_ref[pl.ds(k2 * tz + 1, tz)] - a16 * ap
             r_ref[pl.ds(k2 * tz + 1, tz)] = rnew
-            acc = acc + jnp.sum(rnew * rnew)
+            acc = acc + jnp.sum(rnew * rnew, dtype=sdtype)
             load(slot, k2, x_hbm).wait()
-            xbuf[slot] = xbuf[slot] + alpha * p_ref[pl.ds(k2 * tz + 1, tz)]
+            xbuf[slot] = xbuf[slot] + a16 * p_ref[pl.ds(k2 * tz + 1, tz)]
             store(slot, k2).start()
 
             @pl.when(k2 + 1 < nzb)
@@ -229,7 +248,7 @@ def _kernel(
 
             return acc
 
-        rr = jax.lax.fori_loop(0, nzb, upd_slab, jnp.asarray(0.0, dtype))
+        rr = jax.lax.fori_loop(0, nzb, upd_slab, jnp.asarray(0.0, sdtype))
         # drain the tail stores
         @pl.when(nzb >= 2)
         def _():

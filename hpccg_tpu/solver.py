@@ -372,12 +372,12 @@ def resolve_backend(A, backend: str = "auto") -> str:
 
     Measured on v5e (PERF.md): the whole-solve megakernel wins while the 5
     solve vectors fit VMEM (f32 ~<=128^3 whole / 144^3 slab; bf16 slab to
-    ~200^3); the f32 streaming whole-solve kernel (r/p pinned, x
-    DMA-streamed) wins while 2 vectors fit (~<=200^3: 207 us/iter vs 790
-    XLA / 1003 pallas); the XLA stencil path covers the remaining band up
-    to ~10.5M rows where it keeps most state VMEM-resident; the streaming
-    pallas-v2 kernel wins once truly HBM-resident (f32 256^3: 1259 vs 2311;
-    bf16 256^3: 596 vs 791 us/iter). f64 on TPU rides the double-float
+    ~200^3); the streaming whole-solve kernel (r/p pinned, x DMA-streamed)
+    wins while 2 vectors fit (f32 ~<=200^3: 207 us/iter vs 790 XLA / 1003
+    pallas; bf16 ~<=256^3: 366 vs 609 pallas-v2 at 256^3); the XLA stencil
+    path covers the remaining band up to ~10.5M rows where it keeps most
+    state VMEM-resident; the streaming pallas-v2 kernel wins once truly
+    HBM-resident (f32 256^3: 1259 vs 2311; bf16 past 256^3). f64 on TPU rides the double-float
     (two-f32) stencil kernel, backend='pallas_dd' (Mosaic has no f64; XLA's
     emulated f64 pays double-double per op of the 27-sum). On CPU
     (tests/parity) auto stays on the XLA stencil path.
@@ -438,9 +438,12 @@ def resolve_backend(A, backend: str = "auto") -> str:
 
     if fits_vmem(A, A.dtype):
         return "megakernel"
-    if jnp.dtype(A.dtype).itemsize == 4 and fits_stream_vmem(A, A.dtype):
-        # the r/p-pinned streaming kernel is f32-only (16-bit state rides
-        # the megakernel's extended bf16 slab reach instead)
+    if fits_stream_vmem(A, A.dtype):
+        # the r/p-pinned streaming kernel: f32 reach ~200^3 (207 us/iter vs
+        # 790 XLA / 1003 pallas); bf16 state (round 5) halves the pinned
+        # footprint, extending the reach to 256^3 where it beats both the
+        # XLA stencil band (208^3: 272 vs 285 us/iter) and the pallas-v2
+        # HBM tier (256^3: 366 vs 609 us/iter)
         return "streamkernel"
     if A.local_nrow <= 10_500_000:
         # XLA keeps most CG state effectively VMEM-resident up to ~10.5M

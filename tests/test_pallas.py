@@ -281,6 +281,57 @@ def test_streamkernel_tolerance_exit_matches():
     np.testing.assert_allclose(float(rm.normr), float(rs.normr), rtol=1e-6)
 
 
+class TestBf16Streamkernel:
+    """bf16 pinned r/p + bf16 streamed x, f32 reductions/recurrence (round 5
+    — extends the streaming whole-solve reach to 256^3 and halves its HBM
+    traffic; the megakernel slab recipe applied to the r/p-pinned kernel)."""
+
+    @pytest.mark.slow
+    def test_converges_and_dtypes(self):
+        from hpccg_tpu.ops.pallas.streamkernel import cg_solve_stream
+
+        cfg = ProblemConfig(12, 11, 10, dtype=jnp.bfloat16)
+        prob = generate_problem(cfg)
+        res = cg_solve_stream(prob.A, prob.b, prob.x0, max_iter=60, tolerance=0.0)
+        assert res.x.dtype == jnp.bfloat16
+        # control scalars/trace in f32: niters exact past bf16's 256 range
+        assert res.trace.dtype == jnp.float32
+        assert res.normr.dtype == jnp.float32
+        x = np.asarray(res.x, np.float64)
+        assert np.max(np.abs(x - 1.0)) < 0.1  # the bf16 storage floor
+
+    def test_fit_reach(self):
+        """bf16 halves the pinned 2-vector footprint: 256^3 fits (the f32
+        boundary was ~200^3), 272^3's lane padding (nx -> 384) does not."""
+        from hpccg_tpu.operators import StencilOperator
+        from hpccg_tpu.ops.pallas.streamkernel import fits_stream_vmem
+
+        op = lambda n, d: StencilOperator(nx=n, ny=n, nz=n, dtype_name=d)  # noqa: E731
+        assert fits_stream_vmem(op(200, "float32"), jnp.float32)
+        assert not fits_stream_vmem(op(256, "float32"), jnp.float32)
+        assert fits_stream_vmem(op(256, "bfloat16"), jnp.bfloat16)
+        assert not fits_stream_vmem(op(272, "bfloat16"), jnp.bfloat16)
+
+    def test_auto_selects_bf16_streamkernel_on_tpu(self, monkeypatch):
+        """On TPU, auto routes the (megakernel-reach, stream-reach] bf16
+        band to the streaming kernel (208^3: 272 vs 285 us/iter stencil;
+        256^3: 366 vs 609 pallas-v2 — exp/bf16_stream_probe.py)."""
+        import jax as _jax
+
+        from hpccg_tpu.operators import StencilOperator
+        from hpccg_tpu.solver import resolve_backend
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        op = lambda n, d: StencilOperator(nx=n, ny=n, nz=n, dtype_name=d)  # noqa: E731
+        assert resolve_backend(op(256, "bfloat16"), "auto") == "streamkernel"
+        assert resolve_backend(op(208, "bfloat16"), "auto") == "streamkernel"
+        # past the stream reach: the stencil band, then pallas-v2
+        assert resolve_backend(op(272, "bfloat16"), "auto") == "pallas"
+        # f32 reach unchanged
+        assert resolve_backend(op(200, "float32"), "auto") == "streamkernel"
+        assert resolve_backend(op(256, "float32"), "auto") == "pallas"
+
+
 @pytest.mark.slow
 def test_streamkernel_dma_pipeline_race_free(monkeypatch):
     """Run the manual double-buffered DMA slab pipeline (multiple slabs, so
