@@ -325,29 +325,40 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
             mesh, axis = build_mesh()
+            from hpccg_tpu.ops.pallas.gell_dynwin import GellDynwinMatrix
             from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
 
             from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
 
             # the collective kernel's RDMA strips are whole 128-element
-            # rows, so its padding unit is mesh*128; the stack tier shards
-            # whole 1024-row tiles (identity pad rows — trajectory
-            # unchanged, io.pad_problem_rows)
+            # rows, so its padding unit is mesh*128; the wide-scatter tiers
+            # (stack/dynwin) shard whole 1024-row tiles (identity pad rows
+            # — trajectory unchanged, io.pad_problem_rows)
             pad_unit = args.mesh * 128 if want_collective else args.mesh
-            if isinstance(prob.A, GellStackMatrix):
+            if isinstance(prob.A, (GellStackMatrix, GellDynwinMatrix)):
+                tier_name = (
+                    "stack" if isinstance(prob.A, GellStackMatrix) else "dynwin"
+                )
                 try:
-                    # padding re-preps the stack, whose VMEM gate can fail
-                    # at the grown tile count — fall back BEFORE solving
+                    # padding re-preps the operator, whose VMEM gate can
+                    # fail at the grown tile count — fall back BEFORE
+                    # solving
                     prob = pad_problem_rows(prob, args.mesh * 1024)
                 except ValueError as e:
+                    from hpccg_tpu.ops.pallas.gell_dynwin import dynwin_to_ell
                     from hpccg_tpu.ops.pallas.gell_stack import stack_to_ell
 
                     print(
-                        f"# stack tier cannot pad to whole tiles: {e}; "
+                        f"# {tier_name} tier cannot pad to whole tiles: {e}; "
                         "using the all-gather ELL path",
                         file=sys.stderr,
                     )
-                    prob = _dc.replace(prob, A=stack_to_ell(prob.A))
+                    to_ell = (
+                        stack_to_ell
+                        if isinstance(prob.A, GellStackMatrix)
+                        else dynwin_to_ell
+                    )
+                    prob = _dc.replace(prob, A=to_ell(prob.A))
                     prob = pad_problem_rows(prob, pad_unit)
             else:
                 prob = pad_problem_rows(prob, pad_unit)
@@ -384,6 +395,35 @@ def main(argv=None) -> int:
                     )
                     solve = partial(_ssolve, A)
                     backend_used = "distributed:stack-allgather"
+            if isinstance(A, GellDynwinMatrix):
+                # wide-scatter dynamic-window tier at --mesh > 1 (round 5):
+                # shard the tiles, run the SMEM-window gather per shard on
+                # an all-gathered x; all-gather ELL remains the fallback
+                from hpccg_tpu.ops.pallas.gell_dynwin import (
+                    dynwin_shard_geometry,
+                    dynwin_to_ell,
+                )
+                from hpccg_tpu.parallel.cg import make_distributed_dynwin_cg
+
+                try:
+                    dynwin_shard_geometry(A, args.mesh)
+                except ValueError as e:
+                    print(
+                        f"# dynwin tier cannot shard: {e}; using the "
+                        "all-gather ELL path",
+                        file=sys.stderr,
+                    )
+                    prob = _dc.replace(prob, A=dynwin_to_ell(A))
+                    A = prob.A
+                else:
+                    _wsolve = make_distributed_dynwin_cg(
+                        mesh, max_iter=args.max_iter,
+                        tolerance=args.tolerance, axis=axis,
+                        method=args.method,
+                        replace_every=args.rr_every,
+                    )
+                    solve = partial(_wsolve, A)
+                    backend_used = "distributed:dynwin-allgather"
             if isinstance(A, GellMatrix):
                 # scattered-narrow-band tier at --mesh > 1: shard the tiles
                 # and ppermute the bandwidth strips into the window padding

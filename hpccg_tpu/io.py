@@ -630,6 +630,18 @@ def pad_problem_rows(prob: Problem, multiple: int) -> Problem:
         return dataclasses.replace(
             ell_padded, A=prepare_gell_stack(ell_padded.A, strip_chunks=sc)
         )
+    if type(A).__name__ == "GellDynwinMatrix":
+        from hpccg_tpu.ops.pallas.gell_dynwin import (
+            dynwin_to_ell,
+            prepare_gell_dynwin,
+        )
+
+        ell_padded = pad_problem_rows(
+            dataclasses.replace(prob, A=dynwin_to_ell(A)), multiple
+        )
+        return dataclasses.replace(
+            ell_padded, A=prepare_gell_dynwin(ell_padded.A, K=A.K)
+        )
     if isinstance(A, EllMatrix):
         width = max(A.width, 1)
         vals = np.zeros((npad, width), np.asarray(A.vals).dtype)
@@ -831,6 +843,15 @@ def save_problem(path: str, prob: Problem, state: Optional[dict] = None) -> None
         arrs["gstack_bounds"] = np.asarray(
             [b for s in A.strips for b in s[4]], np.int32
         ).reshape(-1, 2)
+    elif type(A).__name__ == "GellDynwinMatrix":
+        arrs["gdynwin_vals4"] = np.asarray(A.vals4)
+        if A.vals4lo is not None:
+            arrs["gdynwin_vals4lo"] = np.asarray(A.vals4lo)
+        arrs["gdynwin_li4"] = np.asarray(A.li4)
+        arrs["gdynwin_woff"] = np.asarray(A.woff)
+        arrs["gdynwin_meta"] = np.asarray(
+            [A.n, A.W, A.K, A.pbl, A.xp_chunks, A.total_nrow, A.nnz_count]
+        )
     else:
         arrs["vals"] = np.asarray(A.vals)
         arrs["cols"] = np.asarray(A.cols)
@@ -880,6 +901,20 @@ def load_problem(path: str) -> Tuple[Problem, dict]:
             li3=jnp.asarray(z["gstack_li3"]),
             n=n_, wtot=wtot_, strips=tuple(strips), pbl=pbl_,
             xp_chunks=xpc_, total_nrow=tot_, nnz_count=nnz_,
+        )
+    elif "gdynwin_vals4" in z:
+        from hpccg_tpu.ops.pallas.gell_dynwin import GellDynwinMatrix
+
+        n_, W_, K_, pbl_, xpc_, tot_, nnz_ = (int(v) for v in z["gdynwin_meta"])
+        A = GellDynwinMatrix(
+            vals4=jnp.asarray(z["gdynwin_vals4"]),
+            vals4lo=jnp.asarray(z["gdynwin_vals4lo"])
+            if "gdynwin_vals4lo" in z
+            else None,
+            li4=jnp.asarray(z["gdynwin_li4"]),
+            woff=jnp.asarray(z["gdynwin_woff"]),
+            n=n_, W=W_, K=K_, pbl=pbl_, xp_chunks=xpc_,
+            total_nrow=tot_, nnz_count=nnz_,
         )
     elif "gell_vals3" in z:
         from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix

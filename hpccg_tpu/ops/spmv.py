@@ -19,13 +19,14 @@ def spmv(A, x: jax.Array, *, backend: str = "auto") -> jax.Array:
     """y = A @ x for any operator representation."""
     if backend in ("auto", "stencil", "ell", "dia"):
         from hpccg_tpu.ops.pallas.dia_kernel import PreparedDia, PreparedDiaDD
+        from hpccg_tpu.ops.pallas.gell_dynwin import GellDynwinMatrix
         from hpccg_tpu.ops.pallas.gell_kernel import GellMatrix
         from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
 
         if isinstance(
             A,
             (StencilOperator, EllMatrix, DiaMatrix, PreparedDia, PreparedDiaDD,
-             GellMatrix, GellStackMatrix),
+             GellMatrix, GellStackMatrix, GellDynwinMatrix),
         ):
             return A.matvec(x)
         raise TypeError(f"unknown operator type {type(A)}")

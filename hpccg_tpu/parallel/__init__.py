@@ -14,6 +14,7 @@ from hpccg_tpu.parallel.cg import (
     make_collective_dia_cg,
     make_distributed_cg,
     make_distributed_dia_cg,
+    make_distributed_dynwin_cg,
     make_distributed_ell_cg,
     make_distributed_gell_cg,
     make_distributed_stack_cg,
@@ -29,6 +30,7 @@ __all__ = [
     "make_collective_dia_cg",
     "make_distributed_cg",
     "make_distributed_dia_cg",
+    "make_distributed_dynwin_cg",
     "make_distributed_ell_cg",
     "make_distributed_gell_cg",
     "make_distributed_stack_cg",

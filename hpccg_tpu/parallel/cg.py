@@ -969,6 +969,107 @@ def make_distributed_stack_cg(
     return solve
 
 
+def make_distributed_dynwin_cg(
+    mesh: Mesh,
+    *,
+    max_iter: int,
+    tolerance: float = 0.0,
+    axis: Axis = Z_AXIS,
+    method: str = "cg",
+    replace_every: int = 0,
+):
+    """Distributed CG for the wide-scatter class on the DYNAMIC-WINDOW tier
+    (round 5): rows block-sharded, each shard running the per-(tile, slot)
+    SMEM-window gather kernel over its tiles on an all-gathered x.
+
+    Same comm plan as make_distributed_stack_cg (wide scatter has no
+    neighbor-halo structure — one all_gather per matvec); the per-shard
+    kernel is the lower-inflation dynwin gather. Each shard's woff table is
+    rebased onto its own tight x window (dynwin_shard_geometry), so the
+    kernel's VMEM-resident slice shrinks with the shard count. f64 rides
+    the double-float kernel per shard.
+
+    Returns solve(A, b, x0) with A a prepared GellDynwinMatrix whose rows
+    split into whole 1024-row tiles per shard (io.pad_problem_rows to a
+    ndev*1024 multiple first)."""
+    from hpccg_tpu.ops.pallas.gell_dynwin import (
+        GellDynwinMatrix,
+        dynwin_shard_geometry,
+        spmv_gell_dynwin_shard,
+    )
+
+    ndev = axis_size(mesh, axis)
+    run = _method_runner(method, axis, replace_every)
+    _jit_cache: dict = _BoundedCache()
+
+    def solve(A, b, x0):
+        import numpy as np
+
+        if not isinstance(A, GellDynwinMatrix):
+            raise ValueError(
+                "pass a prepared GellDynwinMatrix (auto_structure / "
+                "prepare_gell_dynwin)"
+            )
+        T_l, xw_chunks, lo, xp_pad = dynwin_shard_geometry(A, ndev)
+        dd = A.vals4lo is not None
+        W = A.W
+        vec_sh = NamedSharding(mesh, P(axis))
+        mat_sh = NamedSharding(mesh, P(axis))
+        b = jax.device_put(b, vec_sh)
+        x0 = jax.device_put(x0, vec_sh)
+        shard_shape = (ndev, T_l, W, 8, 128)
+        v6 = jax.device_put(A.vals4.reshape(shard_shape), mat_sh)
+        l6 = jax.device_put(A.li4.reshape(shard_shape), mat_sh)
+        v6lo = (
+            jax.device_put(A.vals4lo.reshape(shard_shape), mat_sh)
+            if dd
+            else jnp.zeros((ndev,))
+        )
+        # per-shard window-local offset table + the shard's window base
+        woff3 = np.asarray(A.woff, np.int64).reshape(ndev, T_l, W)
+        woff_l = jax.device_put(
+            jnp.asarray(
+                np.maximum(woff3 - lo[:, None, None].astype(np.int64), 0),
+                jnp.int32,
+            ),
+            mat_sh,
+        )
+        base2 = jax.device_put(jnp.asarray(lo.reshape(ndev, 1)), mat_sh)
+        kw = dict(K=A.K, pbl=A.pbl, xp_chunks=xp_pad, xw_chunks=xw_chunks)
+        jit_key = (T_l, W, dd, A.K, A.pbl, xp_pad, xw_chunks, method, replace_every)
+        cached = _jit_cache.get(jit_key)
+        if cached is not None:
+            return cached(v6, v6lo, l6, woff_l, base2, b, x0)
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis),) * 5 + (P(axis), P(axis)),
+            out_specs=_result_specs(P(axis)),
+            check_vma=False,
+        )
+        def _solve(v6_, v6lo_, l6_, woff_, base_, b_l, x0_l):
+            def matvec(v):
+                xg = jax.lax.all_gather(v, axis, tiled=True)
+                return spmv_gell_dynwin_shard(
+                    v6_[0],
+                    l6_[0],
+                    woff_[0],
+                    xg,
+                    base_[0, 0],
+                    vals4lo=v6lo_[0] if dd else None,
+                    **kw,
+                )
+
+            return run(matvec, b_l, x0_l, max_iter=max_iter, tolerance=tolerance)
+
+        _jit_cache[jit_key] = _solve
+        return _solve(v6, v6lo, l6, woff_l, base2, b, x0)
+
+    return solve
+
+
 def dia_halo_plan(A, L: int):
     """(ok, tier, reason): can this DiaMatrix ride the ppermute banded-halo
     path on L-row shards, and on which per-shard kernel tier — "pallas"
@@ -1449,9 +1550,9 @@ def make_distributed_spmv_bench(mesh: Mesh, A, *, axis: Axis = Z_AXIS):
     the solvers run; the all-gather ELL loop keeps its all_gather (for
     that path the gather IS the matvec structure).
 
-    ``A``: a GellStackMatrix (wide-scatter stack tier, all-gathered x),
-    GellShards (windowed gather tier), DiaMatrix (banded halo
-    tiers — also the closest standalone kernel for the collective
+    ``A``: a GellDynwinMatrix or GellStackMatrix (wide-scatter tiers,
+    all-gathered x), GellShards (windowed gather tier), DiaMatrix (banded
+    halo tiers — also the closest standalone kernel for the collective
     whole-solve backend), or assembled EllMatrix (all-gather fallback).
     make_loop(k) returns a callable of one P(axis)-shardable global
     vector running k chained rescaled matvecs; pass to
@@ -1470,10 +1571,51 @@ def make_distributed_spmv_bench(mesh: Mesh, A, *, axis: Axis = Z_AXIS):
         stack_shard_geometry,
     )
 
+    from hpccg_tpu.ops.pallas.gell_dynwin import (
+        GellDynwinMatrix,
+        dynwin_shard_geometry,
+        spmv_gell_dynwin_shard,
+    )
+
     ndev = axis_size(mesh, axis)
     sh = NamedSharding(mesh, P(axis))
 
-    if isinstance(A, GellStackMatrix):
+    if isinstance(A, GellDynwinMatrix):
+        # wide-scatter dynamic-window tier: per-shard SMEM-window gather on
+        # an all-gathered x (the gather IS the matvec structure)
+        import numpy as np
+
+        T_l, xw_chunks, lo, xp_pad = dynwin_shard_geometry(A, ndev)
+        dd = A.vals4lo is not None
+        shard_shape = (ndev, T_l, A.W, 8, 128)
+        kw = dict(K=A.K, pbl=A.pbl, xp_chunks=xp_pad, xw_chunks=xw_chunks)
+        woff3 = np.asarray(A.woff, np.int64).reshape(ndev, T_l, A.W)
+        woff_l = jax.device_put(
+            jnp.asarray(
+                np.maximum(woff3 - lo[:, None, None].astype(np.int64), 0),
+                jnp.int32,
+            ),
+            sh,
+        )
+        base2 = jax.device_put(jnp.asarray(lo.reshape(ndev, 1)), sh)
+        mats0 = (A.vals4, A.vals4lo, A.li4) if dd else (A.vals4, A.li4)
+        leaves = tuple(
+            jax.device_put(a.reshape(shard_shape), sh) for a in mats0
+        ) + (woff_l, base2)
+        specs = (P(axis),) * len(leaves)
+
+        def shard_matvec(mats, v):
+            xg = jax.lax.all_gather(v, axis, tiled=True)
+            if dd:
+                v6, v6lo, l6, wf, sb = mats
+                return spmv_gell_dynwin_shard(
+                    v6[0], l6[0], wf[0], xg, sb[0, 0], vals4lo=v6lo[0], **kw
+                )
+            v6, l6, wf, sb = mats
+            return spmv_gell_dynwin_shard(v6[0], l6[0], wf[0], xg, sb[0, 0], **kw)
+
+        tier = "dynwin-dd-allgather" if dd else "dynwin-allgather"
+    elif isinstance(A, GellStackMatrix):
         # wide-scatter stack tier: per-shard strip kernel on an
         # all-gathered x (the gather IS the matvec structure, like the
         # ell-allgather row — it stays inside the timed loop)

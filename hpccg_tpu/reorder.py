@@ -18,13 +18,15 @@ never inside the iteration.
 csgraph implementation, with a self-contained NumPy BFS fallback), and
 ``auto_structure`` is the policy: direct DIA if already banded; RCM + DIA if
 reordering exposes a band; the windowed gather-ELL kernel for scattered
-narrow bands; the strip-bucketed gather STACK (round 4,
-ops/pallas/gell_stack.py) for wide scatter — e.g. a randomly permuted 3-D
-stencil, whose optimal bandwidth is Theta(n^(2/3)) and which round 3 could
-only run through the XLA take gather (~0.14 Gnnz/s; the stack measured
-~20-40x that, see PERF.md round 4). f64 wide scatter rides the stack's
-double-float variant on TPU. Plain ELL remains the fallback for matrices
-storing explicit zeros (and f64 wide scatter off-chip).
+narrow bands; and for wide scatter — e.g. a randomly permuted 3-D stencil,
+whose optimal bandwidth is Theta(n^(2/3)) and which round 3 could only run
+through the XLA take gather (~0.14 Gnnz/s) — the strip-bucketed gather
+STACK (round 4, ops/pallas/gell_stack.py) and the dynamic-window tier
+(round 5, ops/pallas/gell_dynwin.py, per-(tile, slot) SMEM window bases at
+~half the stack's slot inflation), whichever the shared cost model books
+faster. f64 wide scatter rides the tiers' double-float variants on TPU.
+Plain ELL remains the fallback for matrices storing explicit zeros (and
+f64 wide scatter off-chip).
 """
 
 from __future__ import annotations
@@ -137,7 +139,7 @@ def bandwidth(A: EllMatrix) -> int:
 class StructureReport:
     """What auto_structure decided and why (for logs/reports)."""
 
-    format: str  # "dia" | "dia+rcm" | "gell" | "gell+rcm" | "ell"
+    format: str  # "dia" | "gell" | "gstack" | "gdynwin" (each +"+rcm") | "ell"
     ndiag: Optional[int]
     bandwidth_before: int
     bandwidth_after: Optional[int]
@@ -295,7 +297,7 @@ def auto_structure(
                 stack_cost_model,
             )
 
-            # one per-row column sort serves all four strip widths
+            # one per-row column sort serves all strip/window widths
             norm = _normalize_sorted(mat)
             best = None
             for sc in (8, 16, 32, 64):
@@ -314,6 +316,31 @@ def auto_structure(
                             mat, strip_chunks=sc
                         ),
                         (None, None, 8 + sc),  # per-strip window chunks
+                    )
+                )
+            # dynamic-window tier (round 5): per-(tile, slot) SMEM window
+            # bases cut the stack's strip-max inflation to the greedy bump
+            # overflow (64^3 permuted target: 2.06x vs 3.1x, measured 2.7x
+            # faster — exp/dynwin_probe.py). Same lane-gather inner loop,
+            # so the same fit prices both and the sweep is fair.
+            from hpccg_tpu.ops.pallas.gell_dynwin import (
+                dynwin_cost_model,
+                prepare_gell_dynwin,
+            )
+
+            best_d = None
+            for dk in (16, 24):
+                d_ok, d_rate, _W = dynwin_cost_model(mat, K=dk, _norm=norm)
+                if d_ok and (best_d is None or d_rate > best_d[1]):
+                    best_d = (dk, d_rate)
+            if best_d is not None:
+                dk, d_rate = best_d
+                out.append(
+                    (
+                        d_rate,
+                        "gdynwin" + tag,
+                        lambda mat=mat, dk=dk: prepare_gell_dynwin(mat, K=dk),
+                        (None, None, dk),  # per-slot window chunks
                     )
                 )
         return out, bw, no_stored_zeros
@@ -348,6 +375,8 @@ def auto_structure(
             detail = f"{ndiag} diagonals at {inflation:.1f}x slot inflation"
         elif kind.startswith("gstack"):
             detail = f"strip-bucketed gather, {k}-chunk strip windows"
+        elif kind.startswith("gdynwin"):
+            detail = f"dynamic-window gather, {k}-chunk per-slot windows"
         else:
             detail = f"{k}-chunk gather window"
         if kind.endswith("+rcm"):

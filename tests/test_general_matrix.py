@@ -217,11 +217,14 @@ class TestReorder:
         # permuted stencil is now SERVED (gell) rather than ELL-fallback
         assert report.format in ("gell", "gell+rcm", "dia+rcm"), report
 
-    def test_auto_structure_wide_scatter_rides_stack(self):
+    def test_auto_structure_wide_scatter_rides_wide_tier(self):
         """Genuinely wide scatter — random columns across the whole range,
         too wide for the plain gather window even after RCM. Round 3 fell
-        back to ELL here; round 4's strip-bucketed gather stack covers the
-        class (f32), and the chooser must pick it with a correct operator."""
+        back to ELL here; round 4's strip stack covered the class, round
+        5's dynamic-window tier beats it (chip-measured 3.5x on this
+        random-scatter shape) — the chooser must book a wide tier with a
+        correct operator, and with both models available that is dynwin."""
+        from hpccg_tpu.ops.pallas.gell_dynwin import GellDynwinMatrix
         from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
         from hpccg_tpu.reorder import auto_structure
 
@@ -239,8 +242,10 @@ class TestReorder:
             valid=jnp.asarray(valid), total_nrow=n,
         )
         A, perm_out, report = auto_structure(ell, max_inflation=8.0)
-        assert report.format.startswith("gstack"), report
-        assert isinstance(A, GellStackMatrix)
+        assert report.format.startswith(("gdynwin", "gstack")), report
+        assert isinstance(A, (GellDynwinMatrix, GellStackMatrix))
+        # the shared cost model prices dynwin's lower inflation ahead
+        assert report.format.startswith("gdynwin"), report
         # parity through the chosen operator (in whichever basis it chose)
         x = np.asarray(rng.standard_normal(n), np.float32)
         src = ell if perm_out is None else None
