@@ -234,7 +234,7 @@ def main():
                     "mflops_model": round(flops_per_iter / per_iter / 1e6, 1),
                     "final_normr": float(res.normr),
                     "timing": f"slope between {k1+1}- and {k2+1}-iteration solves; per-dispatch tunnel latency excluded",
-                    "other_paths": "general explicit matrices: blocked-DIA 188 Gslots/s @ 257 diag x 1M rows (f32); double-f32 f64 DIA 68 Gslots/s @ 301 diag x 262k rows (2.9e-14 rel err); gather-ELL 13-25 Gnnz/s by bandwidth (distributed via ppermute window strips); WIDE scatter via the strip-bucketed gather stack 2.3-14 Gnnz/s by inflation (~20-115x the take-gather fallback; f64 dd variant 5.7e-15 rel at 1.87x f32 cost; distributed = tile shards on all-gathered x); bf16 whole-solve: megakernel to 200^3, STREAMING kernel to 256^3 (366 us/iter — 1.66x the pallas-v2 bf16 tier, 3.4x the f32 floor), pallas-v2 past; --method cg1/pipecg on every distributed tier; pod model + measured bases in SWEEP_r04.json; see PERF.md + REPRODUCE.md",
+                    "other_paths": "general explicit matrices: blocked-DIA 188 Gslots/s @ 257 diag x 1M rows (f32); double-f32 f64 DIA 68 Gslots/s @ 301 diag x 262k rows (2.9e-14 rel err); gather-ELL 13-25 Gnnz/s by bandwidth (distributed via ppermute window strips); WIDE scatter via the dynamic-window gather tier 2.6-15.8 Gnnz/s by inflation (100^3 permuted target 13.6 = 6.3x the round-4 strip stack, 104x the take-gather fallback; f64 dd variant 4.9e-15 rel; distributed = tile shards, woff rebased per shard, all-gathered x; strip stack retained where its model wins); bf16 whole-solve: megakernel to 200^3, STREAMING kernel to 256^3 (366 us/iter — 1.66x the pallas-v2 bf16 tier, 3.4x the f32 floor), pallas-v2 past; --method cg1/pipecg on every distributed tier; pod model + measured bases in SWEEP_r04.json; see PERF.md + REPRODUCE.md",
                     "vs_baseline_def": "ours / (HBM_BW/12B-per-nnz), the reference CSR format's per-chip speed-of-light",
                 },
             }

@@ -141,6 +141,75 @@ def check_stack():
     print(f"stack shard f32 (x64): rel err {relsh:.2e}")
 
 
+def check_dynwin():
+    """f32 + dd dynamic-window gather kernels, real lowering — the SMEM
+    offset table's scalar reads (``woff_ref[t, w]``) feeding a sublane
+    ``pl.ds`` are exactly the construct a Mosaic/x64 regression would
+    break; also covers the sharded entry (window dynamic_slice + rebased
+    woff) at one shard."""
+    from hpccg_tpu.operators import EllMatrix
+    from hpccg_tpu.ops.pallas.gell_dynwin import (
+        dynwin_shard_geometry,
+        prepare_gell_dynwin,
+        spmv_gell_dynwin,
+        spmv_gell_dynwin_dd,
+        spmv_gell_dynwin_shard,
+    )
+
+    rng = np.random.default_rng(11)
+    n, w = 4096, 5
+    cols = np.stack(
+        [np.arange(n)] + [rng.integers(0, n, n) for _ in range(w - 1)], axis=1
+    ).astype(np.int32)
+    vals = rng.standard_normal((n, w)) * (1 + 1e-9 * rng.standard_normal((n, w)))
+    x = rng.standard_normal(n)
+    yref = np.zeros(n)
+    np.add.at(yref, np.repeat(np.arange(n), w), (vals * x[cols]).ravel())
+    scale = np.abs(yref).max()
+
+    ell64 = EllMatrix(
+        vals=jnp.asarray(vals, jnp.float64),
+        cols=jnp.asarray(cols, jnp.int32),
+        valid=jnp.ones((n, w), bool),
+        start_row=0,
+        total_nrow=n,
+    )
+    D64 = prepare_gell_dynwin(ell64, K=8)
+    y = np.asarray(spmv_gell_dynwin_dd(D64, jnp.asarray(x), interpret=INTERPRET))
+    rel = np.abs(y - yref).max() / scale
+    assert rel < 1e-12, f"dd dynwin rel err {rel}"
+    print(f"dynwin dd (x64): rel err {rel:.2e} (W={D64.W})")
+
+    import dataclasses
+
+    D32 = prepare_gell_dynwin(
+        dataclasses.replace(ell64, vals=jnp.asarray(vals, jnp.float32)), K=8
+    )
+    y32 = np.asarray(
+        spmv_gell_dynwin(D32, jnp.asarray(x, jnp.float32), interpret=INTERPRET)
+    )
+    rel32 = np.abs(y32 - yref).max() / scale
+    assert rel32 < 1e-5, f"f32 dynwin under x64 rel err {rel32}"
+    print(f"dynwin f32 (x64): rel err {rel32:.2e}")
+
+    # sharded entry at one shard: the exact per-device program of
+    # make_distributed_dynwin_cg (window slice + rebased woff)
+    T_l, xw_chunks, lo, xp_pad = dynwin_shard_geometry(D32, 1)
+    woff_l = jnp.asarray(
+        np.maximum(np.asarray(D32.woff, np.int64) - int(lo[0]), 0), jnp.int32
+    )
+    ysh = np.asarray(
+        spmv_gell_dynwin_shard(
+            D32.vals4, D32.li4, woff_l, jnp.asarray(x, jnp.float32),
+            jnp.int32(lo[0]), K=D32.K, pbl=D32.pbl, xp_chunks=xp_pad,
+            xw_chunks=xw_chunks, interpret=INTERPRET,
+        )
+    )[:n]
+    relsh = np.abs(ysh - yref).max() / scale
+    assert relsh < 1e-5, f"dynwin shard rel err {relsh}"
+    print(f"dynwin shard f32 (x64): rel err {relsh:.2e}")
+
+
 def check_dia_dd():
     """dd blocked-DIA matvec (the chip-proven tier — cheap
     canary that the shared spec/roll pinning stays intact)."""
@@ -221,6 +290,7 @@ def main():
     check_dia_dd()
     check_gell()
     check_stack()
+    check_dynwin()
     check_stencil_dd()
     check_stencil_f32_under_x64()
     print("X64 LOWERING CHECK OK" + (" (interpret smoke)" if INTERPRET else ""))

@@ -97,11 +97,17 @@ def test_stack_permuted_stencil_target_case():
     assert np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)) < 1e-5
 
 
-def test_chooser_picks_stack_for_wide_scatter():
+def test_chooser_picks_wide_tier_for_wide_scatter():
+    """Wide scatter leaves the ELL fallback for a wide tier. Round 5's
+    dynamic-window kernel outprices the stack on this shape (chip-verified
+    ranking) — the stack stays available for shapes where its strip model
+    wins, and `prepare_gell_stack` remains directly constructible."""
+    from hpccg_tpu.ops.pallas.gell_dynwin import GellDynwinMatrix
+
     A = _wide_scatter(30000, 9, 9000, seed=4)
     op, perm, report = auto_structure(A)
-    assert report.format.startswith("gstack"), report
-    assert isinstance(op, GellStackMatrix)
+    assert report.format.startswith(("gstack", "gdynwin")), report
+    assert isinstance(op, (GellStackMatrix, GellDynwinMatrix))
 
 
 def test_chooser_keeps_gell_for_narrow_band():
