@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cerrno>
+#include <limits>
 #include <vector>
 
 extern "C" {
@@ -554,6 +555,61 @@ int32_t hpccg_stack_fill(int64_t n, int32_t width, const double* vals,
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Lockstep greedy slot assignment for the dynamic-window gather tier (the
+// host half of ops/pallas/gell_dynwin.py::_greedy_assign — semantics match
+// the NumPy path EXACTLY, pinned by test_gell_dynwin's bitwise test).
+// Entries arrive flat, row-major and column-sorted: ci_flat[k] = chunk
+// index of entry k in the padded x; row_starts/counts delimit each row's
+// run. Per output slot w: each 1024-row tile's base is its min pending
+// chunk aligned down to 8 (SUB) chunks — or the tile's previous base once
+// it has no pending entries (keeps every stored base inside the tile's
+// own window range for shard rebasing) — and every row whose next entry
+// falls in [base, base + K) consumes it into slot w. The min row always
+// fits, so each round makes progress. bases_out is (max_w, T) row-major
+// (caller transposes to (T, W)); slot_out is per-entry. Returns W, or -1
+// past max_w slots.
+int32_t hpccg_dynwin_greedy(int64_t n, int64_t T, int64_t nnz,
+                            const int64_t* ci_flat, const int64_t* row_starts,
+                            const int64_t* counts, int64_t K, int64_t max_w,
+                            int64_t* slot_out, int64_t* bases_out) {
+  if (n < 0 || T <= 0 || nnz < 0 || K <= 0 || max_w <= 0) return -1;
+  std::vector<int64_t> ptr(n, 0);
+  std::vector<int64_t> prev_base(T, 0);
+  int64_t remaining = 0;
+  for (int64_t i = 0; i < n; ++i) remaining += counts[i];
+  const int64_t INF = std::numeric_limits<int64_t>::max();
+  int64_t w = 0;
+  while (remaining > 0) {
+    if (w >= max_w) return -1;
+    int64_t* base_row = bases_out + w * T;
+    for (int64_t t = 0; t < T; ++t) {
+      const int64_t r0 = t * 1024;
+      const int64_t r1 = std::min(n, r0 + 1024);
+      int64_t tmin = INF;
+      for (int64_t i = r0; i < r1; ++i)
+        if (ptr[i] < counts[i]) {
+          const int64_t c = ci_flat[row_starts[i] + ptr[i]];
+          if (c < tmin) tmin = c;
+        }
+      const int64_t base = (tmin == INF) ? prev_base[t] : ((tmin >> 3) << 3);
+      prev_base[t] = base;
+      base_row[t] = base;
+      for (int64_t i = r0; i < r1; ++i)
+        if (ptr[i] < counts[i]) {
+          const int64_t k = row_starts[i] + ptr[i];
+          if (ci_flat[k] < base + K) {
+            slot_out[k] = w;
+            ++ptr[i];
+            --remaining;
+          }
+        }
+    }
+    ++w;
+  }
+  return (int32_t)w;
 }
 
 }  // extern "C"

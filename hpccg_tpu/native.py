@@ -139,6 +139,19 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.hpccg_dynwin_greedy.restype = ctypes.c_int32
+    lib.hpccg_dynwin_greedy.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.hpccg_stack_fill.restype = ctypes.c_int32
     lib.hpccg_stack_fill.argtypes = [
         ctypes.c_int64,
@@ -342,6 +355,32 @@ def stack_scan(n, width, cols, valid, pbl, w_el, S):
     if rc != 0:
         raise ValueError("hpccg_stack_scan: strip/window index out of range")
     return widths, lo_sw.reshape(max(S, 1), width), hi_sw.reshape(max(S, 1), width)
+
+
+def dynwin_greedy(n, T, ci_flat, row_starts, counts, K, max_w):
+    """Native lockstep greedy slot assignment for the dynamic-window tier
+    (bitwise-equal to gell_dynwin._greedy_assign's NumPy path). Returns
+    (slot per entry, W, bases (T, W)); False when the assignment exceeds
+    max_w slots (a REAL answer — the NumPy path would overflow
+    identically, so the caller must not re-run it); None when the library
+    is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    ci_flat = np.ascontiguousarray(ci_flat, np.int64)
+    row_starts = np.ascontiguousarray(row_starts, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    nnz = len(ci_flat)
+    slot = np.empty(nnz, np.int64)
+    bases = np.zeros((max_w, T), np.int64)
+    W = lib.hpccg_dynwin_greedy(
+        n, T, nnz, _ptr(ci_flat, ctypes.c_int64),
+        _ptr(row_starts, ctypes.c_int64), _ptr(counts, ctypes.c_int64),
+        K, max_w, _ptr(slot, ctypes.c_int64), _ptr(bases, ctypes.c_int64),
+    )
+    if W < 0:
+        return False
+    return slot, int(W), np.ascontiguousarray(bases[:W].T)
 
 
 def stack_fill(n, width, vals, cols, valid, pbl, w_el, S, base, wtot, dd,

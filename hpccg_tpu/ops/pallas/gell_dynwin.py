@@ -83,7 +83,9 @@ def gell_dynwin_supported(
     return xp_bytes + blocks + (4 << 20) <= DYNWIN_VMEM_LIMIT
 
 
-def _greedy_assign(ci_flat, counts, T: int, K: int, max_w: int = 1024):
+def _greedy_assign(
+    ci_flat, counts, T: int, K: int, max_w: int = 1024, use_native=None
+):
     """Lockstep greedy slot assignment.
 
     ci_flat: per-entry chunk index in the padded x, row-major (each row's
@@ -92,7 +94,11 @@ def _greedy_assign(ci_flat, counts, T: int, K: int, max_w: int = 1024):
     past ``max_w`` slots (pathological — the chooser then books the stack).
     Empty rounds carry each finished tile's last base forward so every
     stored base stays inside the tile's own window range (shard windows
-    slice tightly around min/max base per shard)."""
+    slice tightly around min/max base per shard).
+
+    ``use_native``: None = prefer the csrc pass (hpccg_dynwin_greedy,
+    bitwise-equal output — pinned by test_gell_dynwin) with NumPy
+    fallback; False forces NumPy; True raises if unavailable."""
     import numpy as np
 
     n = counts.shape[0]
@@ -101,6 +107,19 @@ def _greedy_assign(ci_flat, counts, T: int, K: int, max_w: int = 1024):
     if nnz == 0:
         return None
     row_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    if use_native is not False:
+        try:
+            from hpccg_tpu import native
+
+            out = native.dynwin_greedy(n, T, ci_flat, row_starts, counts, K, max_w)
+        except ImportError:
+            out = None
+        if out is False:
+            return None  # > max_w slots: a real answer, not a fallback case
+        if out is not None:
+            return out
+        if use_native is True:
+            raise RuntimeError("native dynwin greedy unavailable (csrc not built?)")
     ptr = np.zeros(n, np.int64)
     remaining = counts.astype(np.int64).copy()
     tile_of_row = np.arange(n) // RT
@@ -205,13 +224,17 @@ class GellDynwinMatrix:
         return rr[order], cols[keep][order], vals[keep][order]
 
 
-def prepare_gell_dynwin(ell, *, K: int = 16, max_w: int = 1024) -> GellDynwinMatrix:
+def prepare_gell_dynwin(
+    ell, *, K: int = 16, max_w: int = 1024, use_native=None
+) -> GellDynwinMatrix:
     """Host-side preprocessing of an EllMatrix into dynamic-window form.
 
     f64 matrices split into exact (hi, lo) f32 planes for the compensated
     kernel. Raises ValueError when the greedy assignment exceeds ``max_w``
     slots or the VMEM/SMEM budgets (gell_dynwin_supported) — callers
-    (auto_structure) fall back to the strip stack."""
+    (auto_structure) fall back to the strip stack. ``use_native`` as in
+    :func:`_greedy_assign` (the greedy dominates prep cost; the csrc pass
+    is bitwise-equal)."""
     import numpy as np
 
     if ell.start_row != 0:
@@ -225,7 +248,7 @@ def prepare_gell_dynwin(ell, *, K: int = 16, max_w: int = 1024) -> GellDynwinMat
     pos = (cols[sel] + pbl).astype(np.int64)
     ci = pos >> _LANE_SHIFT
     counts = sel.sum(axis=1)
-    out = _greedy_assign(ci, counts, T, K, max_w=max_w)
+    out = _greedy_assign(ci, counts, T, K, max_w=max_w, use_native=use_native)
     if out is None:
         raise ValueError(
             f"dynwin greedy assignment exceeded {max_w} slots at K={K} "

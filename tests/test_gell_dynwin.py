@@ -287,6 +287,35 @@ def test_distributed_dynwin_spmv_bench_tier():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("case", ["f32", "f64"])
+def test_native_greedy_equals_numpy_greedy(case):
+    """The csrc greedy (hpccg_dynwin_greedy) must produce BITWISE the same
+    operator as the NumPy lockstep loop — same slot assignment, bases
+    (incl. the carried-forward bases of finished tiles), and planes."""
+    from hpccg_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    A = (
+        _wide_scatter(8192, 7, 2500, seed=30)
+        if case == "f32"
+        else _wide_scatter_f64(8192, 7, 2500, seed=31)
+    )
+    for K in (8, 16):
+        Dn = prepare_gell_dynwin(A, K=K, use_native=True)
+        Dp = prepare_gell_dynwin(A, K=K, use_native=False)
+        assert (Dn.W, Dn.pbl, Dn.xp_chunks) == (Dp.W, Dp.pbl, Dp.xp_chunks)
+        np.testing.assert_array_equal(np.asarray(Dn.woff), np.asarray(Dp.woff))
+        np.testing.assert_array_equal(np.asarray(Dn.vals4), np.asarray(Dp.vals4))
+        np.testing.assert_array_equal(np.asarray(Dn.li4), np.asarray(Dp.li4))
+        if case == "f64":
+            np.testing.assert_array_equal(
+                np.asarray(Dn.vals4lo), np.asarray(Dp.vals4lo)
+            )
+        else:
+            assert Dn.vals4lo is None and Dp.vals4lo is None
+
+
 def test_dynwin_pad_problem_rows_keeps_trajectory():
     """io.pad_problem_rows re-preps the dynwin operator at the padded row
     count with identity pad rows — the solve trajectory on the real rows is
