@@ -612,4 +612,46 @@ int32_t hpccg_dynwin_greedy(int64_t n, int64_t T, int64_t nnz,
   return (int32_t)w;
 }
 
+// hpccg_dynwin_fill: scatter the (value, window-local index) pairs of the
+// greedy assignment straight into the (T, W, 8, 128) tile layout (the
+// NumPy fancy-index scatter is the remaining full-nnz pass after the
+// greedy went native). Entries arrive flat in the greedy's order
+// (row-major, column-sorted): pos_flat = element position in the padded
+// x, slot from hpccg_dynwin_greedy, bases (T, W) row-major. vals arrive
+// f64 regardless of matrix dtype; dd=1 writes the exact double-float
+// (hi, lo) split. vp4/vp4lo/lp4 must be zero-initialized (dynwin parks
+// empty slots at window-local 0). Returns 0, or -1 on a slot/index out
+// of range.
+int32_t hpccg_dynwin_fill(int64_t n, int64_t nnz, const double* vals_flat,
+                          const int64_t* pos_flat, const int64_t* row_starts,
+                          const int64_t* counts, const int64_t* slot,
+                          const int64_t* bases, int64_t W, int64_t K,
+                          int32_t dd, float* vp4, float* vp4lo,
+                          int16_t* lp4) {
+  if (n < 0 || nnz < 0 || W <= 0 || K <= 0) return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t t = i / 1024;
+    const int64_t s_i = (i % 1024) / 128;
+    const int64_t l_i = i % 128;
+    const int64_t k0 = row_starts[i];
+    for (int64_t k = k0; k < k0 + counts[i]; ++k) {
+      const int64_t w = slot[k];
+      if (w < 0 || w >= W) return -1;
+      const int64_t li = pos_flat[k] - bases[t * W + w] * 128;
+      if (li < 0 || li >= K * 128) return -1;
+      const int64_t flat = ((t * W + w) * 8 + s_i) * 128 + l_i;
+      const double v = vals_flat[k];
+      if (dd) {
+        const float hi = (float)v;
+        vp4[flat] = hi;
+        vp4lo[flat] = (float)(v - (double)hi);
+      } else {
+        vp4[flat] = (float)v;
+      }
+      lp4[flat] = (int16_t)li;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -152,6 +152,23 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.hpccg_dynwin_fill.restype = ctypes.c_int32
+    lib.hpccg_dynwin_fill.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int16),
+    ]
     lib.hpccg_stack_fill.restype = ctypes.c_int32
     lib.hpccg_stack_fill.argtypes = [
         ctypes.c_int64,
@@ -381,6 +398,36 @@ def dynwin_greedy(n, T, ci_flat, row_starts, counts, K, max_w):
     if W < 0:
         return False
     return slot, int(W), np.ascontiguousarray(bases[:W].T)
+
+
+def dynwin_fill(n, vals_flat, pos_flat, row_starts, counts, slot, bases, W, K,
+                dd, vp4, vp4lo, lp4):
+    """Native scatter of the greedy assignment into the zero-initialized
+    (T, W, 8, 128) tile layout (bitwise-equal to the NumPy fancy-index
+    path; vals enter f64, dd=True writes the exact double-float split).
+    Returns False when the library is unavailable; raises on an
+    out-of-range slot/index (inconsistent greedy inputs)."""
+    lib = _get()
+    if lib is None:
+        return False
+    vals_flat = np.ascontiguousarray(vals_flat, np.float64)
+    pos_flat = np.ascontiguousarray(pos_flat, np.int64)
+    row_starts = np.ascontiguousarray(row_starts, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    slot = np.ascontiguousarray(slot, np.int64)
+    bases = np.ascontiguousarray(bases, np.int64)
+    rc = lib.hpccg_dynwin_fill(
+        n, len(pos_flat), _ptr(vals_flat, ctypes.c_double),
+        _ptr(pos_flat, ctypes.c_int64), _ptr(row_starts, ctypes.c_int64),
+        _ptr(counts, ctypes.c_int64), _ptr(slot, ctypes.c_int64),
+        _ptr(bases, ctypes.c_int64), W, K, 1 if dd else 0,
+        _ptr(vp4, ctypes.c_float),
+        _ptr(vp4lo if vp4lo is not None else vp4, ctypes.c_float),
+        _ptr(lp4, ctypes.c_int16),
+    )
+    if rc != 0:
+        raise ValueError("hpccg_dynwin_fill: slot/window index out of range")
+    return True
 
 
 def stack_fill(n, width, vals, cols, valid, pbl, w_el, S, base, wtot, dd,

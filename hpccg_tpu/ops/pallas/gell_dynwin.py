@@ -267,20 +267,39 @@ def prepare_gell_dynwin(
             "(gell_dynwin_supported)"
         )
 
-    vp4 = np.zeros((T, W, SUB, LANE), vdt)
     lp4 = np.zeros((T, W, SUB, LANE), np.int16)
-    r = row_flat % RT
-    s_i = r // LANE
-    l_i = r % LANE
-    vp4[t_i, slot, s_i, l_i] = vals[sel]
-    lp4[t_i, slot, s_i, l_i] = li.astype(np.int16)
-
-    if dd:
-        vhi = vp4.astype(np.float32)
-        vlo = (vp4 - vhi.astype(np.float64)).astype(np.float32)
-        vals4, vals4lo = jnp.asarray(vhi), jnp.asarray(vlo)
+    filled = False
+    if use_native is not False:
+        # native scatter (bitwise-equal to the fancy-index path below —
+        # pinned by test_native_greedy_equals_numpy_greedy)
+        try:
+            from hpccg_tpu import native as _native
+        except ImportError:
+            _native = None
+        if _native is not None:
+            row_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            vhi = np.zeros((T, W, SUB, LANE), np.float32)
+            vlo = np.zeros((T, W, SUB, LANE), np.float32) if dd else None
+            filled = _native.dynwin_fill(
+                n, vals[sel], pos, row_starts, counts, slot, bases, W, K,
+                dd, vhi, vlo, lp4,
+            )
+    if filled:
+        vals4 = jnp.asarray(vhi)
+        vals4lo = jnp.asarray(vlo) if dd else None
     else:
-        vals4, vals4lo = jnp.asarray(vp4), None
+        vp4 = np.zeros((T, W, SUB, LANE), vdt)
+        r = row_flat % RT
+        s_i = r // LANE
+        l_i = r % LANE
+        vp4[t_i, slot, s_i, l_i] = vals[sel]
+        lp4[t_i, slot, s_i, l_i] = li.astype(np.int16)
+        if dd:
+            vhi = vp4.astype(np.float32)
+            vlo = (vp4 - vhi.astype(np.float64)).astype(np.float32)
+            vals4, vals4lo = jnp.asarray(vhi), jnp.asarray(vlo)
+        else:
+            vals4, vals4lo = jnp.asarray(vp4), None
     return GellDynwinMatrix(
         vals4=vals4,
         vals4lo=vals4lo,
