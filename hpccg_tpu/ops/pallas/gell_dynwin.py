@@ -225,7 +225,7 @@ class GellDynwinMatrix:
 
 
 def prepare_gell_dynwin(
-    ell, *, K: int = 16, max_w: int = 1024, use_native=None
+    ell, *, K: int = 16, max_w: int = 1024, use_native=None, _assign=None
 ) -> GellDynwinMatrix:
     """Host-side preprocessing of an EllMatrix into dynamic-window form.
 
@@ -234,7 +234,10 @@ def prepare_gell_dynwin(
     slots or the VMEM/SMEM budgets (gell_dynwin_supported) — callers
     (auto_structure) fall back to the strip stack. ``use_native`` as in
     :func:`_greedy_assign` (the greedy dominates prep cost; the csrc pass
-    is bitwise-equal)."""
+    is bitwise-equal). ``_assign``: a (slot, W, bases) tuple from a prior
+    :func:`dynwin_cost_model` run on the SAME matrix and K — skips
+    re-running the greedy (auto_structure passes its model's run through;
+    the assignment is a pure function of (sorted cols, K))."""
     import numpy as np
 
     if ell.start_row != 0:
@@ -248,7 +251,11 @@ def prepare_gell_dynwin(
     pos = (cols[sel] + pbl).astype(np.int64)
     ci = pos >> _LANE_SHIFT
     counts = sel.sum(axis=1)
-    out = _greedy_assign(ci, counts, T, K, max_w=max_w, use_native=use_native)
+    out = (
+        _assign
+        if _assign is not None
+        else _greedy_assign(ci, counts, T, K, max_w=max_w, use_native=use_native)
+    )
     if out is None:
         raise ValueError(
             f"dynwin greedy assignment exceeded {max_w} slots at K={K} "
@@ -582,16 +589,21 @@ def dynwin_to_ell(A: GellDynwinMatrix):
     )
 
 
-def dynwin_cost_model(ell, *, K: int = 16, _norm=None, max_w: int = 1024):
+def dynwin_cost_model(
+    ell, *, K: int = 16, _norm=None, max_w: int = 1024, _carry=None
+):
     """(ok, gnnz_rate, W) — the chooser's model: runs the greedy assignment
-    (O(W * n) NumPy, no array fill) for the true W, then books the gather
+    (O(W * n), native when built) for the true W, then books the gather
     fit 1/(0.027 + 0.0014*K) ns/slot divided by the slot inflation
     W * n / nnz. Same fit family as the stack's model so the two tiers
     compare fairly (measured head-to-head 64^3: model ratio 2.5x, real
     2.7x — exp/dynwin_probe.py).
 
     ``_norm``: a precomputed _normalize_sorted(ell) tuple (auto_structure
-    shares one per-row column sort across all candidate models)."""
+    shares one per-row column sort across all candidate models).
+    ``_carry``: a dict the model stores its greedy run in (keyed by K) so
+    a winning candidate's build can pass it to prepare_gell_dynwin as
+    ``_assign`` instead of re-running the greedy."""
     import numpy as np
 
     n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = (
@@ -612,6 +624,8 @@ def dynwin_cost_model(ell, *, K: int = 16, _norm=None, max_w: int = 1024):
     out = _greedy_assign(ci, counts, T, K, max_w=max_w)
     if out is None:
         return False, 0.0, 0
+    if _carry is not None:
+        _carry[K] = out
     _slot, W, bases = out
     xp_chunks = max(int(bases.max()) + K, _cdiv(pbl + n, LANE))
     if not gell_dynwin_supported(n, xp_chunks, W, K=K, dd=dd):

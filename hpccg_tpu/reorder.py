@@ -329,8 +329,11 @@ def auto_structure(
             )
 
             best_d = None
+            carry: dict = {}
             for dk in (16, 24):
-                d_ok, d_rate, _W = dynwin_cost_model(mat, K=dk, _norm=norm)
+                d_ok, d_rate, _W = dynwin_cost_model(
+                    mat, K=dk, _norm=norm, _carry=carry
+                )
                 if d_ok and (best_d is None or d_rate > best_d[1]):
                     best_d = (dk, d_rate)
             if best_d is not None:
@@ -339,7 +342,11 @@ def auto_structure(
                     (
                         d_rate,
                         "gdynwin" + tag,
-                        lambda mat=mat, dk=dk: prepare_gell_dynwin(mat, K=dk),
+                        # the model already ran the greedy for this K —
+                        # build from its assignment instead of re-running
+                        lambda mat=mat, dk=dk, a=carry.get(
+                            best_d[0]
+                        ): prepare_gell_dynwin(mat, K=dk, _assign=a),
                         (None, None, dk),  # per-slot window chunks
                     )
                 )

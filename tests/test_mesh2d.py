@@ -252,3 +252,35 @@ def test_mesh2d_stack_matches_1d():
     )
     np.testing.assert_array_equal(np.asarray(r2.trace), np.asarray(r1.trace))
     np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r1.x))
+
+
+def test_mesh2d_dynwin_matches_1d():
+    """The dynamic-window wide-scatter tier (round 5) over the
+    ('host','z') product axis reproduces the 1-D mesh solve bit-for-bit —
+    same shard layout, rebased woff tables, and reduction tree shape."""
+    from hpccg_tpu.operators import EllMatrix
+    from hpccg_tpu.ops.pallas.gell_dynwin import prepare_gell_dynwin
+    from hpccg_tpu.parallel import make_distributed_dynwin_cg
+
+    rng = np.random.default_rng(6)
+    n = 1024 * HOSTS * CHIPS
+    cols = np.stack(
+        [np.arange(n), rng.integers(0, n, n), rng.integers(0, n, n)], axis=1
+    ).astype(np.int32)
+    vals = np.concatenate(
+        [np.full((n, 1), 8.0), rng.uniform(-1, -0.1, (n, 2))], axis=1
+    ).astype(np.float32)
+    ell = EllMatrix(
+        vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+        valid=jnp.ones((n, 3), bool), total_nrow=n,
+    )
+    D = prepare_gell_dynwin(ell, K=8)
+    b = ell.matvec(jnp.ones((n,), jnp.float32))
+    x0 = jnp.zeros_like(b)
+    r1 = make_distributed_dynwin_cg(make_mesh(HOSTS * CHIPS), max_iter=8)(D, b, x0)
+    mesh2 = make_mesh2d(HOSTS, CHIPS)
+    r2 = make_distributed_dynwin_cg(mesh2, max_iter=8, axis=row_axis(mesh2))(
+        D, b, x0
+    )
+    np.testing.assert_array_equal(np.asarray(r2.trace), np.asarray(r1.trace))
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(r1.x))
