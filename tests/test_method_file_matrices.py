@@ -4,7 +4,7 @@ The pod model (utils/podmodel.py, SWEEP_r04.json) shows the 2-reduction
 reference recurrence is allreduce-latency-bound at pod scale for small
 blocks — the one-reduction methods existed only for the generated-stencil
 and collective paths. These tests pin that every loaded-matrix tier
-(dia-halo, gell-halo, stack-allgather, ell-allgather) honors method=
+(dia-halo, gell-halo, dynwin/stack-allgather, ell-allgather) honors method=
 through the shared _method_runner.
 
 The matrices are SYMMETRIC (CG's contract): the cg1/pipecg scalar
@@ -116,6 +116,29 @@ def test_stack_allgather_honors_method(method):
     mesh = make_mesh(NDEV)
     r_cg = make_distributed_stack_cg(mesh, max_iter=8)(S, b, x0)
     r_m = make_distributed_stack_cg(mesh, max_iter=8, method=method)(S, b, x0)
+    _trace_close(r_m, r_cg, rtol=RTOL[method])
+
+
+@pytest.mark.parametrize("method", ["cg1", "pipecg"])
+def test_dynwin_allgather_honors_method(method):
+    from hpccg_tpu.ops.pallas.gell_dynwin import prepare_gell_dynwin
+
+    rng = np.random.default_rng(2)
+    n = 1024 * NDEV
+    pairs = [
+        (i, int(rng.integers(0, n)), float(rng.uniform(-0.5, -0.05)))
+        for i in range(n)
+    ]
+    ell = _symmetric_ell(n, pairs)  # wide scatter: random symmetric links
+    D = prepare_gell_dynwin(ell, K=8)
+    assert D.vals4lo is not None  # f64 -> the dd dynwin kernel per shard
+    b = ell.matvec(jnp.ones((n,), jnp.float64))
+    x0 = jnp.zeros_like(b)
+    mesh = make_mesh(NDEV)
+    from hpccg_tpu.parallel.cg import make_distributed_dynwin_cg
+
+    r_cg = make_distributed_dynwin_cg(mesh, max_iter=8)(D, b, x0)
+    r_m = make_distributed_dynwin_cg(mesh, max_iter=8, method=method)(D, b, x0)
     _trace_close(r_m, r_cg, rtol=RTOL[method])
 
 
