@@ -3,7 +3,9 @@
 
 The probe's per-(tile,slot)-window prep converges by BUMPING over-window
 entries one slot per round (38 rounds x an nnz argsort at 64^3 = ~30 s of
-host time; minutes at 100^3). This checks the one-pass greedy equivalent:
+host time; minutes at 100^3). This checks the one-pass greedy equivalent (now the SHIPPED prep —
+the wrapper below calls gell_dynwin._greedy_assign so the statistics
+reflect production bases exactly):
 all tiles advance in lockstep over output slots; slot w's base is the
 per-tile min pending chunk (SUB-aligned) and every row whose next entry
 fits [base, base+K) consumes it. Progress is guaranteed (the min row always
@@ -32,33 +34,17 @@ _SUB_SHIFT = SUB.bit_length() - 1
 
 
 def greedy_assign(ci_flat, counts, T, K, max_w=4096):
-    """(slot, W, bases(T, W)) — lockstep greedy over output slots."""
-    n = counts.shape[0]
-    npad = T * RT
-    row_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    ptr = np.zeros(n, np.int64)
-    remaining = counts.copy()
-    tile_of_row = np.arange(n) // RT
-    slot = np.empty(len(ci_flat), np.int64)
-    bases = []
-    INF = np.iinfo(np.int64).max
-    active = remaining > 0
-    curp = np.full(npad, INF)
-    while active.any():
-        if len(bases) >= max_w:
-            return None
-        idx_r = np.minimum(row_starts + ptr, len(ci_flat) - 1)
-        cur = np.where(active, ci_flat[idx_r], INF)
-        curp[:n] = cur
-        tmin = curp.reshape(T, RT).min(axis=1)
-        base = np.where(tmin == INF, 0, (tmin >> _SUB_SHIFT) << _SUB_SHIFT)
-        fit = active & (cur < base[tile_of_row] + K)
-        slot[row_starts[fit] + ptr[fit]] = len(bases)
-        ptr[fit] += 1
-        remaining[fit] -= 1
-        active = remaining > 0
-        bases.append(base)
-    return slot, len(bases), np.stack(bases, axis=1)
+    """Thin wrapper over the SHIPPED greedy (gell_dynwin._greedy_assign,
+    NumPy path — the probe must characterize the production assignment,
+    including the carried-forward bases of finished tiles that shard
+    rebasing depends on). Returns (slot, W, bases(T, W)) or None."""
+    from hpccg_tpu.ops.pallas.gell_dynwin import _greedy_assign
+
+    out = _greedy_assign(ci_flat, counts, T, K, max_w=max_w, use_native=False)
+    if out is None:
+        return None
+    slot, W, bases = out
+    return slot, W, bases
 
 
 def main():

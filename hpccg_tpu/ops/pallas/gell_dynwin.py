@@ -71,7 +71,9 @@ def gell_dynwin_supported(
     """True when the VMEM-resident padded x + the double-buffered slot
     blocks (12 B/slot element f32, 20 dd — vals (+lo) f32 + li i16) + the
     SMEM offset table fit the kernel budgets."""
-    if W <= 0 or K <= 0:
+    if W <= 0 or K < SUB:
+        # K < SUB cannot represent an entry at offset SUB-1 from its own
+        # SUB-aligned base — the greedy would spin without progress
         return False
     if K * LANE > 32767:  # li must fit int16
         return False
@@ -242,6 +244,14 @@ def prepare_gell_dynwin(
 
     if ell.start_row != 0:
         raise ValueError("prepare_gell_dynwin needs the assembled matrix")
+    if K < SUB or K * LANE > 32767:
+        # below SUB the greedy cannot make progress (an entry at offset
+        # SUB-1 from its own SUB-aligned base never fits); above, the
+        # window-local index overflows int16
+        raise ValueError(
+            f"K={K} outside the representable window range "
+            f"[{SUB}, {32767 // LANE}] chunks"
+        )
     n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = _normalize_sorted(ell)
     pbl = _cdiv(bw_lo, LANE) * LANE
     T = _cdiv(n, RT)
@@ -519,6 +529,23 @@ def dynwin_shard_geometry(A: GellDynwinMatrix, ndev: int):
     return T_l, xw_chunks, lo.astype(np.int32), xp_pad_chunks
 
 
+def dynwin_shard_arrays(A: GellDynwinMatrix, ndev: int):
+    """(T_l, xw_chunks, xp_pad, woff_local, base2) — the host-side shard
+    layout both distributed call sites (make_distributed_dynwin_cg and
+    make_distributed_spmv_bench) share: woff_local is the (ndev, T_l, W)
+    int32 table rebased onto each shard's tight window (clamped at 0 for
+    the all-zero pad slots of empty tiles, whose carried base may sit
+    below a shard's minimum), base2 the (ndev, 1) int32 window starts."""
+    import numpy as np
+
+    T_l, xw_chunks, lo, xp_pad = dynwin_shard_geometry(A, ndev)
+    woff3 = np.asarray(A.woff, np.int64).reshape(ndev, T_l, A.W)
+    woff_local = np.maximum(
+        woff3 - lo[:, None, None].astype(np.int64), 0
+    ).astype(np.int32)
+    return T_l, xw_chunks, xp_pad, woff_local, lo.reshape(ndev, 1)
+
+
 def spmv_gell_dynwin_shard(
     vals4: jax.Array,
     li4: jax.Array,
@@ -606,6 +633,8 @@ def dynwin_cost_model(
     ``_assign`` instead of re-running the greedy."""
     import numpy as np
 
+    if K < SUB or K * LANE > 32767:
+        return False, 0.0, 0
     n, dd, vdt, vals, cols, valid, width, bw_lo, bw_hi = (
         _norm if _norm is not None else _normalize_sorted(ell)
     )

@@ -994,7 +994,7 @@ def make_distributed_dynwin_cg(
     ndev*1024 multiple first)."""
     from hpccg_tpu.ops.pallas.gell_dynwin import (
         GellDynwinMatrix,
-        dynwin_shard_geometry,
+        dynwin_shard_arrays,
         spmv_gell_dynwin_shard,
     )
 
@@ -1003,14 +1003,12 @@ def make_distributed_dynwin_cg(
     _jit_cache: dict = _BoundedCache()
 
     def solve(A, b, x0):
-        import numpy as np
-
         if not isinstance(A, GellDynwinMatrix):
             raise ValueError(
                 "pass a prepared GellDynwinMatrix (auto_structure / "
                 "prepare_gell_dynwin)"
             )
-        T_l, xw_chunks, lo, xp_pad = dynwin_shard_geometry(A, ndev)
+        T_l, xw_chunks, xp_pad, woff_local, base_np = dynwin_shard_arrays(A, ndev)
         dd = A.vals4lo is not None
         W = A.W
         vec_sh = NamedSharding(mesh, P(axis))
@@ -1026,15 +1024,8 @@ def make_distributed_dynwin_cg(
             else jnp.zeros((ndev,))
         )
         # per-shard window-local offset table + the shard's window base
-        woff3 = np.asarray(A.woff, np.int64).reshape(ndev, T_l, W)
-        woff_l = jax.device_put(
-            jnp.asarray(
-                np.maximum(woff3 - lo[:, None, None].astype(np.int64), 0),
-                jnp.int32,
-            ),
-            mat_sh,
-        )
-        base2 = jax.device_put(jnp.asarray(lo.reshape(ndev, 1)), mat_sh)
+        woff_l = jax.device_put(jnp.asarray(woff_local), mat_sh)
+        base2 = jax.device_put(jnp.asarray(base_np), mat_sh)
         kw = dict(K=A.K, pbl=A.pbl, xp_chunks=xp_pad, xw_chunks=xw_chunks)
         jit_key = (T_l, W, dd, A.K, A.pbl, xp_pad, xw_chunks, method, replace_every)
         cached = _jit_cache.get(jit_key)
@@ -1573,7 +1564,7 @@ def make_distributed_spmv_bench(mesh: Mesh, A, *, axis: Axis = Z_AXIS):
 
     from hpccg_tpu.ops.pallas.gell_dynwin import (
         GellDynwinMatrix,
-        dynwin_shard_geometry,
+        dynwin_shard_arrays,
         spmv_gell_dynwin_shard,
     )
 
@@ -1583,21 +1574,12 @@ def make_distributed_spmv_bench(mesh: Mesh, A, *, axis: Axis = Z_AXIS):
     if isinstance(A, GellDynwinMatrix):
         # wide-scatter dynamic-window tier: per-shard SMEM-window gather on
         # an all-gathered x (the gather IS the matvec structure)
-        import numpy as np
-
-        T_l, xw_chunks, lo, xp_pad = dynwin_shard_geometry(A, ndev)
+        T_l, xw_chunks, xp_pad, woff_local, base_np = dynwin_shard_arrays(A, ndev)
         dd = A.vals4lo is not None
         shard_shape = (ndev, T_l, A.W, 8, 128)
         kw = dict(K=A.K, pbl=A.pbl, xp_chunks=xp_pad, xw_chunks=xw_chunks)
-        woff3 = np.asarray(A.woff, np.int64).reshape(ndev, T_l, A.W)
-        woff_l = jax.device_put(
-            jnp.asarray(
-                np.maximum(woff3 - lo[:, None, None].astype(np.int64), 0),
-                jnp.int32,
-            ),
-            sh,
-        )
-        base2 = jax.device_put(jnp.asarray(lo.reshape(ndev, 1)), sh)
+        woff_l = jax.device_put(jnp.asarray(woff_local), sh)
+        base2 = jax.device_put(jnp.asarray(base_np), sh)
         mats0 = (A.vals4, A.vals4lo, A.li4) if dd else (A.vals4, A.li4)
         leaves = tuple(
             jax.device_put(a.reshape(shard_shape), sh) for a in mats0

@@ -48,6 +48,20 @@ def test_dynwin_matvec_matches_oracle(K):
     assert err < 1e-5, err
 
 
+def test_dynwin_rejects_out_of_range_K():
+    """K < SUB cannot represent an entry at offset SUB-1 from its own
+    SUB-aligned window base — the greedy would spin max_w useless rounds;
+    prepare must fail FAST with the real reason (code-review round 5).
+    K past the int16 window-local range is the other edge."""
+    A = _wide_scatter(2048, 5, 600, seed=2)
+    with pytest.raises(ValueError, match="representable window range"):
+        prepare_gell_dynwin(A, K=4)
+    with pytest.raises(ValueError, match="representable window range"):
+        prepare_gell_dynwin(A, K=256)  # 256*128 > int16
+    ok, rate, W = dynwin_cost_model(A, K=4)
+    assert not ok and W == 0
+
+
 def test_dynwin_prep_invariants():
     """Greedy assignment invariants: every stored index window-local in
     [0, K*LANE), bases SUB-aligned, stored nonzeros == the source's."""

@@ -225,7 +225,6 @@ class TestReorder:
         random-scatter shape) — the chooser must book a wide tier with a
         correct operator, and with both models available that is dynwin."""
         from hpccg_tpu.ops.pallas.gell_dynwin import GellDynwinMatrix
-        from hpccg_tpu.ops.pallas.gell_stack import GellStackMatrix
         from hpccg_tpu.reorder import auto_structure
 
         rng = np.random.default_rng(9)
@@ -242,10 +241,10 @@ class TestReorder:
             valid=jnp.asarray(valid), total_nrow=n,
         )
         A, perm_out, report = auto_structure(ell, max_inflation=8.0)
-        assert report.format.startswith(("gdynwin", "gstack")), report
-        assert isinstance(A, (GellDynwinMatrix, GellStackMatrix))
-        # the shared cost model prices dynwin's lower inflation ahead
+        # the shared cost model prices dynwin's lower inflation ahead of
+        # the stack on this shape (chip-verified ranking)
         assert report.format.startswith("gdynwin"), report
+        assert isinstance(A, GellDynwinMatrix)
         # parity through the chosen operator (in whichever basis it chose)
         x = np.asarray(rng.standard_normal(n), np.float32)
         src = ell if perm_out is None else None
