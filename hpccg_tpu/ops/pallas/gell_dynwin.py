@@ -103,6 +103,7 @@ def _greedy_assign(
     fallback; False forces NumPy; True raises if unavailable."""
     import numpy as np
 
+    assert K >= SUB, f"K={K}: below SUB the greedy cannot make progress"
     n = counts.shape[0]
     npad = T * RT
     nnz = int(counts.sum())
